@@ -1,0 +1,9 @@
+"""Operator families (SURVEY.md §2.A–K).
+
+Importing this package populates the registry.  Each module is one
+inventory section; each public function is one operator ID.
+"""
+
+from un_datapipeline_spark.operators import (  # noqa: F401
+    aggregations,
+)

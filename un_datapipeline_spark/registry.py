@@ -1,0 +1,52 @@
+"""Operator registry: the single source of truth for the engine surface.
+
+Every operator from SURVEY.md §2 registers itself here via the
+``@register`` decorator; ``__spark_entry__.queries()`` and
+``oracle_sql()`` are thin projections of this registry, which guarantees
+the two dicts can never drift apart.
+
+``oracle`` is the DuckDB ANSI-SQL equivalent (hash-matched by the
+driver); ``oracle=None`` declares a rows-only operator (non-deterministic
+across engines by nature — e.g. HLL sketches, MinHash banding, watermark
+drops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Operator:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tier: str
+
+
+_REGISTRY: dict[str, Operator] = {}
+
+
+def register(name: str, *, oracle: str | None = None, tier: str = "T1"):
+    """Register ``fn(spark, sf_dir) -> DataFrame`` as operator ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate operator id: {name}")
+        _REGISTRY[name] = Operator(name=name, fn=fn, oracle=oracle, tier=tier)
+        return fn
+
+    return deco
+
+
+def all_operators() -> dict[str, Operator]:
+    """Return the full registry (importing operator modules on demand)."""
+    # Import triggers registration; idempotent.
+    import un_datapipeline_spark.operators  # noqa: F401
+
+    return dict(_REGISTRY)

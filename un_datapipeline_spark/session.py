@@ -1,0 +1,82 @@
+"""SparkSession factory and runtime configuration.
+
+Two hard requirements (SURVEY.md §1.2, verified empirically):
+
+1. ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.ts`` is
+   parquet ``timestamp[ns]`` which Spark 4.x refuses to read natively
+   (``PARQUET_TYPE_ILLEGAL``).  The conf is honored when set at *runtime*
+   via ``spark.conf.set`` (verified), which matters because the driver
+   builds the session — ``ensure_runtime_confs`` is therefore called by
+   every loader, not just by our own factory.
+
+2. ns→µs conversion must use *integer* division (``ts div 1000``): the
+   double-division recipe loses precision above 2^53 and mismatches the
+   DuckDB oracle on ~12% of rows (measured at sf0.01).  See
+   ``tables.load_table``.
+
+Scale posture: AQE on (coalesce + skew-join split at runtime), shuffle
+partitions sized for the local test data but overridable via
+``SPARK_GRAFT_SHUFFLE_PARTITIONS`` — on a real cluster you would leave
+the default 200+ and let AQE coalesce.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+RUNTIME_CONFS = {
+    # events.ts is timestamp[ns]; read as long, convert with `ts div 1000`.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed ones.
+    "spark.sql.adaptive.enabled": "true",
+    # Arrow for pandas_udf / applyInPandas / toPandas round-trips.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally built session.
+
+    Idempotent and cheap; called by every table loader so the engine works
+    against the driver's session (which we don't construct).
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf may be non-runtime-settable in some deployments;
+            # the session factory path sets it at build time instead.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "un-datapipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the canonical session for tests/bench/CLI runs.
+
+    local[N] in tests; on a cluster, `master` comes from spark-submit and
+    this factory only contributes confs.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return ensure_runtime_confs(spark)

@@ -1,0 +1,60 @@
+"""Canonical loaders for the ten testdata tables (FIXTURES.md).
+
+All operators load inputs through ``load_table`` so the one data-model
+hazard — ``events.ts`` stored as parquet ``timestamp[ns]`` — is fixed in
+exactly one place.  Conversion uses **integer** division (``ts div
+1000``): verified to match DuckDB's ``CAST(ts AS TIMESTAMP)`` on every
+row at sf0.01, whereas float division mismatches ~12% of rows (ns epoch
+values exceed 2^53).
+
+At 100 TB these reads stay scan-friendly: loaders never cache, never
+collect, and return raw DataFrames so Catalyst can push predicates and
+prune columns down into the parquet scan of whatever query composes them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from un_datapipeline_spark.session import ensure_runtime_confs
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (they are
+# fixed-cardinality); supplier/customer/part are broadcastable at test
+# scale and size-gated by Spark's autoBroadcastJoinThreshold in general.
+ALWAYS_BROADCAST_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame.
+
+    ``events`` gets the ns→µs timestamp normalization applied; every other
+    table is a plain parquet scan (schemas travel in the footers and match
+    FIXTURES.md).
+    """
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as LongType (nanosAsLong). Integer `div` keeps exact
+        # microseconds; timestamp_micros interprets as epoch-µs.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views (mirrors the DuckDB oracle side)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
