@@ -44,15 +44,18 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
+    def _key(row):
+        return tuple((v is None, str(v)) for v in row)
+
     n_match = n_rows_only = n_fail = 0
     for name in sorted(q):
         try:
             sdf = q[name](spark, SF)
-            srows = sorted(tuple(r) for r in sdf.collect())
+            srows = sorted((tuple(r) for r in sdf.collect()), key=_key)
             if name in o:
                 cur = con.execute(o[name])
                 ocols = [d[0] for d in cur.description]
-                orows = sorted(cur.fetchall())
+                orows = sorted(cur.fetchall(), key=_key)
                 match = (srows == orows) and (
                     [c.lower() for c in sdf.columns] == [c.lower() for c in ocols]
                 )

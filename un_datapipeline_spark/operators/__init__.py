@@ -6,4 +6,11 @@ inventory section; each public function is one operator ID.
 
 from un_datapipeline_spark.operators import (  # noqa: F401
     aggregations,
+    functions,
+    joins,
+    relational,
+    setops,
+    sorting,
+    sources,
+    windows,
 )

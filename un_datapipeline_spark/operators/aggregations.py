@@ -60,3 +60,66 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+_COUNT_DISTINCT_ORACLE = """
+SELECT c_mktsegment,
+       count(DISTINCT c_nationkey) AS n_nations,
+       count(DISTINCT c_acctbal)   AS n_balances,
+       count(*)                    AS n_rows
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_count_distinct", oracle=_COUNT_DISTINCT_ORACLE, tier="T1")
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact distinct counts in one aggregate (Spark expands
+    to a single multi-distinct hash aggregate)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.countDistinct("c_acctbal").alias("n_balances"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, ROUND(sum(l_quantity), 4) AS sq
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_ORACLE, tier="T1")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(returnflag, linestatus): per-pair, per-flag, grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sq")
+    )
+
+
+_HAVING_ORACLE = """
+SELECT l_orderkey, ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+GROUP BY l_orderkey
+HAVING sum(l_extendedprice * (1 - l_discount)) > 300000
+"""
+
+
+@register("agg_having", oracle=_HAVING_ORACLE, tier="T1")
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING): high-revenue orders only.
+    The filter applies to the unrounded aggregate, like the SQL text."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(rev, 4).alias("revenue"),
+            rev.alias("_raw_rev"),
+        )
+        .filter(F.col("_raw_rev") > 300000)
+        .select("l_orderkey", "revenue")
+    )

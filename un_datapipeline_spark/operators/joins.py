@@ -1,0 +1,211 @@
+"""Join operators (SURVEY.md §2.C).
+
+Scale strategy per join:
+- Fact⋈fact equi-joins shuffle on the key (sort-merge or shuffled-hash,
+  chosen by Catalyst/AQE); we never force a fact onto a build side.
+- Dimension joins broadcast: region/nation are fixed-cardinality (5/25
+  rows at EVERY scale factor) so `F.broadcast` is pinned explicitly;
+  larger dims are left to the autoBroadcastJoinThreshold size gate.
+- `join_sort_merge` pins SMJ via the plan-local `.hint("merge")` rather
+  than mutating session conf (the driver may collect lazily, after this
+  function returns — conf flips would leak across queries).
+- The as-of join has no native Spark operator: expressed as equi-join on
+  the user key + range predicate + `max_by` per event, which keeps it a
+  shuffle-hash join + hash agg (no window sort over the full fact).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+_INNER_ORACLE = """
+SELECT o.o_orderstatus,
+       count(*) AS n,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+@register("join_inner_equi", oracle=_INNER_ORACLE, tier="T0")
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders on orderkey → revenue per orderstatus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+_STAR_ORACLE = """
+SELECT n.n_name, ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@register("join_broadcast_dim", oracle=_STAR_ORACLE, tier="T1")
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join (TPC-H Q5 shape), revenue by nation for ASIA.
+
+    region/nation are broadcast-pinned (≤25 rows at any SF); the
+    region filter is applied before the broadcast so the build side is
+    pre-pruned, which in turn prunes nations, suppliers and the fact rows
+    at probe time.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = F.broadcast(
+        s.join(
+            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            s.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(dim, li.l_suppkey == dim.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_SMJ_ORACLE = """
+SELECT o.o_orderstatus,
+       count(*) AS n,
+       ROUND(sum(l.l_quantity), 4) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+@register("join_sort_merge", oracle=_SMJ_ORACLE, tier="T1")
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same equi-join forced down the sort-merge path via a plan-local
+    merge hint — the fact⋈fact strategy at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").hint("merge")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+_LEFT_ORACLE = """
+SELECT c.c_custkey,
+       count(o.o_orderkey) AS n_orders,
+       ROUND(sum(coalesce(o.o_totalprice, 0)), 4) AS total_spend
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@register("join_left_outer", oracle=_LEFT_ORACLE, tier="T1")
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer LEFT JOIN orders; customers without orders keep a row
+    (n_orders = 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 4).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+_FULL_ORACLE = """
+SELECT s.s_suppkey, c.c_custkey,
+       coalesce(s.s_nationkey, c.c_nationkey) AS nk
+FROM supplier s FULL OUTER JOIN customer c ON s.s_nationkey = c.c_nationkey
+"""
+
+
+@register("join_full_outer", oracle=_FULL_ORACLE, tier="T1")
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier FULL OUTER customer on nationkey (many-to-many; unmatched
+    sides survive with nulls)."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return s.join(c, s.s_nationkey == c.c_nationkey, "full").select(
+        "s_suppkey",
+        "c_custkey",
+        F.coalesce(F.col("s_nationkey"), F.col("c_nationkey")).alias("nk"),
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+@register("join_left_semi", oracle=_SEMI_ORACLE, tier="T1")
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 finished order — semi join never duplicates
+    the left side and only ships the join key of the right."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("join_left_anti", oracle=_ANTI_ORACLE, tier="T1")
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_CROSS_ORACLE = """
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+"""
+
+
+@register("join_cross", oracle=_CROSS_ORACLE, tier="T1")
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region × nation (5×25) — the only place a cartesian product is
+    acceptable: both sides fixed-cardinality."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")

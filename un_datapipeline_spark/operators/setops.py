@@ -1,0 +1,98 @@
+"""Set operations (SURVEY.md §2.G).
+
+UNION ALL is a zero-shuffle concatenation of children; the distinct
+variants add one hash-aggregate shuffle on the full row.  INTERSECT /
+EXCEPT compile to left-semi / left-anti joins over distinct inputs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+_DISTINCT_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+@register("distinct_rows", oracle=_DISTINCT_ORACLE, tier="T0")
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (returnflag, linestatus) pairs."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+_UNION_ALL_ORACLE = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+"""
+
+
+@register("set_union_all", oracle=_UNION_ALL_ORACLE, tier="T1")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (duplicates preserved) of two custkey sources."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.unionAll(b)
+
+
+_UNION_DISTINCT_ORACLE = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+"""
+
+
+@register("set_union_distinct", oracle=_UNION_DISTINCT_ORACLE, tier="T1")
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union with dedup."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+_INTERSECT_ORACLE = """
+SELECT c_nationkey AS nk FROM customer
+INTERSECT
+SELECT s_nationkey AS nk FROM supplier
+"""
+
+
+@register("set_intersect", oracle=_INTERSECT_ORACLE, tier="T1")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation keys present in both customer and supplier."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+_EXCEPT_ORACLE = """
+SELECT c_nationkey AS nk FROM customer
+EXCEPT
+SELECT s_nationkey AS nk FROM supplier
+"""
+
+
+@register("set_except", oracle=_EXCEPT_ORACLE, tier="T1")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation keys with customers but no suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)

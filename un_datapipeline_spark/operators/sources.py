@@ -1,0 +1,146 @@
+"""Source / sink operators (SURVEY.md §2.A).
+
+Connector posture for scale: everything stays in Spark's DataSource V2
+file sources (parquet/csv/json) so scans get vectorized reads, predicate
+pushdown, partition pruning, and (on a cluster) locality-aware splits for
+free.  Round-trip operators write to a per-call temp dir — at 100 TB the
+same code writes to object storage; nothing here assumes a local FS
+beyond the test harness.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+# table -> primary key column used for the scan fingerprint
+_KEY_COLS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+_SCAN_ORACLE = " UNION ALL ".join(
+    f"SELECT '{t}' AS tbl, count(*) AS n, "
+    f"CAST(min({k}) AS BIGINT) AS min_key, CAST(max({k}) AS BIGINT) AS max_key "
+    f"FROM {t}"
+    for t, k in _KEY_COLS.items()
+)
+
+
+@register("src_parquet_scan", oracle=_SCAN_ORACLE, tier="T0")
+def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint every table: proves all 10 parquet sources load
+    (including events' ns-timestamp path) with only a count+min+max
+    projection — the scan reads one column per table (column pruning)."""
+    parts = []
+    for t, k in _KEY_COLS.items():
+        parts.append(
+            load_table(spark, sf_dir, t)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.col(k).cast("long")).alias("min_key"),
+                F.max(F.col(k).cast("long")).alias("max_key"),
+            )
+            .select(F.lit(t).alias("tbl"), "n", "min_key", "max_key")
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+_CSV_ORACLE = """
+SELECT count(*) AS n,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       count(DISTINCT n_name) AS n_names,
+       min(n_name) AS first_name, max(n_name) AS last_name
+FROM nation
+"""
+
+
+@register("src_csv_roundtrip", oracle=_CSV_ORACLE, tier="T1")
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → CSV (header) → read back with explicit schema → checksum.
+    The oracle reads the original parquet: equality proves the CSV
+    writer/reader is lossless for this schema."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="udps_csv_")
+    nation.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema(_NATION_SCHEMA).option("header", "true").csv(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+        F.countDistinct("n_name").alias("n_names"),
+        F.min("n_name").alias("first_name"),
+        F.max("n_name").alias("last_name"),
+    )
+
+
+_REGION_SCHEMA = T.StructType(
+    [
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]
+)
+
+_JSON_ORACLE = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+@register("src_json_roundtrip", oracle=_JSON_ORACLE, tier="T1")
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → JSON lines → read back with explicit schema; full contents
+    must survive the trip (oracle = original parquet)."""
+    region = load_table(spark, sf_dir, "region")
+    out = tempfile.mkdtemp(prefix="udps_json_")
+    region.write.mode("overwrite").json(out)
+    return spark.read.schema(_REGION_SCHEMA).json(out).select("r_regionkey", "r_name")
+
+
+_SINK_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       ROUND(sum(l_quantity), 4) AS sum_qty,
+       ROUND(sum(l_extendedprice), 4) AS sum_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sink_parquet_write", oracle=_SINK_ORACLE, tier="T1")
+def sink_parquet_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a lineitem projection partitioned by l_returnflag (hive-style
+    layout — the 100 TB pattern for partition-pruned downstream reads),
+    read it back, aggregate per partition value."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    out = tempfile.mkdtemp(prefix="udps_pq_")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )

@@ -1,0 +1,109 @@
+"""Window-function operators (SURVEY.md §2.E).
+
+Windows shuffle once on the partition key and sort within partitions;
+every ORDER BY carries a unique tiebreaker column so rank-family outputs
+are deterministic (SURVEY.md §5.3.3).  Running double aggregates are
+rounded on both sides — DuckDB computes window sums via segment trees,
+so the accumulation order differs from Spark's sequential frame.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+_RANK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       row_number()   OVER w AS rn,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS nt,
+       percent_rank() OVER w AS prk,
+       cume_dist()    OVER w AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@register("win_ranking", oracle=_RANK_ORACLE, tier="T1")
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking family per customer over orders by totalprice desc
+    (orderkey tiebreak ⇒ deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("nt"),
+        F.percent_rank().over(w).alias("prk"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+_RUNNING_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(sum(l_extendedprice) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_rev
+FROM lineitem
+"""
+
+
+@register("win_running_sum", oracle=_RUNNING_ORACLE, tier="T1")
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per order by line number.  Partitions are tiny
+    (≤7 lines/order) and numerous — the shuffle distributes on
+    l_orderkey, so this scales horizontally with no skew.
+
+    NOTE: (l_orderkey, l_linenumber) is NOT unique in this data
+    (measured: 11,785 duplicate pairs at sf0.01), so the window ORDER BY
+    carries (l_partkey, l_suppkey, l_extendedprice) tiebreakers — the
+    full tuple is unique at sf0.01/0.1 — making the accumulation order,
+    and hence every running value, engine-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 4).alias("running_rev"),
+    )
+
+
+_TOPK_GRP_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+"""
+
+
+@register("win_topk_per_group", oracle=_TOPK_GRP_ORACLE, tier="T1")
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — window + rank filter.  At scale the
+    rank filter is pushed into the window operator by Catalyst
+    (WindowGroupLimit) so each partition only materializes 3 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

@@ -33,6 +33,9 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     # Arrow for pandas_udf / applyInPandas / toPandas round-trips.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic wall-clock <-> epoch math matching the (naive-timestamp)
+    # DuckDB oracle regardless of machine timezone.
+    "spark.sql.session.timeZone": "UTC",
 }
 
 
