@@ -123,3 +123,122 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_raw_rev") > 300000)
         .select("l_orderkey", "revenue")
     )
+
+
+@register("agg_approx_distinct", oracle=None, tier="T2")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct of l_partkey per returnflag (rows-only:
+    sketch estimates are engine-specific by design — SURVEY.md §2.D).
+    Constant-memory per group at any scale, unlike exact distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# Shared SQL text (valid in both dialects) — engine runs it via spark.sql
+# over temp views (entry point 3, SURVEY.md §3).
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GROUPING_SETS_SQL, tier="T2")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() markers — identical SQL text runs on
+    both engines (the SQL entry point)."""
+    from un_datapipeline_spark.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus, ROUND(sum(l_quantity), 4) AS sq
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", oracle=_CUBE_ORACLE, tier="T2")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all 4 grouping combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sq")
+    )
+
+
+_STATS_ORACLE = """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 6)                 AS sd_qty,
+       ROUND(var_samp(l_quantity), 6)                    AS var_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 6)       AS corr_qp,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp,
+       arg_min(l_orderkey, l_extendedprice)              AS cheapest_order,
+       arg_max(l_orderkey, l_extendedprice)              AS priciest_order
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_stats", oracle=_STATS_ORACLE, tier="T2")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates + arg-min/max.  Deterministic because the
+    per-group price extremes are unique in this data (verified at
+    sf0.01/0.1); stats rounded to 6dp for float-order parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qp"),
+        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+    )
+
+
+_PCTL_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("agg_percentile_exact", oracle=_PCTL_ORACLE, tier="T2")
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median + p90 per order status (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, both linear interpolation)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+_COLLECT_ORACLE = """
+SELECT n.n_name, list_sort(list(s.s_name)) AS supplier_names
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("agg_collect_sorted", oracle=_COLLECT_ORACLE, tier="T2")
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation, the sorted list of supplier names — collect_list order
+    is nondeterministic, so BOTH sides sort (SURVEY.md §5.3.3)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sort_array(F.collect_list("s_name")).alias("supplier_names"))
+    )

@@ -209,3 +209,103 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+_THETA_ORACLE = """
+SELECT l.l_returnflag, count(*) AS n, ROUND(sum(l.l_quantity), 4) AS sum_qty
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+GROUP BY l.l_returnflag
+"""
+
+
+@register("join_theta_range", oracle=_THETA_ORACLE, tier="T2")
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with a range residual: lineitems shipped within 90 days
+    of their order date.  Catalyst extracts the equality for the hash/SMJ
+    key and applies the date range as a post-join filter, so this costs
+    the same shuffle as the plain equi-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+_ASOF_ORACLE = """
+SELECT e.event_id, o.o_orderdate AS asof_date
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+"""
+
+
+@register("join_asof", oracle=_ASOF_ORACLE, tier="T2")
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order date of the same user
+    at or before the event time (NULL when none).
+
+    Spark has no native ASOF operator; this formulation is equi-join on
+    the user key + range residual + max() per event — a hash join feeding
+    a hash aggregate, with no per-user window sort.  The output column
+    (the as-of *date*) is deterministic even when several orders share
+    the winning date, which keeps the DuckDB `ASOF LEFT JOIN` oracle
+    (tie choice arbitrary) hashable.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "left")
+    return j.groupBy("event_id").agg(F.max("o_orderdate").alias("asof_date"))
+
+
+_INTERVAL_ORACLE = """
+SELECT o.o_orderkey, count(*) AS n_ship
+FROM orders o JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <  o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+"""
+
+
+@register("join_interval", oracle=_INTERVAL_ORACLE, tier="T2")
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equi-key: shipments (any order's) falling in
+    each order's [orderdate, orderdate+7d) week.
+
+    A naive formulation is a cartesian nested-loop.  Instead the interval
+    is discretized: each order explodes into the 7 day-buckets it covers
+    and the join becomes an equi-join on the bucket + exact residual
+    filter — the standard scalable range-join pattern (shuffle on day,
+    parallel everywhere, no broadcast of a fact)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_buckets = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.explode(
+            F.sequence(
+                F.to_date("o_orderdate"), F.date_add(F.to_date("o_orderdate"), 6)
+            )
+        ).alias("day"),
+    )
+    li_days = li.select("l_shipdate", F.to_date("l_shipdate").alias("day"))
+    return (
+        li_days.join(o_buckets, "day")
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_ship"))
+    )
