@@ -39,3 +39,257 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = F.nvl(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("X")).alias("st")
     size_band = F.expr("if(o_totalprice > 150000, 'big', 'small')").alias("size_band")
     return o.groupBy(pri_band, st, size_band).agg(F.count(F.lit(1)).alias("n"))
+
+
+_STRING_ORACLE = """
+SELECT c_custkey,
+       upper(c_mktsegment)                          AS seg_up,
+       lower(c_name)                                AS name_lo,
+       trim(concat_ws(' ', c_name, c_mktsegment))   AS joined,
+       substring(c_name, 10, 9)                     AS digits,
+       length(c_name)                               AS name_len,
+       lpad(CAST(c_nationkey AS VARCHAR), 4, '0')   AS nk_pad,
+       instr(c_name, '#')                           AS hash_pos,
+       regexp_extract(c_name, '([0-9]+)', 1)        AS num_part,
+       regexp_replace(c_name, '[0-9]', '#', 'g')    AS masked,
+       (c_name LIKE 'Customer%')                    AS is_cust,
+       starts_with(c_mktsegment, 'BU')              AS is_building,
+       string_split(c_name, '#')                    AS parts
+FROM customer
+"""
+
+
+@register("fn_string", oracle=_STRING_ORACLE, tier="T2")
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, trim, substring, concat_ws, length, lpad,
+    instr, regexp extract/replace (POSIX-common patterns only —
+    SURVEY.md §5.3.4), like, startswith, split."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_up"),
+        F.lower("c_name").alias("name_lo"),
+        F.trim(F.concat_ws(" ", "c_name", "c_mktsegment")).alias("joined"),
+        F.substring("c_name", 10, 9).alias("digits"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nk_pad"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("num_part"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.col("c_name").like("Customer%").alias("is_cust"),
+        F.startswith(F.col("c_mktsegment"), F.lit("BU")).alias("is_building"),
+        F.split("c_name", "#").alias("parts"),
+    )
+
+
+_DATETIME_ORACLE = """
+SELECT o_orderkey,
+       year(o_orderdate)                                   AS y,
+       month(o_orderdate)                                  AS m,
+       dayofmonth(o_orderdate)                             AS dom,
+       isodow(o_orderdate)                                 AS isodw,
+       CAST(date_trunc('month', o_orderdate) AS DATE)      AS mstart,
+       date_diff('day', TIMESTAMP '2024-01-01', o_orderdate) AS days_since,
+       CAST(o_orderdate + INTERVAL 7 DAY AS DATE)          AS plus7,
+       (year(o_orderdate) - 2024) * 12 + month(o_orderdate) - 1 AS months_since,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT)           AS epoch_s
+FROM orders
+"""
+
+
+@register("fn_datetime", oracle=_DATETIME_ORACLE, tier="T2")
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family.  Dialect traps normalized per SURVEY.md §5.3.4:
+    Spark dayofweek is 1=Sunday vs DuckDB 0=Sunday, so both sides emit
+    ISO numbering (1=Monday); month arithmetic is spelled out on both
+    sides because months_between semantics differ; epoch is integer
+    seconds under the UTC session timezone."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        (((F.dayofweek("o_orderdate") + 5) % 7) + 1).alias("isodw"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mstart"),
+        F.datediff(F.col("o_orderdate"), F.lit("2024-01-01").cast("timestamp")).alias(
+            "days_since"
+        ),
+        F.date_add(F.to_date("o_orderdate"), 7).alias("plus7"),
+        ((F.year("o_orderdate") - 2024) * 12 + F.month("o_orderdate") - 1).alias(
+            "months_since"
+        ),
+        # o_orderdate is TIMESTAMP_NTZ (parquet ms, no tz) — NTZ→long is
+        # not castable directly; route via TIMESTAMP under the UTC session
+        # zone, matching DuckDB's naive-timestamp epoch().
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_s"),
+    )
+
+
+_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       round(l_extendedprice, 2)                       AS price_r2,
+       ROUND(abs(l_discount - 0.05), 6)                AS abs_dev,
+       ceil(l_quantity)                                AS qty_ceil,
+       floor(l_quantity)                               AS qty_floor,
+       ROUND(sqrt(l_quantity), 6)                      AS qty_sqrt,
+       ROUND(ln(l_extendedprice), 6)                   AS price_ln,
+       ROUND(log10(l_extendedprice), 6)                AS price_log10,
+       ROUND(exp(l_discount), 6)                       AS disc_exp,
+       ROUND(pow(l_quantity, 2), 6)                    AS qty_sq,
+       mod(l_orderkey, 7)                              AS ok_mod7,
+       CAST(sign(l_discount - 0.05) AS INT)            AS disc_sign,
+       ROUND(greatest(l_extendedprice, l_quantity * 1000.0), 4) AS hi,
+       ROUND(least(l_extendedprice, l_quantity * 1000.0), 4)    AS lo
+FROM lineitem
+"""
+
+
+@register("fn_math", oracle=_MATH_ORACLE, tier="T2")
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family.  `bround` (HALF_EVEN) is used where DuckDB says
+    `round` — Spark's `round` is HALF_UP, DuckDB's HALF_EVEN
+    (SURVEY.md §5.3.4).  pmod==mod on these all-positive keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.bround(F.col("l_extendedprice"), 2).alias("price_r2"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.pmod("l_orderkey", F.lit(7)).alias("ok_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.round(F.greatest("l_extendedprice", F.col("l_quantity") * 1000.0), 4).alias("hi"),
+        F.round(F.least("l_extendedprice", F.col("l_quantity") * 1000.0), 4).alias("lo"),
+    )
+
+
+_ARRAY_ORACLE = """
+SELECT vec_id,
+       len(embedding)                                                  AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6)                          AS e1,
+       list_transform(list_slice(embedding, 2, 4),
+                      x -> ROUND(CAST(x AS DOUBLE), 6))                AS head3,
+       list_contains(list_transform(embedding, x -> x > 0), true)     AS has_pos,
+       list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 2, 6)) AS doubled,
+       len(list_filter(embedding, x -> x > 0))                         AS n_pos,
+       ROUND(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)), 'sum'), 6)                       AS el_sum,
+       list_sort(list_transform(embedding,
+             x -> ROUND(CAST(x AS DOUBLE), 6)))                        AS sorted_r6,
+       list_sort(list_distinct(list_transform(embedding,
+             x -> ROUND(CAST(x AS DOUBLE), 1))))                       AS distinct_r1,
+       ROUND(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6)   AS sumsq
+FROM embeddings
+"""
+
+
+@register("fn_array", oracle=_ARRAY_ORACLE, tier="T2")
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over the embedding vectors via higher-order functions
+    (JVM lambda exprs — no Python boundary).  All float math is cast to
+    double then rounded on both sides; distinct lists are sorted because
+    distinct order is engine-specific (SURVEY.md §5.3.3).  zip_with
+    computes the elementwise square feeding sumsq."""
+    em = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e1"),
+        F.transform(F.slice("embedding", 2, 3), lambda x: F.round(x.cast("double"), 6)).alias(
+            "head3"
+        ),
+        F.array_contains(F.transform("embedding", lambda x: x > 0), True).alias("has_pos"),
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 2, 6)).alias("doubled"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 6).alias("el_sum"),
+        F.sort_array(F.transform("embedding", lambda x: F.round(x.cast("double"), 6))).alias(
+            "sorted_r6"
+        ),
+        F.sort_array(
+            F.array_distinct(F.transform("embedding", lambda x: F.round(x.cast("double"), 1)))
+        ).alias("distinct_r1"),
+        F.round(
+            F.aggregate(
+                F.zip_with(dbl, dbl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("sumsq"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       count(*)                                         AS n,
+       ROUND(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+       max(CAST(json_extract(props, '$.k') AS INT))     AS max_k,
+       min(CAST(json_extract(props, '$.k') AS INT))     AS min_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("fn_json", oracle=_JSON_ORACLE, tier="T2")
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family on events.props: path extraction via get_json_object
+    AND schema-full parse via from_json — both feed the same aggregate so
+    any disagreement between the two parsers breaks parity (max uses the
+    from_json path, the rest get_json_object)."""
+    e = load_table(spark, sf_dir, "events")
+    k_path = F.get_json_object("props", "$.k").cast("int")
+    k_struct = F.from_json("props", "k INT")["k"]
+    return (
+        e.select("event_type", k_path.alias("k1"), k_struct.alias("k2"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k1"), 6).alias("avg_k"),
+            F.max("k2").alias("max_k"),
+            F.min("k1").alias("min_k"),
+        )
+    )
+
+
+_CAST_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR)                       AS key_str,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)       AS key_rt,
+       CAST(floor(o_totalprice) AS BIGINT)               AS price_floor,
+       CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE)     AS price_rt,
+       CAST(o_orderdate AS DATE)                         AS od,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR)        AS od_str,
+       TRY_CAST(o_orderpriority AS INT)                  AS pri_int,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri_num,
+       CAST(o_totalprice > 150000 AS INT)                AS big_flag
+FROM orders
+"""
+
+
+@register("fn_cast_types", oracle=_CAST_ORACLE, tier="T2")
+def fn_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family.  double→int goes through floor() on both sides
+    because bare CAST rounds in DuckDB but truncates in Spark; '1-URGENT'
+    style strings → NULL under try_cast in both engines; double→string→
+    double round-trips exactly (shortest-repr printing both sides)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_rt"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.col("o_totalprice").cast("string").cast("double").alias("price_rt"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.col("o_orderdate").cast("date").cast("string").alias("od_str"),
+        F.col("o_orderpriority").try_cast("int").alias("pri_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("pri_num"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("big_flag"),
+    )

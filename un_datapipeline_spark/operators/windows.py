@@ -107,3 +107,70 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+_ANALYTIC_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       lag(l_quantity)            OVER w AS prev_qty,
+       lead(l_quantity)           OVER w AS next_qty,
+       first_value(l_extendedprice) OVER w AS first_price,
+       last_value(l_extendedprice)  OVER w AS last_price
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_analytic", oracle=_ANALYTIC_ORACLE, tier="T2")
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/last per order over its lines.  The explicit ROWS
+    running frame + unique-tuple ORDER BY (see win_running_sum note on
+    duplicate (orderkey, linenumber) pairs) makes first/last and the
+    lag/lead neighbors engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # lag/lead demand the default frame in Spark; first/last use the
+    # explicit running frame.  Both share one sort (same partition+order).
+    wo = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.lag("l_quantity").over(wo).alias("prev_qty"),
+        F.lead("l_quantity").over(wo).alias("next_qty"),
+        F.first("l_extendedprice").over(wf).alias("first_price"),
+        F.last("l_extendedprice").over(wf).alias("last_price"),
+    )
+
+
+_SLIDING_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(avg(value) OVER (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+FROM events
+"""
+
+
+@register("win_sliding_range", oracle=_SLIDING_ORACLE, tier="T2")
+def win_sliding_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving average of `value` over a trailing 1-hour RANGE
+    frame.  Both engines order by integer epoch-seconds so the frame
+    boundaries are identical; RANGE frames include all peers of the
+    current second, so tie order is irrelevant (deterministic).  At scale
+    this shuffles once on user_id — time-ordered state never leaves the
+    partition."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("mov_avg"),
+    )
