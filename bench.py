@@ -1,0 +1,242 @@
+"""Benchmark harness: the 12 headline queries of BASELINE.md at sf0.1.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Method mirrors BASELINE.md: one long-lived local[N] session, one warm-up
+execution per query (JIT/codegen/broadcast warm), then best-of-2 timed
+runs of `collect()`.  Query shapes are the BASELINE.md §SQL-1..12 texts
+re-expressed in DataFrame form (raw, no ROUND wrappers — this file
+measures speed; correctness parity lives in the registry operators).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from un_datapipeline_spark.session import get_spark
+from un_datapipeline_spark.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def q1_pricing_summary(spark, d) -> DataFrame:
+    li = load_table(spark, d, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark, d) -> DataFrame:
+    c = load_table(spark, d, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, d, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, d, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate")
+        .limit(10)
+    )
+
+
+def q5_regional_revenue(spark, d) -> DataFrame:
+    c = load_table(spark, d, "customer")
+    o = load_table(spark, d, "orders")
+    li = load_table(spark, d, "lineitem")
+    s = load_table(spark, d, "supplier")
+    n = load_table(spark, d, "nation")
+    r = load_table(spark, d, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+def topk_per_group_window(spark, d) -> DataFrame:
+    o = load_table(spark, d, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+        .limit(100)
+    )
+
+
+def running_sum_window(spark, d) -> DataFrame:
+    li = load_table(spark, d, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.sum("l_extendedprice").over(w).alias("running_rev"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+def rollup_agg(spark, d) -> DataFrame:
+    li = load_table(spark, d, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+def events_tumbling_1h(spark, d) -> DataFrame:
+    e = load_table(spark, d, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("win_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .orderBy("win_start", "event_type")
+        .limit(200)
+    )
+
+
+def events_json_extract(spark, d) -> DataFrame:
+    e = load_table(spark, d, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.avg(F.get_json_object("props", "$.k").cast("int")).alias("avg_k"))
+        .orderBy("event_type")
+    )
+
+
+def doc_text_tokens(spark, d) -> DataFrame:
+    doc = load_table(spark, d, "documents")
+    return (
+        doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.avg("n_chars").alias("avg_chars"),
+            F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def embeddings_cosine_topk(spark, d) -> DataFrame:
+    from un_datapipeline_spark.operators.llm_vectors import cosine_topk
+
+    em = load_table(spark, d, "embeddings")
+    probes = em.filter(F.col("vec_id") < 100)
+    return (
+        cosine_topk(em, probes, k=1, require_gt=True)
+        .select(F.col("a_id").alias("vec_id"), "nn_id", "sim")
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+def dedup_exact(spark, d) -> DataFrame:
+    doc = load_table(spark, d, "documents")
+    return doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+
+
+def asof_style_join(spark, d) -> DataFrame:
+    e = load_table(spark, d, "events").select("event_id", "ts", "user_id")
+    o = load_table(spark, d, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "left")
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc_nulls_last("o_orderdate"), F.desc_nulls_last("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "o_orderkey")
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_regional_revenue": q5_regional_revenue,
+    "topk_per_group_window": topk_per_group_window,
+    "running_sum_window": running_sum_window,
+    "rollup_agg": rollup_agg,
+    "events_tumbling_1h": events_tumbling_1h,
+    "events_json_extract": events_json_extract,
+    "doc_text_tokens": doc_text_tokens,
+    "embeddings_cosine_topk": embeddings_cosine_topk,
+    "dedup_exact": dedup_exact,
+    "asof_style_join": asof_style_join,
+}
+
+
+def _sf_of(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="un-datapipeline-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        fn(spark, SF_DIR).collect()  # warm-up: codegen, file listing, broadcasts
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
+    out = {
+        "metric": "headline_12q_total",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_of(SF_DIR),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

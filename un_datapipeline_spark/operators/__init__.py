@@ -8,6 +8,7 @@ from un_datapipeline_spark.operators import (  # noqa: F401
     aggregations,
     functions,
     joins,
+    llm_vectors,
     relational,
     setops,
     sorting,

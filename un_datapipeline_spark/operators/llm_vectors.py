@@ -1,0 +1,229 @@
+"""Vector / similarity-search operators (SURVEY.md §2.K).
+
+Scale design: brute-force cosine top-k is expressed as ONE scan of the
+corpus — the (small) probe set is collected, L2-normalized into a numpy
+matrix, and shipped to executors inside a `mapInPandas` closure.  Each
+Arrow batch computes `batch_matrix @ probes.T` (vectorized float64
+BLAS), keeps only the per-batch top-k rows per probe, and the global
+top-k is a cheap aggregate over `partitions × probes × k` candidate
+rows.  No pairwise shuffle, no per-element lambda interpretation; the
+corpus side streams at full scan speed at any scale.  (An interpreted
+higher-order-function formulation of the same query measured 86 s at
+sf0.1 vs ~1 s for this path.)
+
+At 100 TB the same shape holds: probes broadcast, corpus scanned once,
+partial top-k per partition (bounded memory), final reduce over
+candidates only.  For probe sets too large to broadcast, swap the probe
+side to LSH bucketing (see llm_dedup_near_minhash in llm_text.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    require_gt: bool = False,
+) -> DataFrame:
+    """Top-k cosine neighbors in `corpus` for every row of `probes`.
+
+    Returns (a_id, nn_id, sim) with at most k rows per a_id, sim as
+    float64.  `exclude_self` drops nn_id == a_id; `require_gt` keeps only
+    nn_id > a_id (the BASELINE SQL-10 pair ordering).
+    """
+    import numpy as np
+
+    rows = probes.select(id_col, vec_col).collect()
+    p_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    p_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    p_mat /= np.linalg.norm(p_mat, axis=1, keepdims=True)
+
+    out_schema = "a_id long, nn_id long, sim double"
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            b_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+            sims = b_mat @ p_mat.T  # (batch, probes)
+            if exclude_self or require_gt:
+                mask = (
+                    b_ids[:, None] <= p_ids[None, :]
+                    if require_gt
+                    else b_ids[:, None] == p_ids[None, :]
+                )
+                sims = np.where(mask, -np.inf, sims)
+            kk = min(k, sims.shape[0])
+            # per-probe top-kk within this batch (argpartition: O(batch))
+            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, probes)
+            a = np.repeat(p_ids[None, :], kk, axis=0).ravel()
+            nn = b_ids[idx].ravel()
+            sv = np.take_along_axis(sims, idx, axis=0).ravel()
+            keep = np.isfinite(sv)
+            yield pd.DataFrame({"a_id": a[keep], "nn_id": nn[keep], "sim": sv[keep]})
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(partial_topk, out_schema)
+    # Global top-k over the small candidate set; (sim DESC, nn_id) makes
+    # ties deterministic.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("nn_id"))
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+# DuckDB oracle computes the identical float64 math explicitly (not
+# list_cosine_similarity, which runs in float32) so 6dp rounding is safe.
+_DOT = (
+    "list_aggregate(list_transform(list_zip(a.embedding, b.embedding), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+)
+_NORM_A = (
+    "sqrt(list_aggregate(list_transform(a.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+_NORM_B = (
+    "sqrt(list_aggregate(list_transform(b.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+_SIMSEARCH_ORACLE = f"""
+SELECT a.vec_id AS a_id, b.vec_id AS nn_id,
+       ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS sim
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE a.vec_id < 100
+QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC,
+                                    b.vec_id) = 1
+"""
+
+
+@register("llm_simsearch_cosine_topk", oracle=_SIMSEARCH_ORACLE, tier="T3")
+def llm_simsearch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest later-id vector (cosine) for each of the first 100 vec_ids
+    — BASELINE.md SQL-10 shape via the broadcast-probe matmul scan."""
+    em = load_table(spark, sf_dir, "embeddings")
+    probes = em.filter(F.col("vec_id") < 100)
+    top = cosine_topk(em, probes, k=1, require_gt=True)
+    return top.select("a_id", "nn_id", F.round("sim", 6).alias("sim"))
+
+
+_KNN_ORACLE = f"""
+SELECT a_id, ROUND(avg(CAST(lbl AS DOUBLE)), 6) AS avg_label,
+       ROUND(avg(sim), 6) AS avg_sim
+FROM (
+  SELECT a.vec_id AS a_id, b.label AS lbl,
+         {_DOT} / ({_NORM_A} * {_NORM_B}) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 50
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                             ORDER BY sim DESC, b.vec_id) <= 5
+)
+GROUP BY a_id
+"""
+
+
+@register("llm_knn_join", oracle=_KNN_ORACLE, tier="T3")
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 NN per query vector (vec_id<50) against the full corpus; mean
+    neighbor label + mean similarity per query.  Same scan-side matmul as
+    llm_simsearch_cosine_topk, joined back to labels on the tiny
+    candidate set only."""
+    em = load_table(spark, sf_dir, "embeddings")
+    probes = em.filter(F.col("vec_id") < 50)
+    top5 = cosine_topk(em, probes, k=5, exclude_self=True)
+    labels = em.select(F.col("vec_id").alias("nn_id"), "label")
+    return (
+        top5.join(F.broadcast(labels), "nn_id")
+        .groupBy("a_id")
+        .agg(
+            F.round(F.avg(F.col("label").cast("double")), 6).alias("avg_label"),
+            F.round(F.avg("sim"), 6).alias("avg_sim"),
+        )
+    )
+
+
+_NORMS_ORACLE = """
+SELECT label,
+       count(*) AS n,
+       ROUND(avg(sqrt(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS avg_l2,
+       ROUND(avg(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)), 'sum') / len(embedding)), 6)     AS avg_mean_el,
+       min(len(embedding)) AS min_dim,
+       max(len(embedding)) AS max_dim
+FROM embeddings
+GROUP BY label
+"""
+
+
+@register("llm_vector_norms", oracle=_NORMS_ORACLE, tier="T3")
+def llm_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2 norm / mean-element / dimension stats over the vector
+    column — pure higher-order functions, fully JVM-side (the per-row
+    O(dim) reduction stays in codegen; no Python boundary)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    sumsq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    elsum = F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x)
+    return em.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.sqrt(sumsq)), 6).alias("avg_l2"),
+        F.round(F.avg(elsum / F.size("embedding")), 6).alias("avg_mean_el"),
+        F.min(F.size("embedding")).alias("min_dim"),
+        F.max(F.size("embedding")).alias("max_dim"),
+    )
+
+
+_EMBED_JOIN_ORACLE = """
+SELECT d.lang,
+       count(*) AS n,
+       ROUND(avg(sqrt(list_aggregate(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS avg_l2,
+       ROUND(avg(d.n_chars), 6) AS avg_chars
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.lang
+"""
+
+
+@register("llm_embed_join_docs", oracle=_EMBED_JOIN_ORACLE, tier="T3")
+def llm_embed_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row: text metadata + vector in one DataFrame via
+    doc_id=vec_id equi-join, then per-lang vector stats.  At scale both
+    sides are huge → plain shuffle hash join on the key; no broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.sqrt(sumsq)), 6).alias("avg_l2"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
