@@ -8,10 +8,12 @@ from un_datapipeline_spark.operators import (  # noqa: F401
     aggregations,
     functions,
     joins,
+    llm_text,
     llm_vectors,
     relational,
     setops,
     sorting,
     sources,
+    udfs,
     windows,
 )

@@ -1,0 +1,248 @@
+"""Text-corpus operators for LLM data pipelines (SURVEY.md §2.K).
+
+All tokenization / cleaning / frequency math is Column-expression only
+(split, explode, regexp — JVM codegen); the one rows-only operator is
+MinHash/LSH near-dedup, whose hash functions cannot be replicated in the
+DuckDB oracle by nature (SURVEY.md §2 note).  Its recall invariant
+(exact duplicates are always candidates) is pytest-asserted instead.
+
+Scale posture: every operator is a scan + shuffle-on-small-keys plan.
+The explode(split(text)) paths shuffle (lang, word) or (word) pairs —
+cardinality bounded by vocabulary, not corpus size; MinHash/LSH shuffles
+(band, bucket) — the standard way to near-dedup 100 TB without an O(n²)
+pair join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+_CLEAN_ORACLE = """
+SELECT count(*) AS n_docs,
+       ROUND(avg(length(clean)), 6) AS avg_clean_len,
+       min(length(clean))           AS min_clean_len,
+       max(length(clean))           AS max_clean_len
+FROM (
+  SELECT regexp_replace(lower(text), '[^a-z ]', '', 'g') AS clean
+  FROM documents
+  WHERE lang = 'en' AND n_chars BETWEEN 120 AND 400
+)
+"""
+
+
+@register("llm_lang_filter_clean", oracle=_CLEAN_ORACLE, tier="T3")
+def llm_lang_filter_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """English-only slice, lowercased and stripped to [a-z ], with
+    length stats over the cleaned text."""
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(F.lower("text"), "[^a-z ]", "")
+    return (
+        d.filter((F.col("lang") == "en") & F.col("n_chars").between(120, 400))
+        .select(F.length(clean).alias("clen"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("clen"), 6).alias("avg_clean_len"),
+            F.min("clen").alias("min_clean_len"),
+            F.max("clen").alias("max_clean_len"),
+        )
+    )
+
+
+_TOKEN_ORACLE = """
+SELECT lang,
+       count(*)                                  AS docs,
+       ROUND(avg(n_chars), 6)                    AS avg_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("llm_text_token_stats", oracle=_TOKEN_ORACLE, tier="T3")
+def llm_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per language — size(split()) stays
+    per-row (no explode), so the aggregate shuffles only 5 lang keys."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum(ntok).cast("long").alias("total_tokens"),
+        F.max(ntok).cast("long").alias("max_tokens"),
+    )
+
+
+_WORDFREQ_ORACLE = """
+SELECT word, n FROM (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+)
+ORDER BY n DESC, word
+LIMIT 25
+"""
+
+
+@register("llm_word_freq_topk", oracle=_WORDFREQ_ORACLE, tier="T3")
+def llm_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25 words (count desc, word tie-break).  explode feeds a
+    partial-agg shuffle keyed by vocabulary, then TakeOrderedAndProject
+    — the driver-side result is 25 rows regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(25)
+    )
+
+
+_TFIDF_ORACLE = """
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), tf AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS tf
+  FROM words WHERE word <> '' GROUP BY lang, word
+), df AS (
+  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM words WHERE word <> '' GROUP BY word
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT lang, word, tfidf FROM (
+  SELECT tf.lang, tf.word,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+         row_number() OVER (PARTITION BY tf.lang
+                            ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                                     tf.word) AS rn
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+WHERE rn <= 5
+"""
+
+
+@register("llm_tfidf_topterms", oracle=_TFIDF_ORACLE, tier="T3")
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per language.  tf = term count within the
+    lang; idf = ln(N / docs-containing-word).  The df side aggregates
+    distinct (doc, word) pairs — both aggregates shuffle on vocabulary
+    keys, then join word→word (broadcastable: vocabulary ≪ corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; folded into the idf constant
+    scored = tf.join(df, "word").select(
+        "lang",
+        "word",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("_tfidf_raw"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("_tfidf_raw"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "word", F.round("_tfidf_raw", 6).alias("tfidf"))
+    )
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT count(*)                 AS n,
+       count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_dupes
+FROM documents
+"""
+
+
+@register("llm_dedup_exact", oracle=_DEDUP_EXACT_ORACLE, tier="T3")
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting via content hash — the O(n) baseline every
+    near-dup method is measured against.  Spark md5 ≡ DuckDB md5 (same
+    hex), so the distinct-count matches exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH near-duplicate detection (rows-only: hash functions are
+# engine-specific; recall invariant asserted in tests/test_llm_invariants.py)
+# ---------------------------------------------------------------------------
+
+N_HASHES = 12
+BAND_SIZE = 2  # 6 bands × 2 rows — high recall at moderate precision
+SHINGLE = 5
+
+
+def _shingled(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct character 5-grams per doc."""
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {SHINGLE - 1}, 1)),"
+        f" i -> substring(text, i, {SHINGLE}))"
+    )
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def minhash_signatures(d: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """One row per doc: minhash_i = min over shingles of xxhash64(i ∥ s).
+
+    A single groupBy computes all n hash mins in one shuffle; signature
+    size is constant per doc regardless of text length.
+    """
+    return _shingled(d).groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """(a, b) candidate pairs (a < b) sharing ≥1 LSH band bucket.
+
+    Bands hash to a single bucket key; the self-join runs per
+    (band, bucket) group — never across the whole corpus — which is what
+    keeps near-dedup sub-quadratic at scale.
+    """
+    n_bands = N_HASHES // BAND_SIZE
+    bands = None
+    for j in range(n_bands):
+        cols = [F.col(f"h{i}") for i in range(j * BAND_SIZE, (j + 1) * BAND_SIZE)]
+        b = sigs.select(
+            "doc_id",
+            F.lit(j).alias("band"),
+            F.xxhash64(*cols).alias("bucket"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    left = bands.select("band", "bucket", F.col("doc_id").alias("a"))
+    right = bands.select("band", "bucket", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+@register("llm_dedup_near_minhash", oracle=None, tier="T3")
+def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via character-shingle MinHash + LSH
+    banding (12 hashes, 6 bands × 2).  Rows-only by design — hash
+    functions aren't portable across engines; the exact-duplicate recall
+    invariant (identical texts always land in the same buckets) is
+    asserted in the unit suite."""
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(d)).orderBy("a", "b")

@@ -1,0 +1,203 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.J) + map construction (§2.H).
+
+These operators exist to exercise the Python-execution boundary itself —
+everywhere else in the engine the rule is "stay JVM-side" (SURVEY.md
+§4.3).  All Python paths here are Arrow-batched (pandas_udf /
+applyInPandas / arrow-optimized UDTF); the one deliberately row-at-a-time
+plain UDF is kept on a small aggregate input.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import StringType
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+_PY_SCALAR_ORACLE = """
+SELECT CASE WHEN o_totalprice < 50000  THEN 'S'
+            WHEN o_totalprice < 150000 THEN 'M'
+            WHEN o_totalprice < 300000 THEN 'L'
+            ELSE 'XL' END AS bucket,
+       count(*) AS n
+FROM orders
+GROUP BY bucket
+"""
+
+
+@register("udf_python_scalar", oracle=_PY_SCALAR_ORACLE, tier="T3")
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain (row-at-a-time) Python UDF bucketing order totals.  The slow
+    path by design — the CASE-expression oracle shows what the engine
+    would use in production."""
+
+    def bucket(p: float) -> str:
+        if p < 50000:
+            return "S"
+        if p < 150000:
+            return "M"
+        if p < 300000:
+            return "L"
+        return "XL"
+
+    bucket_udf = F.udf(bucket, StringType())
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(bucket_udf("o_totalprice").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_PD_SCALAR_ORACLE = """
+SELECT l_returnflag,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS net_rev,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("udf_pandas_scalar", oracle=_PD_SCALAR_ORACLE, tier="T3")
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized net-price via @pandas_udf — Arrow batches in, numpy
+    arithmetic, Arrow out (~10-100× the plain-UDF throughput)."""
+
+    @pandas_udf("double")
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("net", net_price("l_extendedprice", "l_discount"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("net"), 4).alias("net_rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_GROUPED_MAP_ORACLE = """
+SELECT event_id, event_type,
+       ROUND((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+FROM events
+"""
+
+
+@register("udf_grouped_map", oracle=_GROUPED_MAP_ORACLE, tier="T3")
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score per event_type via applyInPandas (grouped-map): each group
+    arrives as one pandas DataFrame.  pandas .std() is sample-std
+    (ddof=1), matching the stddev_samp window oracle."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        pdf["z"] = ((v - v.mean()) / v.std()).round(6)
+        return pdf[["event_id", "event_type", "z"]]
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return e.groupBy("event_type").applyInPandas(
+        zscore, "event_id long, event_type string, z double"
+    )
+
+
+_GROUPED_AGG_ORACLE = """
+SELECT l_returnflag,
+       ROUND(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("udaf_grouped_agg", oracle=_GROUPED_AGG_ORACLE, tier="T3")
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per returnflag via a GROUPED_AGG
+    pandas_udf (one scalar per group).  4dp rounding absorbs summation-
+    order noise between numpy pairwise and DuckDB sequential sums."""
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
+    )
+
+
+_UDTF_ORACLE = """
+SELECT word, n FROM (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+)
+ORDER BY n DESC, word
+LIMIT 20
+"""
+
+
+@register("udtf_split_words", oracle=_UDTF_ORACLE, tier="T3")
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF exploding text into words (one input row → many output
+    rows), lateral-joined in SQL, feeding a top-20 word count."""
+
+    @udtf(returnType="word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            if text:
+                for w in text.split(" "):
+                    if w:
+                        yield (w,)
+
+    from un_datapipeline_spark.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    spark.udtf.register("split_words", SplitWords)
+    return spark.sql(
+        """
+        SELECT word, count(*) AS n
+        FROM documents, LATERAL split_words(text)
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 20
+        """
+    )
+
+
+_MAP_ORACLE = """
+SELECT source,
+       list_sort(list(lang || ':' || CAST(n AS VARCHAR))) AS lang_counts,
+       list_sort(list(lang))                              AS langs
+FROM (
+  SELECT source, lang, count(*) AS n
+  FROM documents
+  GROUP BY source, lang
+)
+GROUP BY source
+"""
+
+
+@register("fn_map", oracle=_MAP_ORACLE, tier="T3")
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction per source: lang→count built with
+    map_from_entries(collect_list(struct(...))), then re-emitted as
+    sorted 'lang:count' entry strings + sorted key list — map iteration
+    order is engine-specific, so both sides compare sorted projections
+    (SURVEY.md §2.H note)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    m = F.map_from_entries(F.collect_list(F.struct("lang", "n")))
+    return per.groupBy("source").agg(
+        F.sort_array(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            )
+        ).alias("lang_counts"),
+        F.sort_array(F.map_keys(m)).alias("langs"),
+    )
