@@ -14,6 +14,7 @@ from un_datapipeline_spark.operators import (  # noqa: F401
     setops,
     sorting,
     sources,
+    streaming,
     udfs,
     windows,
 )

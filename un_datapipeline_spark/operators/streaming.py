@@ -1,0 +1,263 @@
+"""Structured Streaming operators (SURVEY.md §2.A `src_stream_file` + §2.I).
+
+Strategy (SURVEY.md §2.I): every stream reads the `events` parquet as a
+file source with an explicit schema, runs with ``trigger(availableNow=
+True)`` so it terminates, sinks to memory (or foreachBatch→parquet), and
+the FINAL materialized state is compared against a batch-SQL oracle over
+the same rows.  Aggregating streams use **complete** output mode — with
+availableNow + append mode, trailing windows younger than the watermark
+would be withheld and could never match a batch oracle.  Watermark
+*drop* semantics (not SQL-expressible in DuckDB) are asserted in
+tests/test_streaming_semantics.py with manufactured late micro-batches;
+the declared `stream_watermark_late` operator is rows-only.
+
+State hygiene: every run gets a fresh tmp checkpoint dir and a unique
+memory-sink name — shared state makes availableNow reruns no-ops
+(SURVEY.md §7 hard-part 6).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.session import ensure_runtime_confs
+
+# Physical schema of events.parquet under nanosAsLong (ts: int64 ns).
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` as a Structured Streaming file source, ts normalized to
+    µs timestamps exactly like the batch loader (tables.load_table)."""
+    ensure_runtime_confs(spark)
+    # File stream sources need a directory; pathGlobFilter narrows the
+    # listing to the events table inside the shared sf_dir.
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Run a (bounded) streaming DataFrame to completion into a memory
+    sink; return the materialized table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+_SRC_STREAM_ORACLE = """
+SELECT count(*) AS n,
+       min(event_id) AS min_id, max(event_id) AS max_id,
+       min(CAST(ts AS TIMESTAMP)) AS min_ts,
+       max(CAST(ts AS TIMESTAMP)) AS max_ts
+FROM events
+"""
+
+
+@register("src_stream_file", oracle=_SRC_STREAM_ORACLE, tier="T4")
+def src_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source smoke: stream the whole table through a global
+    aggregate; final memory-sink contents ≡ the batch result."""
+    s = read_events_stream(spark, sf_dir)
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    return run_to_memory(agg)
+
+
+_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+       event_type,
+       count(*) AS n,
+       ROUND(sum(value), 4) AS total
+FROM events
+GROUP BY win_start, event_type
+"""
+
+
+@register("stream_tumbling_window", oracle=_TUMBLING_ORACLE, tier="T4")
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows × event_type: count + sum.  window()
+    starts align with hour boundaries, so the batch oracle is a plain
+    date_trunc group."""
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n", "total")
+    )
+    return run_to_memory(agg)
+
+
+_SLIDING_ORACLE = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+         + INTERVAL 15 MINUTE * CAST(floor(minute(CAST(ts AS TIMESTAMP)) / 15) AS INT)
+         - INTERVAL 15 MINUTE * k AS win_start,
+       count(*) AS n
+FROM events
+CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+GROUP BY win_start
+"""
+
+
+@register("stream_sliding_window", oracle=_SLIDING_ORACLE, tier="T4")
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min — each event lands in exactly
+    4 windows; the oracle materializes those 4 starts per event
+    (floor-to-15min minus k·15min, k∈0..3)."""
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+    return run_to_memory(agg)
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged
+)
+SELECT user_id, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts
+FROM sessions
+GROUP BY user_id, sess_id
+"""
+
+
+@register("stream_session_window", oracle=_SESSION_ORACLE, tier="T4")
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessions per user (session_window).  The batch oracle
+    is the classic gaps-and-islands rewrite: flag gaps > 30 min, running
+    sum as session id.  First/last event times identify each session
+    independently of either engine's window-end convention."""
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select("user_id", "n", "first_ts", "last_ts")
+    )
+    return run_to_memory(agg)
+
+
+@register("stream_watermark_late", oracle=None, tier="T4")
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling counts under a 10-minute watermark, append mode — only
+    windows the watermark has passed are emitted (trailing windows are
+    withheld, so no batch oracle exists: rows-only).  The actual
+    late-row DROP semantics are asserted with manufactured two-phase
+    micro-batches in tests/test_streaming_semantics.py."""
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+    return run_to_memory(agg, mode="append")
+
+
+_DEDUP_ORACLE = """
+SELECT event_type, count(*) AS n
+FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
+GROUP BY event_type
+"""
+
+
+@register("stream_dedup", oracle=_DEDUP_ORACLE, tier="T4")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id within a watermark, then counts per
+    type.  event_ids are unique in the data, so the oracle is a plain
+    distinct — the operator proves the stateful dedup plumbing."""
+    s = read_events_stream(spark, sf_dir)
+    deduped = s.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_memory(agg)
+
+
+_RUNNING_ORACLE = """
+SELECT event_type, count(*) AS n, ROUND(sum(value), 4) AS total
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_stateful_running", oracle=_RUNNING_ORACLE, tier="T4")
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count+sum per event_type — unbounded keyed state updated
+    every micro-batch; final state ≡ the batch aggregate."""
+    s = read_events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+    return run_to_memory(agg)
+
+
+_FOREACH_ORACLE = """
+SELECT event_type, count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_foreach_batch_sink", oracle=_FOREACH_ORACLE, tier="T4")
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch custom sink: append each micro-batch to a parquet
+    dir, then read the sink back and count per type — proves exactly the
+    rows streamed through land in the sink."""
+    out_dir = tempfile.mkdtemp(prefix="fbsink_")
+    s = read_events_stream(spark, sf_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        s.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
