@@ -41,3 +41,55 @@ def test_minhash_signature_shape(spark, sf_smoke):
     sigs = minhash_signatures(d)
     assert sigs.count() == d.count()
     assert len(sigs.columns) == 1 + 12  # doc_id + N_HASHES
+
+
+def test_simhash_exact_dup_distance_zero(spark, sf_smoke):
+    """Identical texts must produce identical SimHash signatures, hence
+    Hamming distance 0 and guaranteed candidate-pair membership."""
+    from un_datapipeline_spark.operators.dedup_extras import (
+        simhash_bands,
+        simhash_near_pairs,
+    )
+
+    OFFSET = 1_000_000
+    base = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    clones = base.select((F.col("doc_id") + OFFSET).alias("doc_id"), "text")
+    d = base.unionByName(clones)
+    n = base.count()
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in simhash_near_pairs(simhash_bands(d)).collect()
+    }
+    for i in range(n):
+        assert pairs.get((i, i + OFFSET)) == 0, f"clone pair ({i}) missing or nonzero"
+
+
+def test_fingerprint_exact_dup_containment(spark, sf_smoke):
+    """A cloned doc shares ALL fingerprints with its original, so every
+    clone pair must appear in the full-containment output."""
+    import __spark_entry__  # noqa: F401  (ensures registry import path works)
+    from un_datapipeline_spark.operators.text_analysis import llm_doc_fingerprint
+    from un_datapipeline_spark.registry import all_operators
+
+    assert "llm_doc_fingerprint" in all_operators()
+    # containment invariant via direct clone construction
+    OFFSET = 1_000_000
+    base = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    import pyspark.sql.functions as FF
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="fp_inv_")
+    clones = base.select((FF.col("doc_id") + OFFSET).alias("doc_id"), "text")
+    base.unionByName(clones).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = llm_doc_fingerprint(spark, tmp)
+    got = {(r.a, r.b) for r in out.collect()}
+    n = base.count()
+    # mod-16 hash sampling can leave a short doc with ZERO fingerprints
+    # (~(15/16)^shingles); containment is only defined for sampled docs.
+    from un_datapipeline_spark.operators.text_analysis import _fingerprints
+
+    sampled = {r.doc_id for r in _fingerprints(base).select("doc_id").distinct().collect()}
+    expected = {(i, i + OFFSET) for i in range(n) if i in sampled}
+    assert len(expected) > 0.9 * n, "sampling should cover almost all docs"
+    missing = expected - got
+    assert not missing, f"clone containment pairs missing: {sorted(missing)[:5]}"

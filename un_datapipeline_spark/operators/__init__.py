@@ -6,15 +6,18 @@ inventory section; each public function is one operator ID.
 
 from un_datapipeline_spark.operators import (  # noqa: F401
     aggregations,
+    dedup_extras,
     functions,
     joins,
     llm_text,
     llm_vectors,
+    multimodal,
     relational,
     setops,
     sorting,
     sources,
     streaming,
+    text_analysis,
     udfs,
     windows,
 )

@@ -1,0 +1,291 @@
+"""Extended near-duplicate detection: n-gram Jaccard, SimHash, and
+embedding-cosine near-dup (beyond SURVEY §2's exact + MinHash/LSH pair —
+the full dedup toolkit a training-data pipeline needs).
+
+Scale posture mirrors llm_text.py: candidate generation is always
+bucket-local (LSH bands / SimHash band pigeonholing / probe-bounded
+scans) — never an unbounded cross join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# Word 3-gram Jaccard similarity (probe-bounded exact computation)
+# --------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  ) WHERE gram IS NOT NULL
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM grams x JOIN grams y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  WHERE x.doc_id < 100
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+"""
+
+
+@register("llm_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tier="T3")
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard ≥ 0.5 pairs for probe docs (doc_id <
+    100) vs all later docs.  The gram-equality join only meets rows
+    sharing a gram — shuffle keyed by gram (vocabulary-bounded), the
+    classic verification stage downstream of MinHash candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams_arr = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(toks, i),
+                F.try_element_at(toks, i + 1),
+                F.try_element_at(toks, i + 2),
+            ),
+        ),
+        # concat_ws skips NULLs, so a short doc yields a 1-2 word gram;
+        # keep only true trigrams (two spaces).
+        lambda g: F.size(F.split(g, " ")) == 3,
+    )
+    grams = (
+        d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        grams.alias("x")
+        .filter(F.col("doc_id") < 100)
+        .join(grams.alias("y"), F.expr("x.gram = y.gram AND x.doc_id < y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("shared"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("a", "b", F.round(jac, 6).alias("jac"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (64-bit) with 4×16-bit band pigeonholing
+# --------------------------------------------------------------------------
+
+N_BITS = 64
+N_BANDS = 4
+BAND_BITS = N_BITS // N_BANDS
+MAX_HAMMING = 3  # pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 bands identical
+
+
+def simhash_bands(d: DataFrame) -> DataFrame:
+    """One row per doc: 4 × 16-bit SimHash band values.
+
+    bit_i = sign of Σ_words (±1 by bit i of xxhash64(word)); each band
+    packs 16 bits into an int via the bit-weighted sum (no 64-bit
+    overflow, ANSI-safe).  One explode + one groupBy with 64 conditional
+    sums — a single shuffle keyed by doc_id.
+    """
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).filter(F.col("w") != "")
+    h = F.xxhash64("w")
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(N_BITS)
+    ]
+    sig = words.groupBy("doc_id").agg(*votes)
+    band_cols = []
+    for b in range(N_BANDS):
+        expr = F.lit(0)
+        for j in range(BAND_BITS):
+            i = b * BAND_BITS + j
+            expr = expr + F.when(F.col(f"v{i}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        band_cols.append(expr.alias(f"band{b}"))
+    return sig.select("doc_id", *band_cols)
+
+
+def simhash_near_pairs(bands: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFrame:
+    """(a, b, hamming) pairs within max_hamming bits, found by joining on
+    any equal band (bucket-local, sub-quadratic) then verifying the exact
+    Hamming distance over all 4 bands with bit_count(xor)."""
+    matches = None
+    for b in range(N_BANDS):
+        left = bands.select(
+            F.col("doc_id").alias("a"),
+            *[F.col(f"band{i}").alias(f"a{i}") for i in range(N_BANDS)],
+        )
+        right = bands.select(
+            F.col("doc_id").alias("b"),
+            *[F.col(f"band{i}").alias(f"b{i}") for i in range(N_BANDS)],
+        )
+        m = left.join(right, (F.col(f"a{b}") == F.col(f"b{b}")) & (F.col("a") < F.col("b")))
+        matches = m if matches is None else matches.unionByName(m)
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(N_BANDS)
+    )
+    return (
+        matches.dropDuplicates(["a", "b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+@register("llm_dedup_simhash", oracle=None, tier="T3")
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits) via 4-band
+    pigeonhole candidate generation.  Rows-only (xxhash64 signatures
+    aren't oracle-portable); identical-text invariants asserted in
+    tests/test_llm_invariants.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash_bands(d)).orderBy("a", "b")
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+_DOT = (
+    "list_aggregate(list_transform(list_zip(a.embedding, b.embedding), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+)
+_NA = (
+    "sqrt(list_aggregate(list_transform(a.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+_NB = (
+    "sqrt(list_aggregate(list_transform(b.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+_EMB_DEDUP_ORACLE = f"""
+SELECT a_id, nn_id, ROUND(sim, 6) AS sim,
+       CAST(sim >= 0.9 AS INT) AS is_near_dup
+FROM (
+  SELECT a.vec_id AS a_id, b.vec_id AS nn_id,
+         {_DOT} / ({_NA} * {_NB}) AS sim,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_DOT} / ({_NA} * {_NB}) DESC, b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 100
+)
+WHERE rn = 1
+"""
+
+
+@register("llm_dedup_embedding", oracle=_EMB_DEDUP_ORACLE, tier="T3")
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup audit: each probe's single nearest
+    neighbor by cosine plus a ≥0.9 near-dup flag — the semantic-dedup
+    screen run after exact/MinHash text dedup.  Uses the broadcast-probe
+    matmul scan (llm_vectors.cosine_topk)."""
+    from un_datapipeline_spark.operators.llm_vectors import cosine_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    probes = em.filter(F.col("vec_id") < 100)
+    top = cosine_topk(em, probes, k=1, exclude_self=True)
+    return top.select(
+        "a_id",
+        "nn_id",
+        F.round("sim", 6).alias("sim"),
+        (F.col("sim") >= 0.9).cast("int").alias("is_near_dup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed similarity search (the scale path past brute force)
+# --------------------------------------------------------------------------
+
+
+def hyperplane_buckets(em: DataFrame, n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Sign-random-projection bucket id per vector: fixed hyperplanes
+    (seeded numpy, broadcast as literals) → n-bit bucket.  Bucketing is
+    a per-row dot product in Column math — one scan, no shuffle.  8
+    planes = 256 buckets, sized so test-corpus buckets hold a handful of
+    candidates; at 100 TB raise planes (and add multi-probe) to keep
+    bucket occupancy bounded."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    dim = len(em.select("embedding").first()[0])
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        coeffs = F.array(*[F.lit(float(c)) for c in planes[p]])
+        dot = F.aggregate(
+            F.zip_with("embedding", coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return em.withColumn("bucket", bucket)
+
+
+@register("llm_simsearch_lsh", oracle=None, tier="T3")
+def llm_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbor via sign-random-projection LSH:
+    probes (vec_id < 100) search ONLY their own bucket — the
+    sub-quadratic scale path where brute force (llm_simsearch_cosine_
+    topk) is the exact baseline.  Rows-only: bucket membership depends
+    on float sign evaluations near hyperplanes; approximate-by-design.
+    Output: probe, candidate count in bucket, best in-bucket neighbor."""
+    em = load_table(spark, sf_dir, "embeddings")
+    b = hyperplane_buckets(em)
+    probes = b.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "bucket"
+    )
+    cands = b.select(F.col("vec_id").alias("nn_id"), "embedding", "bucket")
+    dot = F.aggregate(
+        F.zip_with("a_emb", "embedding", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nrm_a = F.sqrt(
+        F.aggregate(
+            F.transform("a_emb", lambda x: x.cast("double") * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    nrm_b = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(cands, "bucket")
+        .filter(F.col("a_id") != F.col("nn_id"))
+        .select("a_id", "nn_id", (dot / (nrm_a * nrm_b)).alias("sim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("nn_id"))
+    return (
+        pairs.withColumn("n_cands", F.count(F.lit(1)).over(Window.partitionBy("a_id")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("a_id", "n_cands", "nn_id", F.round("sim", 6).alias("sim"))
+        .orderBy("a_id")
+    )
