@@ -1,0 +1,70 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the optimizations the
+engine relies on at 100 TB must actually appear in the plans — filter
+pushdown into the parquet scan, broadcast joins for dims, top-k pushdown,
+whole-stage codegen, and no Python evaluation in JVM-only operators.
+A regression that silently turns a broadcast join into a shuffle or
+blocks pushdown fails here, not at 1000 executors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from un_datapipeline_spark.registry import all_operators
+from un_datapipeline_spark.tables import load_table
+
+OPS = all_operators()
+
+
+def plan_of(spark, name, sf_dir) -> str:
+    df = OPS[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
+    # column pruning: scan schema restricted to the two projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_smoke):
+    plan = plan_of(spark, "join_broadcast_dim", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 3
+
+
+def test_sort_merge_pin_respected(spark, sf_smoke):
+    plan = plan_of(spark, "join_sort_merge", sf_smoke)
+    assert "SortMergeJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_smoke):
+    plan = plan_of(spark, "topk_global", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pricing_summary_partial_agg_and_codegen(spark, sf_smoke):
+    df = OPS["agg_pricing_summary"].fn(spark, sf_smoke)
+    df.collect()  # AQE finalizes (and codegens) only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # codegen stages render as "*(n) Operator" in executed-plan strings
+    assert "*(" in plan
+
+
+def test_jvm_only_operators_have_no_python_eval(spark, sf_smoke):
+    # Everything outside §2.J/§2.K-python must stay JVM-side.
+    for name in ("agg_pricing_summary", "fn_array", "llm_vector_norms", "fn_json"):
+        plan = plan_of(spark, name, sf_smoke)
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_window_topk_group_limit_pushdown(spark, sf_smoke):
+    # rank<=k filters should push into the window operator
+    plan = plan_of(spark, "win_topk_per_group", sf_smoke)
+    assert "WindowGroupLimit" in plan
