@@ -144,3 +144,29 @@ def sink_parquet_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
     )
+
+
+_ORC_ORACLE = """
+SELECT count(*) AS n,
+       CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+       ROUND(sum(s_acctbal), 4) AS bal_sum,
+       count(DISTINCT s_nationkey) AS n_nations
+FROM supplier
+"""
+
+
+@register("src_orc_roundtrip", oracle=_ORC_ORACLE, tier="T1")
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → ORC → read back → checksum (oracle reads the original
+    parquet).  ORC is the second columnar format with vectorized reads +
+    pushdown; same V2 source surface, zero operator changes."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="udps_orc_")
+    supplier.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s_suppkey").cast("long").alias("key_sum"),
+        F.round(F.sum("s_acctbal"), 4).alias("bal_sum"),
+        F.countDistinct("s_nationkey").alias("n_nations"),
+    )
