@@ -222,6 +222,10 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
     spark = get_spark(app_name="un-datapipeline-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Sub-second queries on MB-scale data: AQE's shuffle-stage
+    # re-optimization costs more than it saves (measured 0.35s vs 0.58s
+    # per query).  Cluster/100 TB runs keep the factory default (on).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     times: dict[str, float] = {}
     for name, fn in QUERIES.items():
         fn(spark, SF_DIR).collect()  # warm-up: codegen, file listing, broadcasts

@@ -13,6 +13,7 @@ from un_datapipeline_spark.operators import (  # noqa: F401
     llm_vectors,
     multimodal,
     relational,
+    reshape,
     setops,
     sorting,
     sources,

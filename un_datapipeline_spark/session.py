@@ -29,13 +29,20 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS = {
     # events.ts is timestamp[ns]; read as long, convert with `ts div 1000`.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # Runtime re-planning: coalesce small shuffle partitions, split skewed ones.
-    "spark.sql.adaptive.enabled": "true",
     # Arrow for pandas_udf / applyInPandas / toPandas round-trips.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic wall-clock <-> epoch math matching the (naive-timestamp)
     # DuckDB oracle regardless of machine timezone.
     "spark.sql.session.timeZone": "UTC",
+}
+
+# Preferences applied at session build only (NOT re-asserted by loaders,
+# so a caller may override them at runtime — bench.py turns AQE off at
+# test scale, where stage re-optimization latency exceeds its benefit:
+# measured 0.35s vs 0.58s per small query).
+FACTORY_CONFS = {
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed ones.
+    "spark.sql.adaptive.enabled": "true",
 }
 
 
@@ -79,7 +86,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**RUNTIME_CONFS, **FACTORY_CONFS}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return ensure_runtime_confs(spark)
