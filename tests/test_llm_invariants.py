@@ -43,6 +43,30 @@ def test_minhash_signature_shape(spark, sf_smoke):
     assert len(sigs.columns) == 1 + 12  # doc_id + N_HASHES
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_t2):
+    """IVF with n_probe=4 of 16 cells must recover a solid fraction of
+    the exact nearest neighbors (random 64-d data is a hard case for
+    coarse quantizers; identical-plan determinism is also asserted)."""
+    from un_datapipeline_spark.operators.llm_vectors import (
+        cosine_topk,
+        llm_simsearch_ivf,
+    )
+    from un_datapipeline_spark.registry import all_operators
+
+    em = load_table(spark, sf_t2, "embeddings")
+    probes = em.filter(F.col("vec_id") < 100)
+    exact = {
+        r.a_id: r.nn_id for r in cosine_topk(em, probes, k=1, exclude_self=True).collect()
+    }
+    ivf_fn = all_operators()["llm_simsearch_ivf"].fn
+    got1 = {r.a_id: r.nn_id for r in ivf_fn(spark, sf_t2).collect()}
+    got2 = {r.a_id: r.nn_id for r in ivf_fn(spark, sf_t2).collect()}
+    assert got1 == got2, "IVF result must be deterministic run-to-run"
+    assert len(got1) == len(exact) == 100
+    recall = sum(got1.get(a) == nn for a, nn in exact.items()) / len(exact)
+    assert recall >= 0.5, f"IVF recall@1 too low: {recall}"
+
+
 def test_simhash_exact_dup_distance_zero(spark, sf_smoke):
     """Identical texts must produce identical SimHash signatures, hence
     Hamming distance 0 and guaranteed candidate-pair membership."""

@@ -195,6 +195,100 @@ def llm_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    sample: int = 2048,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """Deterministic mini k-means on a driver-side sample → (n_cells, dim)
+    float64 centroid matrix.  Sample-trained coarse quantizers are the
+    standard IVF pattern at scale: training cost is O(sample), never
+    O(corpus); only ASSIGNMENT scans the corpus."""
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(n_iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+@register("llm_simsearch_ivf", oracle=None, tier="T3")
+def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor: a 16-cell coarse quantizer
+    (sample-trained k-means, seeded/deterministic) partitions the corpus;
+    each probe (vec_id < 100) searches only its n_probe=4 nearest cells.
+    One corpus scan assigns cells + computes probe sims for in-cell rows
+    (numpy matmul per Arrow batch); a cheap global top-1 reduce follows.
+    Rows-only (approximate by design); recall vs the exact brute-force
+    baseline is asserted in tests/test_llm_invariants.py."""
+    import numpy as np
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = train_ivf_centroids(em)
+    cnorm = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    probe_rows = em.filter(F.col("vec_id") < 100).select("vec_id", "embedding").collect()
+    p_ids = np.array([r[0] for r in probe_rows], dtype=np.int64)
+    p_mat = np.array([r[1] for r in probe_rows], dtype=np.float64)
+    p_mat /= np.linalg.norm(p_mat, axis=1, keepdims=True)
+    # n_probe nearest cells per probe (by centroid cosine)
+    N_PROBE = 4
+    p_cells = np.argsort(-(p_mat @ cnorm.T), axis=1)[:, :N_PROBE]  # (probes, 4)
+    # cell -> probe indices searching it
+    cell_probes = {
+        c: np.where((p_cells == c).any(axis=1))[0] for c in range(len(cent))
+    }
+
+    def search(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            b_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+            cells = (b_mat @ cnorm.T).argmax(axis=1)
+            out_a, out_n, out_s = [], [], []
+            for c in np.unique(cells):
+                pidx = cell_probes.get(int(c))
+                if pidx is None or len(pidx) == 0:
+                    continue
+                rows_c = np.where(cells == c)[0]
+                sims = b_mat[rows_c] @ p_mat[pidx].T  # (cell rows, probes)
+                mask = b_ids[rows_c, None] == p_ids[None, pidx]
+                sims = np.where(mask, -np.inf, sims)
+                best = sims.argmax(axis=0)  # per probe: best row in this batch+cell
+                sv = sims[best, np.arange(len(pidx))]
+                keep = np.isfinite(sv)
+                out_a.extend(p_ids[pidx[keep]])
+                out_n.extend(b_ids[rows_c[best[keep]]])
+                out_s.extend(sv[keep])
+            yield pd.DataFrame({"a_id": out_a, "nn_id": out_n, "sim": out_s})
+
+    cands = em.select("vec_id", "embedding").mapInPandas(
+        search, "a_id long, nn_id long, sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("nn_id"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("a_id", "nn_id", F.round("sim", 6).alias("sim"))
+        .orderBy("a_id")
+    )
+
+
 _EMBED_JOIN_ORACLE = """
 SELECT d.lang,
        count(*) AS n,

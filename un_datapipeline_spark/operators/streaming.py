@@ -231,6 +231,57 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg)
 
 
+_CUSTOM_STATE_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value), 4) AS total,
+       ROUND(max(value), 4) AS peak
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_custom_stateful", oracle=_CUSTOM_STATE_ORACLE, tier="T4")
+def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per
+    event_type, explicit (count, sum, peak) state carried across
+    micro-batches in the state store — the escape hatch for stateful
+    logic that built-in streaming aggregates can't express.  Each batch
+    emits the running totals; the final per-key emission must equal the
+    batch aggregate (cumulative columns are monotone, so max-over-
+    emissions ≡ last emission even if the source splits into several
+    micro-batches)."""
+    import pandas as pd_
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    s = read_events_stream(spark, sf_dir)
+
+    def track(key, pdfs, state):
+        n, total, peak = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            peak = max(peak, float(pdf["value"].max()))
+        state.update((n, total, peak))
+        yield pd_.DataFrame(
+            {"event_type": [key[0]], "n": [n], "total": [total], "peak": [peak]}
+        )
+
+    out = s.groupBy("event_type").applyInPandasWithState(
+        track,
+        outputStructType="event_type string, n long, total double, peak double",
+        stateStructType="n long, total double, peak double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emissions = run_to_memory(out, mode="update")
+    return emissions.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.round(F.max("total"), 4).alias("total"),
+        F.round(F.max("peak"), 4).alias("peak"),
+    )
+
+
 _FOREACH_ORACLE = """
 SELECT event_type, count(*) AS n
 FROM events
