@@ -7,6 +7,7 @@ inventory section; each public function is one operator ID.
 from un_datapipeline_spark.operators import (  # noqa: F401
     aggregations,
     dedup_extras,
+    etl,
     functions,
     joins,
     llm_text,

@@ -1,0 +1,182 @@
+"""Generic-ETL maintenance operators: merge/upsert, CDC latest-by-key
+compaction, and data-quality validation — the pipeline-engine surface
+(BASELINE.json category: ETL/pipeline) around the relational core.
+
+Scale posture: merge is ONE full-outer join keyed on the merge key (the
+standard snapshot-merge plan — at 100 TB both sides shuffle once on the
+key, or zero times if the snapshot is bucketed on it, scale.py);
+latest-by-key is a partial-aggregable max_by (no window sort); DQ checks
+fold into one scan per table with conditional counts.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+_LATEST_ORACLE = """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+       ROUND(value, 4) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("etl_latest_by_key", oracle=_LATEST_ORACLE, tier="T2")
+def etl_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: the latest event per user (ts desc, event_id desc
+    tie-break).  Implemented as max_by over a struct — partial+final
+    aggregation, no per-key window sort; the shape that compacts a
+    100 TB changelog in one shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    best = F.max_by(
+        F.struct("event_id", "ts", "event_type", "value"), F.struct("ts", "event_id")
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(best.alias("b"))
+        .select(
+            "user_id",
+            F.col("b.event_id").alias("event_id"),
+            F.col("b.ts").alias("ts"),
+            F.col("b.event_type").alias("event_type"),
+            F.round(F.col("b.value"), 4).alias("value"),
+        )
+    )
+
+
+_MERGE_ORACLE = """
+WITH updates AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 1000000 + r_regionkey, 0.0 FROM region
+), merged AS (
+  SELECT coalesce(c.c_custkey, u.c_custkey) AS key,
+         CASE WHEN u.c_custkey IS NOT NULL THEN u.new_bal ELSE c.c_acctbal END AS bal,
+         CASE WHEN c.c_custkey IS NULL THEN 'inserted'
+              WHEN u.c_custkey IS NULL THEN 'unchanged'
+              ELSE 'updated' END AS action
+  FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey
+)
+SELECT action, CAST(count(*) AS BIGINT) AS n, ROUND(sum(bal), 4) AS total_bal
+FROM merged GROUP BY action
+"""
+
+
+@register("etl_merge_upsert", oracle=_MERGE_ORACLE, tier="T2")
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: snapshot ⟗ updates on
+    the key; matched rows take the update, unmatched sources insert,
+    unmatched targets carry over.  The update set is derived
+    deterministically (every 10th customer re-balanced + 5 new keys) so
+    both engines merge identical inputs.  Output: per-action audit."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    r = load_table(spark, sf_dir, "region")
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100.0).alias("new_bal"))
+        .unionByName(
+            r.select(
+                (F.lit(1000000) + F.col("r_regionkey").cast("long")).alias("c_custkey"),
+                F.lit(0.0).alias("new_bal"),
+            )
+        )
+    )
+    u = updates.withColumnRenamed("c_custkey", "u_key")
+    merged = c.join(u, c.c_custkey == u.u_key, "full_outer").select(
+        F.coalesce("c_custkey", "u_key").alias("key"),
+        F.when(F.col("u_key").isNotNull(), F.col("new_bal"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.when(F.col("c_custkey").isNull(), "inserted")
+        .when(F.col("u_key").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("action"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("bal"), 4).alias("total_bal")
+    )
+
+
+_DQ_ORACLE = """
+SELECT rule, CAST(n AS BIGINT) AS n_violations FROM (
+  SELECT 'orders_null_key' AS rule, count(*) FILTER (o_orderkey IS NULL) AS n FROM orders
+  UNION ALL
+  SELECT 'orders_bad_status', count(*) FILTER (o_orderstatus NOT IN ('O','F','P')) FROM orders
+  UNION ALL
+  SELECT 'orders_nonpositive_price', count(*) FILTER (o_totalprice <= 0) FROM orders
+  UNION ALL
+  SELECT 'lineitem_discount_range', count(*) FILTER (l_discount < 0 OR l_discount > 1) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_ship_before_order',
+         (SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate < o.o_orderdate)
+  UNION ALL
+  SELECT 'orders_orphan_custkey',
+         (SELECT count(*) FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey)
+)
+"""
+
+
+@register("etl_dq_validate", oracle=_DQ_ORACLE, tier="T2")
+def etl_dq_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report: null keys, domain violations, range checks,
+    temporal consistency (ship before order), and referential integrity
+    (orphan foreign keys via anti-join).  Single-scan conditional counts
+    per table + one keyed join per relationship rule."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def rule(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("rule"), F.col("n").alias("n_violations"))
+
+    cnt = F.count(F.lit(1))
+    parts = [
+        rule(
+            "orders_null_key",
+            o.agg(F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n")),
+        ),
+        rule(
+            "orders_bad_status",
+            o.agg(
+                F.sum(
+                    F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+                ).alias("n")
+            ),
+        ),
+        rule(
+            "orders_nonpositive_price",
+            o.agg(F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n")),
+        ),
+        rule(
+            "lineitem_discount_range",
+            li.agg(
+                F.sum(
+                    F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+                ).alias("n")
+            ),
+        ),
+        rule(
+            "lineitem_ship_before_order",
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+            .agg(cnt.alias("n")),
+        ),
+        rule(
+            "orders_orphan_custkey",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(cnt.alias("n")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("n_violations", F.col("n_violations").cast("long"))
