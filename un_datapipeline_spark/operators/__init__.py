@@ -20,6 +20,7 @@ from un_datapipeline_spark.operators import (  # noqa: F401
     sources,
     streaming,
     text_analysis,
+    time_series,
     udfs,
     windows,
 )

@@ -1,0 +1,115 @@
+"""Time-series operators over the events stream table: resampling with
+gap fill and series-similarity (PAPERS.md anchors: streaming time-series
+similarity) — batch formulations whose shapes carry to the streaming
+tier unchanged (same groupBy(window) core).
+
+Scale: everything aggregates to the time-bucket grain first (cardinality
+= buckets × keys, independent of event volume), so the expensive steps
+run on tiny intermediates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+_RESAMPLE_ORACLE = """
+WITH spine AS (
+  SELECT unnest(generate_series(
+           (SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) FROM events),
+           (SELECT date_trunc('hour', max(CAST(ts AS TIMESTAMP))) FROM events),
+           INTERVAL 1 HOUR)) AS hour
+), types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT hour, event_type FROM spine CROSS JOIN types),
+hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+         avg(value) AS avg_val
+  FROM events GROUP BY hour, event_type
+)
+SELECT g.event_type, g.hour,
+       CAST(h.avg_val IS NULL AS INT) AS gap_filled,
+       ROUND(coalesce(h.avg_val,
+             last_value(h.avg_val IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 6) AS val
+FROM grid g LEFT JOIN hourly h ON g.hour = h.hour AND g.event_type = h.event_type
+"""
+
+
+@register("ts_resample_ffill", oracle=_RESAMPLE_ORACLE, tier="T3")
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to a dense hourly grid per event_type and
+    forward-fill gaps from the previous observed hour.  The spine is
+    generated (sequence over the observed range), so missing hours exist
+    as rows — the precondition for any downstream windowed model."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.avg("value").alias("avg_val"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    joined = grid.join(hourly, ["hour", "event_type"], "left")
+    return joined.select(
+        "event_type",
+        "hour",
+        F.col("avg_val").isNull().cast("int").alias("gap_filled"),
+        F.round(
+            F.coalesce("avg_val", F.last("avg_val", ignorenulls=True).over(w)), 6
+        ).alias("val"),
+    )
+
+
+_CORR_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+         avg(value) AS v
+  FROM events GROUP BY hour, event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       ROUND(corr(a.v, b.v), 5) AS series_corr
+FROM hourly a JOIN hourly b ON a.hour = b.hour AND a.event_type < b.event_type
+GROUP BY type_a, type_b
+"""
+
+
+@register("ts_similarity_corr", oracle=_CORR_ORACLE, tier="T3")
+def ts_similarity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise series similarity: Pearson correlation between
+    event_types' hourly mean-value series (co-observed hours).  The
+    series join runs on the bucketed intermediate (≤ hours × types
+    rows), never on raw events — the standard trick that makes all-pairs
+    series similarity tractable at stream scale."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.avg("value").alias("v"))
+    a = hourly.select(
+        F.col("hour").alias("h"), F.col("event_type").alias("type_a"), F.col("v").alias("va")
+    )
+    b = hourly.select(
+        F.col("hour").alias("h"), F.col("event_type").alias("type_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, (a.h == b.h) & (a.type_a < b.type_b))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(F.corr("va", "vb"), 5).alias("series_corr"),
+        )
+    )
