@@ -180,3 +180,51 @@ def etl_dq_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.withColumn("n_violations", F.col("n_violations").cast("long"))
+
+
+# Portable deterministic bucket in [0,100): combine ascii codes of 4 md5
+# hex chars — identical formula in both dialects (engine hash functions
+# like xxhash64 are NOT portable; md5 is).
+_BUCKET_SQL = (
+    "(ascii(substr(md5(CAST(doc_id AS STRING)), 1, 1)) * 1000003"
+    " + ascii(substr(md5(CAST(doc_id AS STRING)), 2, 1)) * 8191"
+    " + ascii(substr(md5(CAST(doc_id AS STRING)), 3, 1)) * 131"
+    " + ascii(substr(md5(CAST(doc_id AS STRING)), 4, 1))) % 100"
+)
+
+_SPLIT_ORACLE = f"""
+SELECT split, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_id
+FROM (
+  SELECT doc_id, n_chars,
+         CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+              WHEN {_BUCKET_SQL} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY split
+"""
+
+
+@register("etl_train_split", oracle=_SPLIT_ORACLE, tier="T3")
+def etl_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-stable
+    hash bucketing (md5-derived, portable across engines/runs/cluster
+    sizes — the property randomSplit does NOT have).  Any row joins to
+    the same split forever, which is what makes incremental corpus
+    refreshes reproducible."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET_SQL)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )

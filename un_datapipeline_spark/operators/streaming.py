@@ -231,6 +231,77 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg)
 
 
+_STREAM_STATIC_ORACLE = """
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(e.value), 4) AS total
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("stream_static_join", oracle=_STREAM_STATIC_ORACLE, tier="T4")
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joins the static
+    customer dim per micro-batch (dim broadcast, re-read each batch —
+    the standard slowly-refreshing-dimension pattern), then aggregates
+    per segment.  Final state ≡ the batch join."""
+    from un_datapipeline_spark.tables import load_table
+
+    s = read_events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        s.join(F.broadcast(c), s.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+    return run_to_memory(agg)
+
+
+_STREAM_STREAM_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases,
+       CAST(count(DISTINCT k.event_id) AS BIGINT) AS n_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') k
+  ON p.user_id = k.user_id
+ AND CAST(k.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+ AND CAST(k.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+"""
+
+
+@register("stream_stream_join", oracle=_STREAM_STREAM_ORACLE, tier="T4")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user clicks
+    in the preceding hour.  Both sides carry watermarks; the time-range
+    condition bounds join state (clicks older than watermark−1h are
+    evicted).  Inner-join emissions over the full data equal the batch
+    interval join."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("event_id").alias("k_id"), F.col("user_id").alias("k_user"), F.col("ts").alias("k_ts"))
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("k_user"))
+        & (F.col("k_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("k_ts") <= F.col("p_ts")),
+    )
+    pairs = run_to_memory(joined.select("p_id", "k_id"), mode="append")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.countDistinct("k_id").alias("n_clicks"),
+    )
+
+
 _CUSTOM_STATE_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
