@@ -242,3 +242,27 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sort_array(F.collect_list("s_name")).alias("supplier_names"))
     )
+
+
+_HIST_ORACLE = """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(min(o_totalprice), 4) AS lo,
+       ROUND(max(o_totalprice), 4) AS hi
+FROM orders
+GROUP BY bucket
+"""
+
+
+@register("agg_histogram", oracle=_HIST_ORACLE, tier="T2")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k buckets) via portable
+    floor-division bucketing — one scan, partial-aggregable, bucket
+    count bounded by the value range, not the row count."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    )

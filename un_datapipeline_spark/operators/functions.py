@@ -293,3 +293,33 @@ def fn_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("pri_num"),
         (F.col("o_totalprice") > 150000).cast("int").alias("big_flag"),
     )
+
+
+_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255                      AS band,
+       o_orderkey | 4096                     AS bor,
+       xor(o_orderkey, 255)                  AS bxor,
+       o_orderkey << 2                       AS shl,
+       o_orderkey >> 3                       AS shr,
+       bit_count(o_orderkey)                 AS popcnt
+FROM orders
+"""
+
+
+@register("fn_bitwise", oracle=_BITWISE_ORACLE, tier="T2")
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family over keys: and/or/xor, shifts, popcount.  Spark's
+    bit_count returns int (DuckDB returns the operand width's type);
+    both sides stay in 64-bit lanes so values agree exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(255)).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcnt"),
+    )

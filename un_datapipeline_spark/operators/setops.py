@@ -96,3 +96,37 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.subtract(s)
+
+
+_INTERSECT_ALL_ORACLE = """
+SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+"""
+
+
+@register("set_intersect_all", oracle=_INTERSECT_ALL_ORACLE, tier="T2")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersection (multiplicity = min of the two sides)
+    — intersectAll keeps duplicate cardinalities, unlike set intersect."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
+    return a.intersectAll(b)
+
+
+_EXCEPT_ALL_ORACLE = """
+SELECT o_custkey AS k FROM orders
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("set_except_all", oracle=_EXCEPT_ALL_ORACLE, tier="T2")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics difference (multiplicity = left minus right count,
+    floored at zero) via exceptAll."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b)
