@@ -55,8 +55,11 @@ def q3_shipping_priority(spark, d) -> DataFrame:
     li = load_table(spark, d, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
+    # orders after the date filter is small → broadcast it so the big
+    # lineitem side never shuffles (bench runs with AQE off, so the
+    # build-side choice is made here, not at runtime).
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -73,8 +76,10 @@ def q5_regional_revenue(spark, d) -> DataFrame:
     s = load_table(spark, d, "supplier")
     n = load_table(spark, d, "nation")
     r = load_table(spark, d, "region").filter(F.col("r_name") == "ASIA")
+    # all non-fact sides broadcast → the lineitem scan feeds a pure
+    # broadcast-hash-join pipeline with zero shuffles before the agg.
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -178,8 +183,16 @@ def dedup_exact(spark, d) -> DataFrame:
 
 def asof_style_join(spark, d) -> DataFrame:
     # as-of = join + max_by per event: hash join feeding a hash aggregate
-    # (no per-event window sort over the expanded join).
-    e = load_table(spark, d, "events").select("event_id", "ts", "user_id")
+    # (no per-event window sort over the expanded join).  The trailing
+    # ORDER BY event_id LIMIT 100 is pushed AHEAD of the join — the 100
+    # smallest event_ids are decided before any expansion, so the join
+    # probes 100 rows instead of the whole stream (identical result).
+    e = (
+        load_table(spark, d, "events")
+        .select("event_id", "ts", "user_id")
+        .orderBy("event_id")
+        .limit(100)
+    )
     o = load_table(spark, d, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
     j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "left")
     return (
