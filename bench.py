@@ -239,6 +239,11 @@ def main() -> None:
     # re-optimization costs more than it saves (measured 0.35s vs 0.58s
     # per query).  Cluster/100 TB runs keep the factory default (on).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # sf0.1 files are ~6 MB — under the default 128 MB split size every
+    # scan is one task on 32 idle cores.  1 MB splits → ~10-way parallel
+    # scans (measured 0.29s -> 0.19s on the lineitem agg).  At real scale
+    # the default (or larger) is correct; this is test-scale sizing.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     times: dict[str, float] = {}
     for name, fn in QUERIES.items():
         fn(spark, SF_DIR).collect()  # warm-up: codegen, file listing, broadcasts
