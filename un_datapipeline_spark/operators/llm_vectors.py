@@ -202,6 +202,7 @@ def train_ivf_centroids(
     sample: int = 2048,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ):
     """Deterministic mini k-means on a driver-side sample → (n_cells, dim)
     float64 centroid matrix.  Sample-trained coarse quantizers are the
@@ -209,7 +210,15 @@ def train_ivf_centroids(
     O(corpus); only ASSIGNMENT scans the corpus."""
     import numpy as np
 
-    rows = corpus.select(vec_col).limit(sample).collect()
+    # orderBy before limit: a bare limit takes partition-layout-dependent
+    # rows — ordering pins the training sample across cluster layouts.
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
     x = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
