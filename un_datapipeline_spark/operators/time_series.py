@@ -26,7 +26,7 @@ WITH spine AS (
 grid AS (SELECT hour, event_type FROM spine CROSS JOIN types),
 hourly AS (
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
-         avg(value) AS avg_val
+         sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)) AS avg_val
   FROM events GROUP BY hour, event_type
 )
 SELECT g.event_type, g.hour,
@@ -46,9 +46,13 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated (sequence over the observed range), so missing hours exist
     as rows — the precondition for any downstream windowed model."""
     e = load_table(spark, sf_dir, "events")
+    # events.value is exact cents (verified): summing integer cents and
+    # dividing ONCE gives bit-identical averages in both engines — a
+    # float avg() of money frequently lands exactly on rounding
+    # boundaries where summation-order ulps flip the rounded digit.
     hourly = e.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.avg("value").alias("avg_val"))
+    ).agg((F.sum(F.round(F.col("value") * 100).cast("long")) / (100.0 * F.count(F.lit(1)))).alias("avg_val"))
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
@@ -77,7 +81,7 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORR_ORACLE = """
 WITH hourly AS (
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
-         avg(value) AS v
+         sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)) AS v
   FROM events GROUP BY hour, event_type
 )
 SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -98,7 +102,7 @@ def ts_similarity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.avg("value").alias("v"))
+    ).agg((F.sum(F.round(F.col("value") * 100).cast("long")) / (100.0 * F.count(F.lit(1)))).alias("v"))
     a = hourly.select(
         F.col("hour").alias("h"), F.col("event_type").alias("type_a"), F.col("v").alias("va")
     )
