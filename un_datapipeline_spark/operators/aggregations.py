@@ -16,16 +16,26 @@ from pyspark.sql import DataFrame, SparkSession
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
 
+# Exact-arithmetic formulation (SURVEY.md §5.3.1 extended): prices,
+# discounts, and taxes are exact 2-decimal values (verified), so every
+# money aggregate is computed as an INTEGER sum of (scaled) cents and
+# divided once — bit-identical in both engines at any scale.  A float
+# sum of `price*(1-d)*(1+t)` has a 6-decimal true value whose rounding
+# at 4dp sits on a .5 boundary ~1% of the time per group, where
+# summation-order ulps flip the digit (observed in ts_resample_ffill).
 _PRICING_SUMMARY_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(sum(l_quantity), 4)                                    AS sum_qty,
-       ROUND(sum(l_extendedprice), 4)                               AS sum_base_price,
-       ROUND(sum(l_extendedprice * (1 - l_discount)), 4)            AS sum_disc_price,
-       ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       ROUND(avg(l_quantity), 6)                                    AS avg_qty,
-       ROUND(avg(l_extendedprice), 6)                               AS avg_price,
-       ROUND(avg(l_discount), 6)                                    AS avg_disc,
-       count(*)                                                     AS count_order
+       ROUND(sum(CAST(round(l_quantity) AS BIGINT)) / 1.0, 4)        AS sum_qty,
+       ROUND(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS sum_base_price,
+       ROUND(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 4) AS sum_disc_price,
+       ROUND(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               * (100 + CAST(round(l_tax * 100) AS BIGINT))) / 1000000.0, 4) AS sum_charge,
+       ROUND(sum(CAST(round(l_quantity) AS BIGINT)) / (1.0 * count(*)), 6) AS avg_qty,
+       ROUND(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / (100.0 * count(*)), 6) AS avg_price,
+       ROUND(sum(CAST(round(l_discount * 100) AS BIGINT)) / (100.0 * count(*)), 6) AS avg_disc,
+       count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
 GROUP BY l_returnflag, l_linestatus
@@ -43,19 +53,26 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     task regardless of scale factor.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = net * (1 + F.col("l_tax"))
+    # integer scaled-cents lanes (exact at any summation order; a long
+    # sum overflows only past ~$9e14 of charge — use DecimalType there)
+    qty_i = F.round("l_quantity").cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(net), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(qty_i) / 1.0, 4).alias("sum_qty"),
+            F.round(F.sum(price_c) / 100.0, 4).alias("sum_base_price"),
+            F.round(F.sum(price_c * (100 - disc_c)) / 10000.0, 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0, 4
+            ).alias("sum_charge"),
+            F.round(F.sum(qty_i) / (1.0 * n), 6).alias("avg_qty"),
+            F.round(F.sum(price_c) / (100.0 * n), 6).alias("avg_price"),
+            F.round(F.sum(disc_c) / (100.0 * n), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -148,10 +148,12 @@ def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SLIDING_ORACLE = """
 SELECT event_id, user_id,
-       ROUND(avg(value) OVER (PARTITION BY user_id
-             ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+       ROUND(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+             / (100.0 * count(*) OVER w), 6) AS mov_avg
 FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -160,17 +162,23 @@ def win_sliding_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user moving average of `value` over a trailing 1-hour RANGE
     frame.  Both engines order by integer epoch-seconds so the frame
     boundaries are identical; RANGE frames include all peers of the
-    current second, so tie order is irrelevant (deterministic).  At scale
-    this shuffles once on user_id — time-ordered state never leaves the
-    partition."""
+    current second, so tie order is irrelevant.  The average is an exact
+    integer cent sum divided once — windowed float sums accumulate in
+    engine-specific order (Spark sequential vs DuckDB segment tree) and
+    money averages sit on rounding boundaries (SURVEY.md §5.3.1).  At
+    scale this shuffles once on user_id — time-ordered state never
+    leaves the partition."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts").cast("long"))
         .rangeBetween(-3600, 0)
     )
+    cents = F.round(F.col("value") * 100).cast("long")
     return e.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 6).alias("mov_avg"),
+        F.round(
+            F.sum(cents).over(w) / (100.0 * F.count(F.lit(1)).over(w)), 6
+        ).alias("mov_avg"),
     )
