@@ -192,32 +192,84 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STATS_ORACLE = """
+# Moment-based formulation over exact integer lanes (quantities are
+# integers, prices exact cents — verified): Σq, Σq², Σp, Σp², Σqp are
+# exact longs at ANY summation order, and both engines then evaluate the
+# SAME closed-form expressions over identical operands — stddev/var/
+# corr/covar become bit-identical instead of depending on each engine's
+# streaming-moments accumulation order.
+_STATS_MOMENTS = """
+  SELECT l_returnflag,
+         count(*)                                                   AS n,
+         sum(CAST(round(l_quantity) AS BIGINT))                     AS sq,
+         sum(CAST(round(l_quantity) AS BIGINT)
+           * CAST(round(l_quantity) AS BIGINT))                     AS sqq,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT))          AS sp,
+         sum(CAST(round(l_extendedprice * 100) AS DOUBLE)
+           * CAST(round(l_extendedprice * 100) AS DOUBLE))          AS spp,
+         sum(CAST(round(l_quantity) AS BIGINT)
+           * CAST(round(l_extendedprice * 100) AS BIGINT))          AS sqp,
+         arg_min(l_orderkey, l_extendedprice)                       AS cheapest_order,
+         arg_max(l_orderkey, l_extendedprice)                       AS priciest_order
+  FROM lineitem
+  GROUP BY l_returnflag
+"""
+
+_STATS_ORACLE = f"""
 SELECT l_returnflag,
-       ROUND(stddev_samp(l_quantity), 6)                 AS sd_qty,
-       ROUND(var_samp(l_quantity), 6)                    AS var_qty,
-       ROUND(corr(l_quantity, l_extendedprice), 6)       AS corr_qp,
-       ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp,
-       arg_min(l_orderkey, l_extendedprice)              AS cheapest_order,
-       arg_max(l_orderkey, l_extendedprice)              AS priciest_order
-FROM lineitem
-GROUP BY l_returnflag
+       ROUND(sqrt((1.0 * n * sqq - 1.0 * sq * sq) / (1.0 * n * (n - 1))), 6) AS sd_qty,
+       ROUND((1.0 * n * sqq - 1.0 * sq * sq) / (1.0 * n * (n - 1)), 6)       AS var_qty,
+       ROUND((1.0 * n * sqp - 1.0 * sq * sp)
+             / (sqrt(1.0 * n * sqq - 1.0 * sq * sq)
+              * sqrt(1.0 * n * spp - 1.0 * sp * sp)), 6)                     AS corr_qp,
+       ROUND((1.0 * n * sqp - 1.0 * sq * sp) / (100.0 * n * (n - 1)), 6)     AS covar_qp,
+       cheapest_order, priciest_order
+FROM ({_STATS_MOMENTS})
 """
 
 
 @register("agg_stats", oracle=_STATS_ORACLE, tier="T2")
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates + arg-min/max.  Deterministic because the
+    """Statistical aggregates + arg-min/max via exact integer moments
+    (see _STATS_ORACLE note).  arg-min/max deterministic because the
     per-group price extremes are unique in this data (verified at
-    sf0.01/0.1); stats rounded to 6dp for float-order parity."""
+    sf0.01/0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qp"),
+    q = F.round("l_quantity").cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p).alias("sp"),
+        # Σp² overflows a long past ~$3e5·√rows — double lane instead;
+        # safe because its only consumer (corr) has an irrational true
+        # value, never exactly on a rounding boundary.
+        F.sum(p.cast("double") * p.cast("double")).alias("spp"),
+        F.sum(q * p).alias("sqp"),
         F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
         F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+    )
+    n, sq, sqq = F.col("n"), F.col("sq"), F.col("sqq")
+    sp, spp, sqp = F.col("sp"), F.col("spp"), F.col("sqp")
+    var_q = (1.0 * n * sqq - 1.0 * sq * sq) / (1.0 * n * (n - 1))
+    return m.select(
+        "l_returnflag",
+        F.round(F.sqrt(var_q), 6).alias("sd_qty"),
+        F.round(var_q, 6).alias("var_qty"),
+        F.round(
+            (1.0 * n * sqp - 1.0 * sq * sp)
+            / (
+                F.sqrt(1.0 * n * sqq - 1.0 * sq * sq)
+                * F.sqrt(1.0 * n * spp - 1.0 * sp * sp)
+            ),
+            6,
+        ).alias("corr_qp"),
+        F.round(
+            (1.0 * n * sqp - 1.0 * sq * sp) / (100.0 * n * (n - 1)), 6
+        ).alias("covar_qp"),
+        "cheapest_order",
+        "priciest_order",
     )
 
 
