@@ -3,6 +3,15 @@
 Builds a PLAIN SparkSession (no engine confs — mirrors the driver),
 imports __spark_entry__, runs t1 smoke + t2 diff for every declared
 query at sf0.01, and writes evidence to /tmp/verify_out.txt.
+
+Round-2 change: the t2 comparison now goes through
+tests/strict_diff.strict_compare — a pandas-frame, dtype-sensitive
+mirror of the driver's canonicalizer.  The round-1 version compared
+Python values with ``==`` (where 5 == 5.0) and collected Spark rows
+directly (where arrays are lists, not ndarrays), so it called fn_math
+green while the driver hash-failed it (int64 ceil vs float64 ceil) and
+never reproduced the driver's unhashable-ndarray crashes.  Local red ⇔
+driver red is the contract now.
 """
 
 from __future__ import annotations
@@ -38,32 +47,34 @@ def main() -> int:
     out.write(f"SMOKE rows={len(rows)} schema={df.columns}\n")
     ok = len(rows) > 0
 
+    from tests.strict_diff import canon, strict_compare
+
     q, o = e.queries(), e.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
-    def _key(row):
-        return tuple((v is None, str(v)) for v in row)
 
     n_match = n_rows_only = n_fail = 0
-    for name in sorted(q):
+    for name in q:  # registry order — the order the driver walks
         try:
-            sdf = q[name](spark, SF)
-            srows = sorted((tuple(r) for r in sdf.collect()), key=_key)
+            spdf = q[name](spark, SF).toPandas()
             if name in o:
-                cur = con.execute(o[name])
-                ocols = [d[0] for d in cur.description]
-                orows = sorted(cur.fetchall(), key=_key)
-                match = (srows == orows) and (
-                    [c.lower() for c in sdf.columns] == [c.lower() for c in ocols]
+                ocdf = con.execute(o[name]).df()
+                problems = strict_compare(spdf, ocdf)
+                out.write(
+                    f"t2 {name}: rows={len(spdf)}/{len(ocdf)} match={not problems}\n"
                 )
-                out.write(f"t2 {name}: rows={len(srows)}/{len(orows)} match={match}\n")
-                n_match += match
-                n_fail += not match
+                for p in problems[:8]:
+                    out.write(f"    {p}\n")
+                n_match += not problems
+                n_fail += bool(problems)
             else:
-                out.write(f"t2 {name}: rows-only rows={len(srows)}\n")
+                # rows-only still goes through the driver's canon so an
+                # unhashable array cell fails here, not under the driver.
+                canon(spdf)
+                out.write(f"t2 {name}: rows-only rows={len(spdf)}\n")
                 n_rows_only += 1
         except Exception:
             out.write(f"t2 {name}: EXCEPTION\n{traceback.format_exc()}\n")

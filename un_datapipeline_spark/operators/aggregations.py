@@ -294,7 +294,8 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COLLECT_ORACLE = """
-SELECT n.n_name, list_sort(list(s.s_name)) AS supplier_names
+SELECT n.n_name,
+       array_to_string(list_sort(list(s.s_name)), '|') AS supplier_names
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """
@@ -303,13 +304,19 @@ GROUP BY n.n_name
 @register("agg_collect_sorted", oracle=_COLLECT_ORACLE, tier="T2")
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per nation, the sorted list of supplier names — collect_list order
-    is nondeterministic, so BOTH sides sort (SURVEY.md §5.3.3)."""
+    is nondeterministic, so BOTH sides sort (SURVEY.md §5.3.3), and the
+    sorted list is serialized with array_join because the driver's
+    canonicalizer cannot hash raw array cells (r1 HARNESS-ERR)."""
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sort_array(F.collect_list("s_name")).alias("supplier_names"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias(
+                "supplier_names"
+            )
+        )
     )
 
 

@@ -54,7 +54,7 @@ SELECT c_custkey,
        regexp_replace(c_name, '[0-9]', '#', 'g')    AS masked,
        (c_name LIKE 'Customer%')                    AS is_cust,
        starts_with(c_mktsegment, 'BU')              AS is_building,
-       string_split(c_name, '#')                    AS parts
+       array_to_string(string_split(c_name, '#'), '|') AS parts
 FROM customer
 """
 
@@ -63,7 +63,10 @@ FROM customer
 def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String family: case, trim, substring, concat_ws, length, lpad,
     instr, regexp extract/replace (POSIX-common patterns only —
-    SURVEY.md §5.3.4), like, startswith, split."""
+    SURVEY.md §5.3.4), like, startswith, split.  The split result is
+    serialized with array_join on BOTH sides: the driver's canonicalizer
+    cannot hash raw array cells (r1 HARNESS-ERR: unhashable ndarray), so
+    hashed outputs must be scalar — the split itself still runs."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -78,7 +81,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
         F.col("c_name").like("Customer%").alias("is_cust"),
         F.startswith(F.col("c_mktsegment"), F.lit("BU")).alias("is_building"),
-        F.split("c_name", "#").alias("parts"),
+        F.array_join(F.split("c_name", "#"), "|").alias("parts"),
     )
 
 
@@ -130,8 +133,8 @@ _MATH_ORACLE = """
 SELECT l_orderkey, l_linenumber, l_partkey,
        round(l_extendedprice, 2)                       AS price_r2,
        ROUND(abs(l_discount - 0.05), 6)                AS abs_dev,
-       ceil(l_quantity)                                AS qty_ceil,
-       floor(l_quantity)                               AS qty_floor,
+       CAST(ceil(l_quantity) AS BIGINT)                AS qty_ceil,
+       CAST(floor(l_quantity) AS BIGINT)               AS qty_floor,
        ROUND(sqrt(l_quantity), 6)                      AS qty_sqrt,
        ROUND(ln(l_extendedprice), 6)                   AS price_ln,
        ROUND(log10(l_extendedprice), 6)                AS price_log10,
@@ -147,15 +150,18 @@ FROM lineitem
 
 @register("fn_math", oracle=_MATH_ORACLE, tier="T2")
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math family.  `bround` (HALF_EVEN) is used where DuckDB says
-    `round` — Spark's `round` is HALF_UP, DuckDB's HALF_EVEN
-    (SURVEY.md §5.3.4).  pmod==mod on these all-positive keys."""
+    """Math family.  Round-1 driver hash-fail root-caused (strict_diff):
+    Spark ceil/floor return LONG while DuckDB's return DOUBLE, so the
+    oracle casts to BIGINT — int64-vs-float64 hashes differently even
+    when values are ==.  `round` (HALF_UP, ties away from zero) matches
+    DuckDB's double `round` on both signs; bround (HALF_EVEN) does NOT
+    (ADVICE.md r1).  pmod==mod on these all-positive keys."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
-        F.bround(F.col("l_extendedprice"), 2).alias("price_r2"),
+        F.round(F.col("l_extendedprice"), 2).alias("price_r2"),
         F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_dev"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor("l_quantity").alias("qty_floor"),
@@ -175,17 +181,23 @@ _ARRAY_ORACLE = """
 SELECT vec_id,
        len(embedding)                                                  AS dim,
        ROUND(CAST(embedding[1] AS DOUBLE), 6)                          AS e1,
-       list_transform(list_slice(embedding, 2, 4),
-                      x -> ROUND(CAST(x AS DOUBLE), 6))                AS head3,
+       array_to_string(list_transform(list_slice(embedding, 2, 4),
+           x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                     AS VARCHAR)), '|')                                AS head3,
        list_contains(list_transform(embedding, x -> x > 0), true)     AS has_pos,
-       list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 2, 6)) AS doubled,
+       array_to_string(list_transform(embedding,
+           x -> CAST(CAST(round(CAST(x AS DOUBLE) * 2 * 1000000) AS BIGINT)
+                     AS VARCHAR)), '|')                                AS doubled,
        len(list_filter(embedding, x -> x > 0))                         AS n_pos,
        ROUND(list_aggregate(list_transform(embedding,
              x -> CAST(x AS DOUBLE)), 'sum'), 6)                       AS el_sum,
-       list_sort(list_transform(embedding,
-             x -> ROUND(CAST(x AS DOUBLE), 6)))                        AS sorted_r6,
-       list_sort(list_distinct(list_transform(embedding,
-             x -> ROUND(CAST(x AS DOUBLE), 1))))                       AS distinct_r1,
+       array_to_string(list_transform(list_sort(list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))),
+           y -> CAST(y AS VARCHAR)), '|')                              AS sorted_r6,
+       array_to_string(list_transform(list_sort(list_distinct(
+           list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10) AS BIGINT)))),
+           y -> CAST(y AS VARCHAR)), '|')                              AS distinct_r1,
        ROUND(list_aggregate(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6)   AS sumsq
 FROM embeddings
@@ -195,28 +207,43 @@ FROM embeddings
 @register("fn_array", oracle=_ARRAY_ORACLE, tier="T2")
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over the embedding vectors via higher-order functions
-    (JVM lambda exprs — no Python boundary).  All float math is cast to
-    double then rounded on both sides; distinct lists are sorted because
-    distinct order is engine-specific (SURVEY.md §5.3.3).  zip_with
-    computes the elementwise square feeding sumsq."""
+    (JVM lambda exprs — no Python boundary).  The driver's canonicalizer
+    cannot hash raw array cells (r1 HARNESS-ERR: unhashable ndarray), so
+    every array-valued output is serialized to a scalar string on BOTH
+    sides; float elements go through an integer micro-unit lane
+    (round(x*1e6) as long — identical expression shape in both engines,
+    so the doubles being rounded are bit-identical) rather than
+    double→string, which is repr-sensitive.  Distinct lists are sorted
+    because distinct order is engine-specific (SURVEY.md §5.3.3);
+    zip_with computes the elementwise square feeding sumsq."""
     em = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform("embedding", lambda x: x.cast("double"))
+
+    # NB: helpers passed to F.transform must be single-arg lambdas — a
+    # two-parameter callable would receive the element INDEX as its
+    # second argument and silently scale by position.
+    def micro(x, scale=1000000):
+        return F.round(x.cast("double") * scale).cast("long")
+
+    def joined(arr):
+        return F.array_join(F.transform(arr, lambda v: v.cast("string")), "|")
+
     return em.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e1"),
-        F.transform(F.slice("embedding", 2, 3), lambda x: F.round(x.cast("double"), 6)).alias(
-            "head3"
-        ),
+        joined(F.transform(F.slice("embedding", 2, 3), lambda x: micro(x))).alias("head3"),
         F.array_contains(F.transform("embedding", lambda x: x > 0), True).alias("has_pos"),
-        F.transform("embedding", lambda x: F.round(x.cast("double") * 2, 6)).alias("doubled"),
+        joined(
+            F.transform("embedding", lambda x: F.round(x.cast("double") * 2 * 1000000).cast("long"))
+        ).alias("doubled"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
         F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 6).alias("el_sum"),
-        F.sort_array(F.transform("embedding", lambda x: F.round(x.cast("double"), 6))).alias(
-            "sorted_r6"
-        ),
-        F.sort_array(
-            F.array_distinct(F.transform("embedding", lambda x: F.round(x.cast("double"), 1)))
+        joined(F.sort_array(F.transform("embedding", lambda x: micro(x)))).alias("sorted_r6"),
+        joined(
+            F.sort_array(
+                F.array_distinct(F.transform("embedding", lambda x: micro(x, 10)))
+            )
         ).alias("distinct_r1"),
         F.round(
             F.aggregate(

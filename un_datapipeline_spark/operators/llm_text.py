@@ -140,11 +140,17 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("word") != "")
     tf = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; folded into the idf constant
-    scored = tf.join(df, "word").select(
-        "lang",
-        "word",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("_tfidf_raw"),
+    # N as a 1-row aggregate cross-joined in (broadcast nested loop) —
+    # stays in the plan, no eager driver-side count (VERDICT.md r1 §7).
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "word",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("_tfidf_raw"),
+        )
     )
     w = Window.partitionBy("lang").orderBy(F.desc("_tfidf_raw"), F.asc("word"))
     return (

@@ -18,6 +18,8 @@ memory-sink name — shared state makes availableNow reruns no-ops
 
 from __future__ import annotations
 
+import contextlib
+import os
 import tempfile
 import uuid
 
@@ -26,6 +28,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.session import ensure_runtime_confs
+
+
+@contextlib.contextmanager
+def stream_shuffle_partitions(spark: SparkSession):
+    """Pin a small shuffle-partition count for the duration of one
+    bounded streaming query, restoring the caller's setting after.
+
+    Why: AQE is disabled inside stateful streaming, so every stateful
+    stage runs exactly ``spark.sql.shuffle.partitions`` tasks AND creates
+    that many state-store instances.  Under a default session (200) each
+    availableNow op pays ~200 near-empty state stores × several stages —
+    measured as the dominant per-op cost at test scale (~5 s/op, the
+    round-1 driver budget killer).  Each operator uses a fresh checkpoint
+    so the partition count is free to differ per query.  On a real
+    cluster you would size this to the stream's state volume
+    (SPARK_GRAFT_STREAM_PARTITIONS, e.g. executors × cores), not to 4.
+    """
+    key = "spark.sql.shuffle.partitions"
+    n = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+    before = spark.conf.get(key)
+    spark.conf.set(key, n)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, before)
 
 # Physical schema of events.parquet under nanosAsLong (ts: int64 ns).
 EVENTS_STREAM_SCHEMA = (
@@ -52,15 +79,16 @@ def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
     """Run a (bounded) streaming DataFrame to completion into a memory
     sink; return the materialized table."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return df.sparkSession.table(name)
 
 
@@ -371,13 +399,14 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        s.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            s.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(out_dir)
         .groupBy("event_type")

@@ -171,8 +171,9 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAP_ORACLE = """
 SELECT source,
-       list_sort(list(lang || ':' || CAST(n AS VARCHAR))) AS lang_counts,
-       list_sort(list(lang))                              AS langs
+       array_to_string(list_sort(list(lang || ':' || CAST(n AS VARCHAR))), '|')
+         AS lang_counts,
+       array_to_string(list_sort(list(lang)), '|') AS langs
 FROM (
   SELECT source, lang, count(*) AS n
   FROM documents
@@ -188,16 +189,21 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     map_from_entries(collect_list(struct(...))), then re-emitted as
     sorted 'lang:count' entry strings + sorted key list — map iteration
     order is engine-specific, so both sides compare sorted projections
-    (SURVEY.md §2.H note)."""
+    (SURVEY.md §2.H note), serialized with array_join because the
+    driver's canonicalizer cannot hash raw array cells (r1 HARNESS-ERR
+    class of failure, caught locally by tests/strict_diff.py)."""
     d = load_table(spark, sf_dir, "documents")
     per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
     m = F.map_from_entries(F.collect_list(F.struct("lang", "n")))
     return per.groupBy("source").agg(
-        F.sort_array(
-            F.transform(
-                F.map_entries(m),
-                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
-            )
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries(m),
+                    lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+                )
+            ),
+            "|",
         ).alias("lang_counts"),
-        F.sort_array(F.map_keys(m)).alias("langs"),
+        F.array_join(F.sort_array(F.map_keys(m)), "|").alias("langs"),
     )
