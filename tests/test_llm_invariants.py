@@ -13,8 +13,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from un_datapipeline_spark.operators.llm_text import (
+    N_HASHES,
     lsh_candidate_pairs,
     minhash_signatures,
+    verify_candidates_jaccard,
 )
 from un_datapipeline_spark.tables import load_table
 
@@ -27,20 +29,30 @@ def test_minhash_exact_dup_recall(spark, sf_t2):
     clones = base.select((F.col("doc_id") + OFFSET).alias("doc_id"), "text")
     d = base.unionByName(clones)
     n = base.count()
-    cands = {
-        (r.a, r.b)
-        for r in lsh_candidate_pairs(minhash_signatures(d)).collect()
-    }
+    cand_df = lsh_candidate_pairs(minhash_signatures(d))
+    cands = {(r.a, r.b) for r in cand_df.collect()}
     expected = {(i, i + OFFSET) for i in range(n)}
     missing = expected - cands
     assert not missing, f"exact duplicates missing from candidates: {sorted(missing)[:5]}"
+    # Banding precision (round-1 flag): candidates must be a small
+    # fraction of all pairs, not ~32% as with the old 2-row bands.
+    total_pairs = (2 * n) * (2 * n - 1) // 2
+    assert len(cands) < 0.05 * total_pairs, (
+        f"banding too permissive: {len(cands)}/{total_pairs} pairs are candidates"
+    )
+    # Verification stage keeps every exact clone at jaccard exactly 1.0.
+    verified = {
+        (r.a, r.b): r.jaccard for r in verify_candidates_jaccard(d, cand_df).collect()
+    }
+    for pair in expected:
+        assert verified.get(pair) == 1.0, f"clone pair {pair} lost in verification"
 
 
 def test_minhash_signature_shape(spark, sf_smoke):
     d = load_table(spark, sf_smoke, "documents")
     sigs = minhash_signatures(d)
     assert sigs.count() == d.count()
-    assert len(sigs.columns) == 1 + 12  # doc_id + N_HASHES
+    assert len(sigs.columns) == 1 + N_HASHES
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_t2):
@@ -65,6 +77,28 @@ def test_ivf_recall_vs_brute_force(spark, sf_t2):
     assert len(got1) == len(exact) == 100
     recall = sum(got1.get(a) == nn for a, nn in exact.items()) / len(exact)
     assert recall >= 0.5, f"IVF recall@1 too low: {recall}"
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_t2):
+    """Multi-probe LSH (own bucket + 1-bit flips) must match every
+    single-probe answer's coverage: each probe's candidate set is a
+    strict superset, so recall@1 vs brute force can only improve."""
+    from un_datapipeline_spark.operators.llm_vectors import cosine_topk
+    from un_datapipeline_spark.registry import all_operators
+
+    em = load_table(spark, sf_t2, "embeddings")
+    probes = em.filter(F.col("vec_id") < 100)
+    exact = {
+        r.a_id: r.nn_id
+        for r in cosine_topk(em, probes, k=1, exclude_self=True).collect()
+    }
+    ops = all_operators()
+    single = {r.a_id: r.nn_id for r in ops["llm_simsearch_lsh"].fn(spark, sf_t2).collect()}
+    multi = {r.a_id: r.nn_id for r in ops["llm_simsearch_multiprobe"].fn(spark, sf_t2).collect()}
+    recall_s = sum(single.get(a) == nn for a, nn in exact.items()) / len(exact)
+    recall_m = sum(multi.get(a) == nn for a, nn in exact.items()) / len(exact)
+    assert len(multi) == 100  # every probe finds at least one candidate
+    assert recall_m >= recall_s, f"multi-probe recall {recall_m} < single {recall_s}"
 
 
 def test_simhash_exact_dup_distance_zero(spark, sf_smoke):

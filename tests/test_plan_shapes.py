@@ -68,3 +68,35 @@ def test_window_topk_group_limit_pushdown(spark, sf_smoke):
     # rank<=k filters should push into the window operator
     plan = plan_of(spark, "win_topk_per_group", sf_smoke)
     assert "WindowGroupLimit" in plan
+
+
+def test_scd2_single_join_no_extra_shuffle(spark, sf_smoke):
+    # SCD2 must be ONE join on the business key and nothing else —
+    # a second join or a window sort here would double the 100 TB cost.
+    plan = plan_of(spark, "etl_scd2_snapshot", sf_smoke)
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, f"expected exactly 1 join, plan has {n_joins}"
+    assert "Window" not in plan
+
+
+def test_funnel_windows_share_one_partitioning(spark, sf_smoke):
+    # All sessionize + stage windows partition by user_id (or its
+    # session refinement): exactly one hash exchange on user_id; the
+    # final 1-row funnel rollup may add its own single-partition
+    # exchange, nothing else.
+    df = OPS["llm_sessionize_funnel"].fn(spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE plan strings repeat the tree under "== Initial Plan ==" —
+    # count exchanges in the final section only.
+    plan = plan.split("== Initial Plan ==")[0]
+    n_user_exchanges = plan.count("hashpartitioning(user_id")
+    assert n_user_exchanges == 1, f"windows re-shuffled: {n_user_exchanges} user_id exchanges"
+
+
+def test_multiprobe_join_is_bucket_keyed(spark, sf_smoke):
+    # The candidate join must key on the LSH bucket (bounded groups),
+    # never a cross/nested-loop over the corpus.
+    plan = plan_of(spark, "llm_simsearch_multiprobe", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

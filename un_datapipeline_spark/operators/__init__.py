@@ -5,6 +5,7 @@ inventory section; each public function is one operator ID.
 """
 
 from un_datapipeline_spark.operators import (  # noqa: F401
+    advanced,
     aggregations,
     dedup_extras,
     etl,

@@ -84,18 +84,22 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXCEPT_ORACLE = """
-SELECT c_nationkey AS nk FROM customer
+SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
 EXCEPT
-SELECT s_nationkey AS nk FROM supplier
+SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
 """
 
 
 @register("set_except", oracle=_EXCEPT_ORACLE, tier="T1")
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nation keys with customers but no suppliers."""
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.subtract(s)
+    """Customers with finished orders but no open ones.  (The round-1
+    formulation — customer nations minus supplier nations — returned 0
+    rows at every SF, so its driver pass verified only vacuously; this
+    one yields 46 rows at sf0.01.)"""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    return a.subtract(b)
 
 
 _INTERSECT_ALL_ORACLE = """

@@ -26,6 +26,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from un_datapipeline_spark.session import ensure_runtime_confs
 from un_datapipeline_spark.tables import load_table
@@ -112,11 +113,19 @@ class Pipeline:
         df = self.to_df()
         t0 = time.perf_counter()
         if self._sink is not None:
-            self._sink(df)
+            # Piggyback the row count on the sink job via observe(): the
+            # plan executes exactly once and the reported count is the
+            # count of rows actually written, even if a stage is
+            # non-deterministic.
+            from pyspark.sql import Observation
+
+            obs = Observation(f"{self.name}_rows")
+            observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            self._sink(observed)
             self._stages.append(f"sink:{self._sink_desc}")
-            # count from the sink-side plan was already paid in the write;
-            # reading it back would double-scan — report the input count.
-        rows = df.count()
+            rows = int(obs.get["rows"])
+        else:
+            rows = df.count()
         return RunResult(
             rows=rows,
             sink=self._sink_desc,

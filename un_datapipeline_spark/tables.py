@@ -38,11 +38,14 @@ TABLE_NAMES = (
 ALWAYS_BROADCAST_DIMS = ("region", "nation")
 
 
-# (session id, sf_dir, table) -> DataFrame.  Caches the ANALYZED relation
-# (schema + file listing), not data: repeated operator calls skip
-# re-listing and footer reads (~0.15 s/table at sf0.1).  Testdata files
-# are immutable for a session's lifetime, so reuse is safe.
-_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (application id, sf_dir, table) -> DataFrame.  Caches the ANALYZED
+# relation (schema + file listing), not data: repeated operator calls
+# skip re-listing and footer reads (~0.15 s/table at sf0.1).  Testdata
+# files are immutable for a session's lifetime, so reuse is safe.
+# Keyed on applicationId (not id(spark)): a stopped session's id() can be
+# reused by a new SparkSession, which would hand out DataFrames bound to
+# the dead context; applicationId is unique per SparkContext lifetime.
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -52,7 +55,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     table is a plain parquet scan (schemas travel in the footers and match
     FIXTURES.md).
     """
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _LOAD_CACHE.get(key)
     if cached is not None:
         return cached
