@@ -122,6 +122,40 @@ def test_simhash_exact_dup_distance_zero(spark, sf_smoke):
         assert pairs.get((i, i + OFFSET)) == 0, f"clone pair ({i}) missing or nonzero"
 
 
+def test_dedup_cluster_covers_exact_dups(spark, sf_t2):
+    """All members of an exact-duplicate group must land in the SAME
+    connected component (md5-equal edges guarantee it structurally;
+    this guards the label-propagation convergence)."""
+    from un_datapipeline_spark.operators.advanced import (
+        _dup_edges,
+        connected_components,
+    )
+
+    # sf0.001/sf0.01 documents have no exact dups — manufacture them:
+    # clone every 5th doc TWICE (ids +1M and +2M) so each group has 3
+    # members whose cluster co-membership requires transitivity.
+    OFFSET = 1_000_000
+    base = load_table(spark, sf_t2, "documents").select("doc_id", "text")
+    cloned = base.filter(F.col("doc_id") % 5 == 0)
+    d = base.unionByName(
+        cloned.select((F.col("doc_id") + OFFSET).alias("doc_id"), "text")
+    ).unionByName(
+        cloned.select((F.col("doc_id") + 2 * OFFSET).alias("doc_id"), "text")
+    )
+    labels = {
+        r.node: r.label for r in connected_components(_dup_edges(d)).collect()
+    }
+    n_dup_groups = 0
+    for r in cloned.select("doc_id").collect():
+        members = [r.doc_id, r.doc_id + OFFSET, r.doc_id + 2 * OFFSET]
+        n_dup_groups += 1
+        got = {labels.get(m) for m in members}
+        assert len(got) == 1 and None not in got, (
+            f"exact-dup group {members} split across clusters {got}"
+        )
+    assert n_dup_groups > 0
+
+
 def test_fingerprint_exact_dup_containment(spark, sf_smoke):
     """A cloned doc shares ALL fingerprints with its original, so every
     clone pair must appear in the full-containment output."""

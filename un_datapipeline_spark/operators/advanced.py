@@ -403,3 +403,222 @@ def ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(finish(hour, "1hour"))
         .unionByName(finish(day, "1day"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering (connected components over dup edges)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = """
+WITH RECURSIVE grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  ) WHERE len(string_split(gram, ' ')) = 3
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM grams x JOIN grams y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), jedges AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+), hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
+medges AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM hashes x JOIN hashes y ON x.h = y.h AND x.doc_id < y.doc_id
+), edges AS (SELECT a, b FROM jedges UNION SELECT a, b FROM medges),
+bidir AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(node, label) AS (
+  SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM bidir)
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN bidir e ON e.a = r.node
+), labeled AS (
+  SELECT node, min(label) AS rep FROM reach GROUP BY node
+)
+SELECT rep, CAST(count(*) AS BIGINT) AS n_docs
+FROM labeled GROUP BY rep
+"""
+
+
+def _dup_edges(d: DataFrame) -> DataFrame:
+    """Undirected dup edges (a < b): exact (md5-equal) ∪ word-3-gram
+    Jaccard ≥ 0.5.  The gram-equality join is vocabulary-keyed (meets
+    only docs sharing a trigram) — the same sub-quadratic shape as
+    llm_dedup_ngram_jaccard, here without the probe bound because
+    clustering needs the full edge set."""
+    toks = F.split("text", " ")
+    grams_arr = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(toks, i),
+                F.try_element_at(toks, i + 1),
+                F.try_element_at(toks, i + 2),
+            ),
+        ),
+        lambda g: F.size(F.split(g, " ")) == 3,
+    )
+    grams = d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram"))
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        grams.alias("x")
+        .join(grams.alias("y"), F.expr("x.gram = y.gram AND x.doc_id < y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("shared"))
+    jedges = (
+        inter.join(sizes.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("a", "b")
+    )
+    hashes = d.select("doc_id", F.md5("text").alias("h"))
+    medges = (
+        hashes.alias("x")
+        .join(hashes.alias("y"), F.expr("x.h = y.h AND x.doc_id < y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    return jedges.union(medges).distinct()
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """(node, label) with label = min node id in the component, by
+    iterative min-label propagation over undirected edges (a, b).
+
+    Shuffle partitions are pinned small for the loop: the edge graph is
+    a tiny fraction of the corpus (only docs with a dup candidate), and
+    every iteration pays per-partition task overhead × rounds — 200
+    near-empty tasks per round dominated the runtime at test scale
+    (15 s → 3 s).  On a cluster, size SPARK_GRAFT_CC_PARTITIONS to the
+    edge count, not the corpus."""
+    import os
+
+    spark = edges.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    spark.conf.set(key, os.environ.get("SPARK_GRAFT_CC_PARTITIONS", "8"))
+    try:
+        bidir = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
+        labels = (
+            bidir.select(F.col("a").alias("node")).distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
+        prev_sum = None
+        for _ in range(max_rounds):
+            prop = bidir.join(labels, bidir.a == labels.node).select(
+                F.col("b").alias("node"), "label"
+            )
+            labels = (
+                labels.union(prop)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        return labels
+    finally:
+        spark.conf.set(key, before)
+
+
+@register("llm_dedup_cluster", oracle=_CLUSTER_ORACLE, tier="T3")
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS via connected components over the dup-edge
+    graph — the step after pair generation that an actual dedup pass
+    needs (pick ONE canonical doc per group; pairs alone can't, because
+    near-dup relations chain: A~B~C with A≁C must collapse together).
+
+    Components by iterative min-label propagation: each round every node
+    takes the min label among itself and its neighbors; converged when
+    the global label sum stops changing (sum is monotone non-increasing,
+    so equality ⇔ fixpoint — one cheap scalar action per round, the
+    standard driver-side convergence test for iterative algorithms).
+    localCheckpoint truncates lineage each round, else the plan doubles
+    per iteration.  Rounds needed = component diameter (small for dup
+    clusters); 20 is a hard safety cap.  Oracle: DuckDB recursive-CTE
+    transitive closure — both engines converge to min-reachable-id, so
+    the fixpoint is engine-independent and hash-matched."""
+    d = load_table(spark, sf_dir, "documents")
+    labels = connected_components(_dup_edges(d))
+    return labels.groupBy(F.col("label").alias("rep")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_HASH_ORACLE = """
+SELECT o_orderstatus, count(*) AS n_sampled,
+       ROUND(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '28'
+GROUP BY o_orderstatus
+"""
+
+
+@register("etl_sample_hash", oracle=_SAMPLE_HASH_ORACLE, tier="T2")
+def etl_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~16% sample via content hash: keep rows whose
+    md5(key) hex prefix ≤ '28' (0x00–0x28 of 0x00–0xff).  Unlike
+    sample()/TABLESAMPLE, hash gating is reproducible across engines,
+    runs, partitionings AND cluster sizes — the property a training-data
+    split pipeline actually needs (etl_train_split uses the same trick;
+    this operator exposes it as tunable-rate row sampling).  The filter
+    is a pure Column expression, evaluated scan-side."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) <= "28")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) aggregate
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+SELECT l_returnflag, mode_qty, n FROM (
+  SELECT l_returnflag, l_quantity AS mode_qty, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY count(*) DESC, l_quantity ASC) AS rn
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+) WHERE rn = 1
+"""
+
+
+@register("agg_mode", oracle=_MODE_ORACLE, tier="T2")
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode of l_quantity per returnflag with a DETERMINISTIC tie-break
+    (highest count, then smallest value) — built-in mode() leaves ties
+    engine-defined, so it can never hash-match; count+rank does, and its
+    first phase is a partial-aggregable groupBy (the heavy reduction
+    happens map-side; the rank runs on |groups| rows, not |rows|)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", F.col("l_quantity").alias("mode_qty")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("mode_qty"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", "mode_qty", "n")
+    )
