@@ -185,3 +185,29 @@ def test_fingerprint_exact_dup_containment(spark, sf_smoke):
     assert len(expected) > 0.9 * n, "sampling should cover almost all docs"
     missing = expected - got
     assert not missing, f"clone containment pairs missing: {sorted(missing)[:5]}"
+
+
+def test_approx_percentile_error_bound(spark, sf_t2):
+    """approx_percentile (accuracy 10000) must land within 1% of the
+    exact interpolated percentile for every flag × quantile."""
+    from un_datapipeline_spark.registry import all_operators
+
+    approx = {
+        r.l_returnflag: (r.p50, r.p90, r.p99)
+        for r in all_operators()["agg_approx_percentile"].fn(spark, sf_t2).collect()
+    }
+    li = load_table(spark, sf_t2, "lineitem")
+    exact = {
+        r.l_returnflag: (r.p50, r.p90, r.p99)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, vals in approx.items():
+        for a, e in zip(vals, exact[flag]):
+            assert abs(a - e) <= 0.01 * e, f"{flag}: approx {a} vs exact {e}"

@@ -622,3 +622,172 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", "mode_qty", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join as a first-class operator
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(o.o_totalprice), 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("join_skew_salted", oracle=_SKEW_ORACLE, tier="T2")
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join (scale.salted_join) exposed as an operator:
+    orders⋈customer with the orders side salted over 8 sub-keys and
+    customer replicated 8× — the plan that survives a power-law customer
+    (one hot key otherwise lands an entire reducer's worth of rows on a
+    single task).  Results are provably identical to the plain join —
+    that IS the oracle — so this is hash-matched, and the salted plan
+    shape is additionally asserted in tests/test_scale.py."""
+    from un_datapipeline_spark.scale import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c, "o_custkey", "c_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 incremental maintenance (second change batch onto the history)
+# ---------------------------------------------------------------------------
+
+_SCD2_INCR_ORACLE = """
+WITH updates AS (
+  SELECT c_custkey AS u_key, 'PROMOTED' AS u_seg, c_acctbal + 50.0 AS u_bal
+  FROM customer WHERE c_custkey % 10 = 0
+), j AS (
+  SELECT c.c_custkey AS key, c.c_mktsegment AS seg, c.c_acctbal AS bal,
+         u.u_key, u.u_seg, u.u_bal
+  FROM customer c LEFT JOIN updates u ON c.c_custkey = u.u_key
+), hist AS (
+  SELECT key, seg AS segment, ROUND(bal, 2) AS bal,
+         '2024-01-01' AS valid_from,
+         CASE WHEN u_key IS NOT NULL THEN '2024-06-01' END AS valid_to,
+         CASE WHEN u_key IS NULL THEN 1 ELSE 0 END AS is_current
+  FROM j
+  UNION ALL
+  SELECT key, u_seg, ROUND(u_bal, 2), '2024-06-01', NULL, 1
+  FROM j WHERE u_key IS NOT NULL
+), b2 AS (
+  SELECT c_custkey AS u2 FROM customer WHERE c_custkey % 15 = 0
+), h2 AS (
+  SELECT h.*, b2.u2 FROM hist h
+  LEFT JOIN b2 ON h.key = b2.u2 AND h.is_current = 1
+)
+SELECT key, segment, bal, valid_from,
+       CASE WHEN u2 IS NOT NULL THEN '2024-09-01' ELSE valid_to END AS valid_to,
+       CASE WHEN u2 IS NOT NULL THEN 0 ELSE is_current END AS is_current
+FROM h2
+UNION ALL
+SELECT key, 'VIP', ROUND(bal + 25, 2), '2024-09-01', NULL, 1
+FROM h2 WHERE u2 IS NOT NULL
+"""
+
+
+@register("etl_scd2_incremental", oracle=_SCD2_INCR_ORACLE, tier="T2")
+def etl_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly SCD2 run: apply a SECOND change batch (every 15th
+    customer → VIP, +25 on their current balance) onto the history that
+    etl_scd2_snapshot built.  Keys divisible by 30 accrue three versions
+    — the chained case that proves the maintenance is repeatable, not a
+    one-shot.  Join condition targets CURRENT rows only (history ⋈ batch
+    ON key AND is_current), so closed versions pass through untouched;
+    at 100 TB this is one join keyed on the business key against a
+    current-rows partition."""
+    hist = etl_scd2_snapshot(spark, sf_dir)
+    b2 = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 15 == 0)
+        .select(F.col("c_custkey").alias("u2"))
+    )
+    h2 = hist.join(
+        b2, (hist.key == b2.u2) & (hist.is_current == 1), "left_outer"
+    )
+    hit = F.col("u2").isNotNull()
+    carried = h2.select(
+        "key",
+        "segment",
+        "bal",
+        "valid_from",
+        F.when(hit, F.lit("2024-09-01")).otherwise(F.col("valid_to")).alias("valid_to"),
+        F.when(hit, F.lit(0)).otherwise(F.col("is_current")).alias("is_current"),
+    )
+    opened = h2.filter(hit).select(
+        "key",
+        F.lit("VIP").alias("segment"),
+        F.round(F.col("bal") + 25, 2).alias("bal"),
+        F.lit("2024-09-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    return carried.unionByName(opened)
+
+
+# ---------------------------------------------------------------------------
+# Regex entity extraction over documents
+# ---------------------------------------------------------------------------
+
+_REGEX_ORACLE = """
+SELECT doc_id,
+       CAST(len(caps) AS BIGINT) AS n_caps,
+       coalesce(array_to_string(list_sort(caps), '|'), '') AS caps,
+       CAST(regexp_matches(text, '[0-9]') AS INT) AS has_digit
+FROM (
+  SELECT doc_id, text,
+         list_distinct(regexp_extract_all(text, '[A-Z][a-z]{3,}')) AS caps
+  FROM documents
+)
+"""
+
+
+@register("fn_regex_extract", oracle=_REGEX_ORACLE, tier="T2")
+def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex ENTITY EXTRACTION (vs fn_string's single-match extract):
+    all distinct capitalized words ≥4 letters per doc via
+    regexp_extract_all, plus a digit-presence flag — the pattern-mining
+    pass of a text-cleaning pipeline, all JVM-side Column math.  The
+    pattern uses POSIX-common syntax only (Java regex vs RE2 agree);
+    the list output is sorted and pipe-joined on BOTH sides
+    (ROUND_NOTES.md: raw arrays crash the driver's canonicalizer)."""
+    d = load_table(spark, sf_dir, "documents")
+    caps = F.array_distinct(
+        F.regexp_extract_all("text", F.lit("[A-Z][a-z]{3,}"), 0)
+    )
+    return d.select(
+        "doc_id",
+        F.size(caps).cast("long").alias("n_caps"),
+        F.array_join(F.array_sort(caps), "|").alias("caps"),
+        F.col("text").rlike("[0-9]").cast("int").alias("has_digit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentiles (sketch-based)
+# ---------------------------------------------------------------------------
+
+
+@register("agg_approx_percentile", oracle=None, tier="T2")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile over l_extendedprice per returnflag — the
+    mergeable-sketch path for quantiles at 100 TB where exact
+    percentile_cont would sort the world.  Rows-only (sketch internals
+    are engine-specific); the ≤1%-of-exact error invariant is
+    pytest-asserted against agg_percentile_exact's method."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+    ).select(
+        "l_returnflag",
+        F.round(F.element_at("pcts", 1), 2).alias("p50"),
+        F.round(F.element_at("pcts", 2), 2).alias("p90"),
+        F.round(F.element_at("pcts", 3), 2).alias("p99"),
+    )
