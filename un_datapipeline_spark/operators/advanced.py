@@ -791,3 +791,214 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("pcts", 2), 2).alias("p90"),
         F.round(F.element_at("pcts", 3), 2).alias("p99"),
     )
+# ---------------------------------------------------------------------------
+# RAG document chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), 40)) AS start
+  FROM toked
+)
+SELECT doc_id,
+       CAST((start - 1) / 40 AS BIGINT) AS chunk_id,
+       CAST(len(toks[start : start + 49]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks[start : start + 49], ' ')) AS chunk_md5
+FROM starts
+"""
+
+
+@register("llm_doc_chunking", oracle=_CHUNK_ORACLE, tier="T3")
+def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunker: split each document into 50-token chunks with a
+    10-token overlap (stride 40) — one output row per chunk, identified
+    by (doc_id, chunk_id) with an md5 fingerprint of the chunk text.
+    Pure Column math (sequence + posexplode-free slice per start), so
+    chunking 100 TB is a single stateless scan with ~len/stride output
+    amplification and zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(40))
+    chunk = F.slice(F.col("toks"), F.col("start"), 50)
+    return (
+        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / 40).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || doc_id || '@example.com ph 555-0142'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM seeded
+"""
+
+
+@register("llm_pii_redact", oracle=_PII_ORACLE, tier="T3")
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email/phone patterns.  The
+    corpus has no organic PII, so every 10th doc is seeded with a
+    deterministic fake email+phone first — the redaction then has real
+    work whose counts and redacted-text fingerprints hash-match.
+    Patterns stay in the POSIX-common subset (Java regex and RE2 agree);
+    everything is JVM-side Column math."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ph 555-0142"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        d.select("doc_id", seeded.alias("text"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+            .cast("long")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0))
+            .cast("long")
+            .alias("n_phones"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value-change streaks (islands by value, not time gap)
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS island
+  FROM events
+), streaks AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS streak
+  FROM ordered GROUP BY user_id, event_type, island
+)
+SELECT user_id, event_type, max(streak) AS max_streak
+FROM streaks GROUP BY user_id, event_type
+"""
+
+
+@register("win_streaks", oracle=_STREAK_ORACLE, tier="T2")
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive same-event-type run per user — the OTHER
+    gaps-and-islands (value-change islands, vs llm_sessionize_funnel's
+    time-gap islands): island id = global row_number minus per-type
+    row_number.  Both windows and both aggregations share the user_id
+    partitioning, so the whole operator is one shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    island = F.row_number().over(w_all) - F.row_number().over(w_type)
+    return (
+        e.select("user_id", "event_type", island.alias("island"))
+        .groupBy("user_id", "event_type", "island")
+        .agg(F.count(F.lit(1)).alias("streak"))
+        .groupBy("user_id", "event_type")
+        .agg(F.max("streak").alias("max_streak"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model statistics
+# ---------------------------------------------------------------------------
+
+_NGRAM_LM_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bigrams AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2
+  FROM toked, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+  )
+  WHERE toks[i] <> '' AND toks[i+1] <> ''
+), counts AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bigrams GROUP BY w1, w2
+), totals AS (
+  SELECT w1, sum(n) AS total FROM counts GROUP BY w1
+), top_heads AS (
+  SELECT w1 FROM totals ORDER BY total DESC, w1 ASC LIMIT 20
+)
+SELECT c.w1, c.w2, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS p
+FROM counts c
+JOIN totals t USING (w1)
+JOIN top_heads USING (w1)
+QUALIFY row_number() OVER (PARTITION BY c.w1 ORDER BY c.n DESC, c.w2 ASC) <= 3
+"""
+
+
+@register("llm_ngram_lm", oracle=_NGRAM_LM_ORACLE, tier="T3")
+def llm_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics: P(w2 | w1) = n(w1,w2)/n(w1),
+    reported as the top-3 continuations for the 20 most frequent head
+    words (deterministic tie-breaks: count desc then word asc).  All
+    shuffles are keyed by VOCABULARY (w1 / bigram), never by corpus —
+    the count tables a quality-filtering LM needs at 100 TB are a few
+    million rows regardless of input size.  The probability is one
+    division of two exact integer counts, so it is bit-identical across
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = F.filter(
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: (s["w1"] != "") & (s["w2"] != ""),
+    )
+    bigrams = d.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("w1").agg(F.sum("n").alias("total"))
+    top_heads = totals.orderBy(F.desc("total"), F.asc("w1")).limit(20).select("w1")
+    w = Window.partitionBy("w1").orderBy(F.desc("n"), F.asc("w2"))
+    return (
+        counts.join(totals, "w1")
+        .join(F.broadcast(top_heads), "w1")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
+        )
+    )
