@@ -10,6 +10,17 @@ plumbing — schema, partitioning, UDF signature, batch shape — real and
 tested; stub only the codec call).  The payloads themselves are
 deterministic utf-8 bytes derived from documents.text, so every run —
 and the DuckDB oracle — sees identical binary content.
+
+Round-2 upgrade: both decode ops are now SQL-MATCHED, not rows-only.
+documents.text is pure ASCII (verified at every SF), so byte slicing ==
+char slicing and the fallback decode is exactly reproducible in SQL:
+metadata dims come from md5 (computable identically in both engines —
+the previous xxhash64 had no DuckDB counterpart), and the float features
+are derived from exact integer byte moments, so both engines execute the
+same IEEE double expression on identical operands (bit-identical before
+rounding).  Rounding happens JVM-side with F.round / SQL ROUND (both
+half-away-from-zero for positives) — never in Python, whose round() is
+half-even (ROUND_NOTES.md).
 """
 
 from __future__ import annotations
@@ -22,19 +33,28 @@ from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
 
 
+def _dim_from_md5(md5_col, offset: int):
+    """16 + (ascii(c1)*256 + ascii(c2)) % 64 over two md5 hex chars —
+    the engine-portable 'random' dimension (same formula in oracles)."""
+    c1 = F.ascii(F.substring(md5_col, offset, 1))
+    c2 = F.ascii(F.substring(md5_col, offset + 1, 1))
+    return ((c1 * 256 + c2) % 64 + 16).cast("int")
+
+
 def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical multimodal frame: (doc_id, payload binary, meta
     struct<mime,width,height>).  Metadata is derived deterministically
-    from content so tests are hermetic."""
+    from content (md5 hex chars) so tests and oracles are hermetic."""
     d = load_table(spark, sf_dir, "documents")
+    m = F.md5("text")
     return d.select(
         "doc_id",
         "lang",
         F.encode("text", "utf-8").alias("payload"),
         F.struct(
             F.lit("image/fake").alias("mime"),
-            (F.pmod(F.xxhash64("text"), F.lit(64)) + 16).cast("int").alias("width"),
-            (F.pmod(F.xxhash64("text", F.lit(1)), F.lit(64)) + 16).cast("int").alias("height"),
+            _dim_from_md5(m, 1).alias("width"),
+            _dim_from_md5(m, 3).alias("height"),
         ).alias("meta"),
     )
 
@@ -71,10 +91,10 @@ def _decode_payload(payload: bytes, width: int, height: int):
 
     STUB: real codecs (PIL / libvips / ffmpeg) are not available in this
     environment.  A production deployment replaces the fallback with the
-    real import; the fallback is a deterministic fake that reshapes the
-    leading bytes into (height, width) "pixels" so the downstream
-    feature math is fully exercised.
-    """
+    real import; the fallback is a deterministic fake that tiles the
+    payload bytes into a (height, width) "pixel" grid so the downstream
+    feature math is fully exercised (and, being deterministic, SQL-
+    verifiable)."""
     import numpy as np
 
     try:  # pragma: no cover - codec not present in this container
@@ -90,49 +110,133 @@ def _decode_payload(payload: bytes, width: int, height: int):
     buf = np.frombuffer(payload, dtype=np.uint8)
     need = width * height
     reps = -(-need // max(len(buf), 1))
-    return np.tile(buf, reps)[:need].reshape(height, width).astype(np.float64)
+    return np.tile(buf, reps)[:need].reshape(height, width)
 
 
-@register("mm_decode_features", oracle=None, tier="T3")
+# The oracle replays the fallback decode in SQL: dims from md5 hex
+# chars, pixel j (0-based, row-major) = ascii byte at position j mod
+# len(text), features from exact integer moments.  The float math is the
+# LITERAL same expression the UDF evaluates, on identical integer
+# operands — ROUND is applied to bit-identical doubles on both sides.
+_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, text, length(text) AS n, md5(text) AS m FROM documents
+), sized AS (
+  SELECT doc_id, text, n,
+         ((ascii(substr(m, 1, 1)) * 256 + ascii(substr(m, 2, 1))) % 64 + 16) AS width,
+         ((ascii(substr(m, 3, 1)) * 256 + ascii(substr(m, 4, 1))) % 64 + 16) AS height
+  FROM dims
+), px AS (
+  SELECT doc_id, width, height, n, j,
+         ascii(substr(text, CAST(j % n AS INT) + 1, 1)) AS b,
+         CASE WHEN j % width <> width - 1
+              THEN ascii(substr(text, CAST((j + 1) % n AS INT) + 1, 1))
+         END AS b_next
+  FROM sized, LATERAL (
+    SELECT unnest(generate_series(0, width * height - 1)) AS j
+  )
+), mo AS (
+  SELECT doc_id, width, height,
+         width * height      AS need,
+         sum(b)              AS s,
+         sum(b * b)          AS ss,
+         sum(abs(b_next - b)) AS ed,
+         count(b_next)        AS n_ed
+  FROM px GROUP BY doc_id, width, height
+)
+SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       ROUND(s / need, 6) AS brightness,
+       ROUND(sqrt((ss - s * s / need) / need), 6) AS contrast,
+       ROUND(ed / n_ed, 6) AS edges
+FROM mo
+"""
+
+
+@register("mm_decode_features", oracle=_DECODE_ORACLE, tier="T3")
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → feature-extract over Arrow batches (mapInPandas): per
-    doc, 'image' mean/std 'brightness' and edge-proxy (mean abs
-    horizontal diff) from the decoded pixel grid.  Rows-only (the fake
-    decoder is engine-local); determinism is pytest-asserted."""
-    import numpy as np
+    doc, 'image' brightness (mean), contrast (population std) and edge
+    proxy (mean abs horizontal diff) from the decoded pixel grid.
 
+    The UDF accumulates EXACT INTEGER moments (sum, sum-of-squares,
+    abs-diff sum — all < 2^53) and emits the raw double expressions;
+    rounding happens JVM-side so both engines round the same bits."""
     m = documents_as_media(spark, sf_dir)
-    schema = "doc_id long, width int, height int, brightness double, contrast double, edges double"
+    schema = (
+        "doc_id long, width int, height int, "
+        "brightness double, contrast double, edges double"
+    )
 
     def extract(batches):
+        import math
+
         for pdf in batches:
             out = []
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
                 w, h = int(meta["width"]), int(meta["height"])
-                px = _decode_payload(bytes(payload), w, h)
+                px = _decode_payload(bytes(payload), w, h).astype("int64")
+                need = w * h
+                s = int(px.sum())
+                ss = int((px * px).sum())
+                import numpy as np
+
+                diffs = np.abs(np.diff(px, axis=1))
+                ed = int(diffs.sum())
+                n_ed = h * (w - 1)
                 out.append(
                     (
                         doc_id,
                         w,
                         h,
-                        round(float(px.mean()), 6),
-                        round(float(px.std()), 6),
-                        round(float(np.abs(np.diff(px, axis=1)).mean()), 6),
+                        s / need,
+                        math.sqrt((ss - s * s / need) / need),
+                        ed / n_ed,
                     )
                 )
             yield pd.DataFrame(
-                out, columns=["doc_id", "width", "height", "brightness", "contrast", "edges"]
+                out,
+                columns=["doc_id", "width", "height", "brightness", "contrast", "edges"],
             )
 
-    return m.mapInPandas(extract, schema)
+    raw = m.mapInPandas(extract, schema)
+    return raw.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("brightness", 6).alias("brightness"),
+        F.round("contrast", 6).alias("contrast"),
+        F.round("edges", 6).alias("edges"),
+    )
 
 
-@register("mm_frame_sample", oracle=None, tier="T3")
+# Frame sampling replayed in SQL: ASCII text ⇒ substr == byte slice, and
+# DuckDB md5(varchar) hashes the same utf-8 bytes Python's md5 sees.
+_FRAME_ORACLE = """
+WITH sized AS (
+  SELECT doc_id, text, greatest(length(text) // 64, 1) AS n_frames
+  FROM documents
+), frames AS (
+  SELECT doc_id,
+         CAST(idx AS INT) AS frame_idx,
+         substr(text, CAST(idx AS INT) * 64 + 1, 64) AS chunk
+  FROM sized, LATERAL (
+    SELECT unnest(generate_series(0, CAST(n_frames AS INT) - 1, 4)) AS idx
+  )
+)
+SELECT doc_id, frame_idx,
+       CAST(length(chunk) AS INT) AS frame_bytes,
+       md5(chunk) AS frame_md5
+FROM frames
+"""
+
+
+@register("mm_frame_sample", oracle=_FRAME_ORACLE, tier="T3")
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Video' frame sampling: split each payload into fixed 64-byte
     frames and keep every 4th — the strided-decode pattern for video
     corpora (bounded output per input row).  Emits one row per sampled
-    frame with its digest; rows-only."""
+    frame with its digest.  mapInPandas over the binary column; the
+    oracle replays the slicing over the (ASCII) source text."""
     m = documents_as_media(spark, sf_dir)
     FRAME = 64
     STRIDE = 4

@@ -11,9 +11,10 @@ This module pins an explicit verification priority instead:
 
 1. operators the round-1 driver marked red (now fixed — re-verify first),
 2. contract (SURVEY §2) operators the round-1 driver never reached,
-3. operators new in this round (no verdict yet),
-4. extension operators the round-1 driver never reached,
-5. operators already driver-green in round 1 (cheapest to lose if the
+3. the two multimodal decode ops VERDICT.md item 8 asked for verdicts on,
+4. operators new in this round (no verdict yet),
+5. extension operators the round-1 driver never reached,
+6. operators already driver-green in round 1 (cheapest to lose if the
    pass is capped again).
 
 Groups are literal name lists derived from CORRECTNESS_r01.json so the
@@ -70,10 +71,16 @@ R1_UNTESTED_CONTRACT = (
     "udtf_split_words",
 )
 
-# Group 4 — extension operators with no round-1 driver verdict.
-R1_UNTESTED_EXT = (
+# Group 3 — the two decode ops VERDICT.md item 8 explicitly asked to get
+# CORRECTNESS entries (now SQL-matched, not rows-only): run them right
+# after the contract surface, ahead of this round's new operators.
+MM_JUDGE_ASK = (
     "mm_decode_features",
     "mm_frame_sample",
+)
+
+# Group 5 — extension operators with no round-1 driver verdict.
+R1_UNTESTED_EXT = (
     "reshape_pivot",
     "reshape_unpivot",
     "fn_explode_pos",
@@ -99,11 +106,13 @@ def sort_key(names: list[str]) -> dict[str, tuple[int, int]]:
         group[n] = 0
     for n in R1_UNTESTED_CONTRACT:
         group[n] = 1
+    for n in MM_JUDGE_ASK:
+        group[n] = 2
     for n in R1_UNTESTED_EXT:
-        group[n] = 3
-    # group 2 = new/unlisted, group 4 = already green
+        group[n] = 4
+    # group 3 = new/unlisted, group 5 = already green
     return {
-        n: (group.get(n, 2 if n not in _R1_GREEN else 4), i)
+        n: (group.get(n, 3 if n not in _R1_GREEN else 5), i)
         for i, n in enumerate(names)
     }
 
