@@ -22,6 +22,7 @@ from un_datapipeline_spark.operators import (  # noqa: F401
     streaming,
     text_analysis,
     time_series,
+    training_prep,
     udfs,
     windows,
 )

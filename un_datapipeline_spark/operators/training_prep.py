@@ -1,0 +1,421 @@
+"""Training-data preparation operators (round 2 batch 2): the quality /
+safety / packing passes a 100 TB LLM corpus pipeline runs between raw
+ingest and tokenized shards.
+
+Scale posture: every candidate-generation step here is keyed by
+VOCABULARY or BUCKET (gram hash, prefix block, event_type), never by the
+corpus cross product; global orderings use the distributed two-phase
+prefix-sum pattern (block-local window + broadcast block offsets), not a
+single-partition window; float outputs come from exact integer moments
+so both engines evaluate identical IEEE expressions (ROUND_NOTES.md).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check
+# ---------------------------------------------------------------------------
+
+_CONTAM_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[i : i + 7], ' ')) AS g
+  FROM toked, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+  )
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+), tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM grams WHERE g IN (SELECT g FROM eval_grams)
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       CAST(t.n_grams AS BIGINT)  AS n_grams,
+       ROUND(s.n_shared / t.n_grams, 6) AS contaminated_frac,
+       CAST(CASE WHEN s.doc_id % 97 = 0 THEN 1 ELSE 0 END AS INT) AS is_eval
+FROM sh s JOIN tot t USING (doc_id)
+"""
+
+
+@register("llm_contamination_check", oracle=_CONTAM_ORACLE, tier="T3")
+def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination pass: flag corpus documents sharing any
+    word-8-gram with the eval set (deterministically: docs with
+    doc_id % 97 == 0 stand in for the benchmark suite).  Output: one row
+    per overlapping doc with distinct-shared-gram count and overlap
+    fraction (int/int division — bit-identical across engines).
+
+    Scale shape: the corpus explodes to (doc, gram) keyed by gram
+    VOCABULARY; the eval gram set is benchmark-sized (thousands), so the
+    membership probe is a broadcast semi-join against the gram stream —
+    one corpus scan, no corpus-keyed shuffle for the probe.  The per-doc
+    distinct-gram counts shuffle on doc_id once."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard the short-doc
+    # case to an empty array (DuckDB generate_series(1, 0) is empty).
+    idx = F.when(
+        F.size(toks) >= 8, F.sequence(F.lit(1), F.size(toks) - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        d.select("doc_id", toks.alias("toks"), F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice(F.col("toks"), F.col("i"), 8), " ")).alias("g"),
+        )
+        .distinct()
+    )
+    eval_grams = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    tot = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    sh = (
+        grams.join(F.broadcast(eval_grams), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return sh.join(tot, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        "n_grams",
+        F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("contaminated_frac"),
+        F.when(F.col("doc_id") % 97 == 0, 1).otherwise(0).cast("int").alias("is_eval"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) near-duplicate detection
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH blocked AS (
+  SELECT doc_id, text, n_chars, lang, substr(text, 1, 32) AS pfx FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.text, b.text) AS edit_dist,
+         greatest(a.n_chars, b.n_chars) AS max_len
+  FROM blocked a JOIN blocked b
+    ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(edit_dist AS BIGINT) AS edit_dist,
+       ROUND(1.0 - edit_dist / max_len, 6) AS sim
+FROM pairs
+WHERE 1.0 - edit_dist / max_len >= 0.8
+"""
+
+
+@register("llm_dedup_fuzzy_edit", oracle=_FUZZY_ORACLE, tier="T3")
+def llm_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection with prefix blocking: candidate
+    pairs share (lang, first-32-chars), then Levenshtein similarity
+    1 - dist/max_len must reach 0.8.  Complements MinHash (set overlap)
+    and SimHash (bit sketch) with true character-level edit similarity.
+
+    Scale shape: the self-join is keyed by the (lang, prefix) BLOCK — a
+    vocabulary-style shuffle whose per-bucket cost is quadratic only in
+    bucket size (prefix blocks are near-unique outside true near-dup
+    clusters).  The O(len²) levenshtein runs only on surviving
+    candidates.  At 100 TB, widen blocking with several rotated prefix
+    offsets rather than loosening one block."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", "lang", F.substring("text", 1, 32).alias("pfx")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.pfx") == F.col("b.pfx"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("edit_dist"),
+        F.greatest(F.col("a.n_chars"), F.col("b.n_chars")).alias("max_len"),
+    )
+    sim = F.lit(1.0) - F.col("edit_dist") / F.col("max_len")
+    return pairs.filter(sim >= 0.8).select(
+        "doc_a", "doc_b", "edit_dist", F.round(sim, 6).alias("sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series anomaly detection (z-score, exact-moment lane)
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH cents AS (
+  SELECT event_id, event_type, value,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), mo AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM cents GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       ROUND((c - s / n) / sqrt((ss - s * s / n) / n), 6) AS z
+FROM cents e JOIN mo USING (event_type)
+ORDER BY abs((c - s / n) / sqrt((ss - s * s / n) / n)) DESC, event_id
+LIMIT 50
+"""
+
+
+@register("ts_anomaly_zscore", oracle=_ZSCORE_ORACLE, tier="T2")
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 z-score anomalies per-event-type: standardize each event's
+    value against its type's mean/std and rank by |z|.  The money column
+    goes through the exact integer-cent lane (ROUND_NOTES.md): mean and
+    variance derive from BIGINT sums, so every engine computes the same
+    doubles and the 6dp rounding never straddles a boundary.
+
+    Scale shape: one partial-aggregated shuffle for the per-type moments
+    (5 rows — broadcast back onto the stream), then a global top-k
+    (TakeOrdered: per-partition heaps, no full sort)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    mo = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    j = cents.join(F.broadcast(mo), "event_type")
+    z = (F.col("c") - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    )
+    return (
+        j.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("z"),
+            F.abs(z).alias("_absz"),
+        )
+        .orderBy(F.desc("_absz"), "event_id")
+        .limit(50)
+        .drop("_absz")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation from exact integer moments
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH lanes AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem
+), mo AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         sum(y * y) AS syy_h
+  FROM lanes GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       ROUND((sxy / n - (sx / n) * (sy / n))
+             / (sqrt(sxx / n - (sx / n) * (sx / n))
+                * sqrt(CAST(syy_h AS DOUBLE) / n - (sy / n) * (sy / n))), 6)
+         AS corr_qty_price
+FROM mo
+"""
+
+
+@register("agg_corr_pearson", oracle=_CORR_ORACLE, tier="T2")
+def agg_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation computed from exact integer moments
+    rather than the built-in corr() (whose streaming-update float path is
+    engine-specific and not bit-reproducible).  Quantities are ints,
+    prices go through the cent lane; Σy² exceeds int64 at sf≥0.1 so that
+    single moment runs in decimal(38)/int128 on both engines, converted
+    once (correctly-rounded on both) to double before the identical
+    final expression.
+
+    Scale shape: one partial-aggregated shuffle producing 3 rows — the
+    exact map-side-combine pattern any moment sketch enjoys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lanes = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    mo = lanes.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy_d"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (F.col("sxy") / n - (sx / n) * (sy / n)) / (
+        F.sqrt(F.col("sxx") / n - (sx / n) * (sx / n))
+        * F.sqrt(F.col("syy_d").cast("double") / n - (sy / n) * (sy / n))
+    )
+    return mo.select(
+        "l_returnflag", n.alias("n"), F.round(corr, 6).alias("corr_qty_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register("llm_kmeans_cluster", oracle=None, tier="T3")
+def llm_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-style clustering of the embedding corpus: k=8 Lloyd's
+    iterations ×3, deterministic init (the 8 smallest vec_ids — a real
+    deployment seeds with k-means|| instead; determinism is the point
+    here).  Rows-only: the iterative refinement has no single-query SQL
+    equivalent; pytest asserts sizes, determinism, and monotone inertia.
+
+    Scale shape per iteration: centroids are k×64 floats broadcast in
+    the UDF closure; assignment is ONE corpus scan (Arrow-batched numpy
+    matmul — same kernel as cosine_topk); the centroid update is a
+    partial-aggregated groupBy on 8 keys over posexploded dims.  Nothing
+    driver-side ever exceeds k×dim."""
+    import numpy as np
+    import pandas as pd
+
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = 8
+    init = em.orderBy("vec_id").limit(k).collect()  # k rows — bounded by design
+    centroids = np.array([r.embedding for r in init], dtype=np.float64)
+
+    def make_assign(cents):
+        def assign(batches):
+            for pdf in batches:
+                mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+                # squared euclidean via ||x||² - 2x·c + ||c||²; argmin ties
+                # resolve to the lowest cluster id (np.argmin contract).
+                d2 = (
+                    (mat * mat).sum(axis=1, keepdims=True)
+                    - 2.0 * mat @ cents.T
+                    + (cents * cents).sum(axis=1)
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "embedding": pdf["embedding"],
+                        "cluster_id": d2.argmin(axis=1).astype("int32"),
+                        "sqdist": d2.min(axis=1),
+                    }
+                )
+
+        return assign
+
+    schema = "vec_id long, embedding array<float>, cluster_id int, sqdist double"
+    assigned = None
+    for _ in range(3):
+        assigned = em.mapInPandas(make_assign(centroids), schema)
+        # centroid update: posexplode dims → (cluster, dim) means; the
+        # collected frame is k×dim rows — constant-size driver traffic.
+        upd = (
+            assigned.select("cluster_id", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        for r in upd:
+            new_c[r.cluster_id][r.dim] = r.m
+        centroids = new_c
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("sqdist"), 4).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM toked
+)
+SELECT doc_id, n_tokens,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_start // 512 AS BIGINT) AS seq_first,
+       CAST((tok_start + n_tokens - 1) // 512 AS BIGINT) AS seq_last
+FROM packed
+"""
+
+
+@register("etl_pack_sequences", oracle=_PACK_ORACLE, tier="T2")
+def etl_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in doc_id order
+    and slice the token stream into 512-token context windows; emit each
+    doc's absolute token offset and the first/last window it lands in
+    (training-shard bookkeeping for attention-mask construction).
+
+    Scale shape: the global prefix sum does NOT use a single-partition
+    window — it is the distributed two-phase pattern: (1) block-local
+    cumsum windowed by a coarse block key, (2) per-block totals (tiny)
+    aggregated and joined back broadcast as block offsets.  Every shuffle
+    is by block key; no stage sees unbounded partition width."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    ).withColumn("block", (F.col("doc_id") / 100).cast("long"))
+    w_local = (
+        Window.partitionBy("block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = toked.withColumn(
+        "local_start", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    block_totals = toked.groupBy("block").agg(F.sum("n_tokens").alias("block_total"))
+    w_blocks = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    # block_offsets is ~n_docs/100 rows — the only global ordering happens
+    # on this tiny frame, then broadcasts back.
+    block_offsets = block_totals.select(
+        "block",
+        F.coalesce(F.sum("block_total").over(w_blocks), F.lit(0)).alias("block_offset"),
+    )
+    packed = local.join(F.broadcast(block_offsets), "block").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("block_offset") + F.col("local_start")).alias("tok_start"),
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        F.floor(F.col("tok_start") / 512).alias("seq_first"),
+        F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / 512).alias("seq_last"),
+    )
