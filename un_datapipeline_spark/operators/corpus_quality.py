@@ -1,0 +1,408 @@
+"""Corpus-quality and curriculum operators (round 2 batch 3): the
+document-level filtering / sampling / mixing passes that sit between
+dedup and tokenization in a 100 TB LLM data pipeline — repetition
+flagging (Gopher-style), cross-document boilerplate detection
+(C4-style), stratified sampling, domain-mixture weighting, last-touch
+attribution, and length-curriculum bucketing.
+
+Scale posture: repetition stats are per-row array math (zero shuffle
+beyond the per-doc word rollup); boilerplate grams shuffle on the gram
+VOCABULARY; sampling/curriculum window only within (lang, source)
+strata; the mixture table is dimension-sized and broadcast.  Every
+fraction is a single int/int division (bit-identical across engines —
+ROUND_NOTES.md float policy).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Gopher-style intra-document repetition flags
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])
+         ELSE []::VARCHAR[] END AS bgs
+  FROM toked
+), bstats AS (
+  SELECT doc_id, n_tokens,
+         CAST(len(bgs) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct(bgs)) AS BIGINT) AS n_distinct
+  FROM bg
+), tw AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt
+  FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM toked)
+    GROUP BY doc_id, tok
+  )
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       ROUND(CASE WHEN b.n_bigrams > 0
+             THEN 1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_bigrams
+             ELSE 0.0 END, 6) AS dup_bigram_frac,
+       ROUND(CAST(t.top_cnt AS DOUBLE) / b.n_tokens, 6) AS top_word_frac,
+       CAST(CASE WHEN 1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_bigrams > 0.2
+                   OR CAST(t.top_cnt AS DOUBLE) / b.n_tokens > 0.2
+            THEN 1 ELSE 0 END AS INT) AS flagged
+FROM bstats b JOIN tw t USING (doc_id)
+"""
+
+
+@register("llm_repetition_flags", oracle=_REPETITION_ORACLE, tier="T3")
+def llm_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality flags: per document, the fraction
+    of duplicated word-bigrams (1 - distinct/total) and the most-frequent
+    word's share of all tokens; ``flagged`` marks docs past the 0.2
+    thresholds the Gopher rules use for removal.
+
+    Scale shape: the bigram stats are pure per-row array expressions
+    (transform/array_distinct — whole-stage codegen, zero shuffle); the
+    top-word count is one explode keyed by doc_id, partial-aggregated.
+    No corpus-wide state anywhere, so the pass is embarrassingly
+    parallel at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bstats = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(bgs).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bgs)).cast("long").alias("n_distinct"),
+    )
+    tw = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_cnt"))
+    )
+    dup_frac = F.when(
+        F.col("n_bigrams") > 0,
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    return bstats.join(tw, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        F.round(top_frac, 6).alias("top_word_frac"),
+        F.when((dup_frac > 0.2) | (top_frac > 0.2), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate n-gram detection
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[i : i + 7], ' ')) AS g
+  FROM toked, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+  )
+), bp AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), hit AS (
+  SELECT doc_id, count(*) AS n_bp
+  FROM grams WHERE g IN (SELECT g FROM bp)
+  GROUP BY doc_id
+)
+SELECT h.doc_id,
+       CAST(h.n_bp AS BIGINT) AS n_bp,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       ROUND(CAST(h.n_bp AS DOUBLE) / t.n_grams, 6) AS bp_frac
+FROM hit h JOIN tot t USING (doc_id)
+"""
+
+
+@register("llm_boilerplate_ngrams", oracle=_BOILERPLATE_ORACLE, tier="T3")
+def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detection: a word-8-gram appearing in ≥2
+    distinct documents is boilerplate (headers, license blurbs, templated
+    spans); emit each affected doc's boilerplate-gram count and fraction.
+
+    Scale shape: (doc, gram) pairs shuffle keyed by gram VOCABULARY —
+    the doc-frequency rollup is a partial-aggregated groupBy, never a
+    pair join; the per-doc counts shuffle once on doc_id.  At 100 TB the
+    gram stream is the same plan MinHash banding uses, and hot grams
+    (true boilerplate) stay bounded because the per-gram state is one
+    counter, not a pair list."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    idx = F.when(
+        F.size(toks) >= 8, F.sequence(F.lit(1), F.size(toks) - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        d.select("doc_id", toks.alias("toks"), F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice(F.col("toks"), F.col("i"), 8), " ")).alias("g"),
+        )
+        .distinct()
+    )
+    bp = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 2)
+    tot = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hit = (
+        grams.join(bp.select("g"), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bp"))
+    )
+    return hit.join(tot, "doc_id").select(
+        "doc_id",
+        "n_bp",
+        "n_grams",
+        F.round(F.col("n_bp").cast("double") / F.col("n_grams"), 6).alias("bp_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+_STRATIFIED_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang, source) AS n_stratum
+  FROM documents
+)
+SELECT doc_id, lang, source,
+       CAST(rn AS BIGINT) AS rn,
+       CAST(n_stratum AS BIGINT) AS n_stratum
+FROM ranked
+WHERE rn <= (n_stratum + 9) // 10
+"""
+
+
+@register("etl_stratified_sample", oracle=_STRATIFIED_ORACLE, tier="T2")
+def etl_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-per-stratum sample over (lang, source): rank docs inside
+    each stratum by md5(doc_id) — a deterministic, data-independent
+    shuffle order — and keep the first ceil(n/10).  Guarantees every
+    stratum is represented (plain Bernoulli sampling under-covers small
+    strata), which is what evaluation-set construction needs.
+
+    Scale shape: one shuffle keyed by the stratum; the window never sees
+    more than a stratum's width.  The md5 order means re-runs and
+    engine changes keep the same sample — no RNG state."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wc = Window.partitionBy("lang", "source")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_stratum"),
+    )
+    return ranked.filter(
+        F.col("rn") <= F.expr("(n_stratum + 9) div 10")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture weighting
+# ---------------------------------------------------------------------------
+
+_MIXTURE_ORACLE = """
+WITH tok AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+), per AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         count(*) AS n_sources
+  FROM per
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS actual_frac,
+       ROUND(CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens), 6) AS mix_weight
+FROM per, tot
+"""
+
+
+@register("etl_domain_mixture", oracle=_MIXTURE_ORACLE, tier="T2")
+def etl_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weighting: per-source token share and the
+    upsampling weight that equalizes every source to a uniform target
+    mixture (weight = target_frac / actual_frac).  This is the table a
+    sampler joins (broadcast) against the corpus to hit a prescribed
+    domain mix — the DoReMi-style knob with fixed uniform targets.
+
+    Scale shape: one partial-aggregated shuffle to source granularity
+    (dimension-sized), a single-row grand total cross-joined broadcast.
+    Both fractions are one division of exact integer sums —
+    bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.size(F.split("text", " ")).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias(
+            "actual_frac"
+        ),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_sources") * F.col("n_tokens")),
+            6,
+        ).alias("mix_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH attr AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS src_event_id
+  FROM events
+)
+SELECT a.event_id AS purchase_id,
+       a.user_id,
+       a.src_event_id,
+       s.event_type AS src_type,
+       epoch_us(a.ts) - epoch_us(s.ts) AS gap_us
+FROM attr a LEFT JOIN events s ON s.event_id = a.src_event_id
+WHERE a.event_type = 'purchase'
+"""
+
+
+@register("win_funnel_attribution", oracle=_ATTRIBUTION_ORACLE, tier="T2")
+def win_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent earlier non-purchase event; emit the attributed event,
+    its type, and the gap in microseconds (exact integer — both engines
+    subtract the same epoch-µs longs).  Purchases with no prior touch
+    keep NULL attribution (first-event conversions are a real cohort).
+
+    Scale shape: one shuffle keyed by user_id; the window runs inside
+    each user's (small) event history.  The detail join back to events is
+    an equi-join on event_id — shuffle-hash at scale, and AQE converts it
+    to broadcast when the purchase slice is small."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attr = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_id")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("src_event_id"),
+    ).filter(F.col("event_type") == "purchase")
+    s = e.select(
+        F.col("event_id").alias("src_event_id"),
+        F.col("event_type").alias("src_type"),
+        F.col("ts").alias("src_ts"),
+    )
+    return attr.join(s, "src_event_id", "left").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "src_event_id",
+        "src_type",
+        (F.unix_micros("ts") - F.unix_micros("src_ts")).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-curriculum bucketing
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = """
+WITH b AS (
+  SELECT lang, doc_id, n_chars,
+         ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT lang,
+       CAST(decile AS INT) AS decile,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM b
+GROUP BY lang, decile
+"""
+
+
+@register("llm_length_curriculum", oracle=_CURRICULUM_ORACLE, tier="T2")
+def llm_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum buckets: per-language deciles by document
+    length (ntile over a fully-tied-down order), with per-bucket count
+    and char-sum — the schedule table a curriculum sampler reads to feed
+    short docs first and long docs later in training.
+
+    Scale shape: ntile needs a per-language total order — fine when
+    partitioned by lang (bounded width per language); for a single
+    monster language at 100 TB, switch to the two-phase quantile pattern
+    (approx percentile cutpoints broadcast, then a bucketing join) that
+    agg_histogram uses."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    b = d.select("lang", "n_chars", F.ntile(10).over(w).alias("decile"))
+    return b.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
