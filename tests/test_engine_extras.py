@@ -1,0 +1,101 @@
+"""Invariant tests for the round-2 engine-extras batch (semi-join
+prefilter, IQR outliers, EWMA smoothing, domain balancing, compaction,
+debounce dedup).  SQL-matched ops also run in test_oracle_parity; these
+cover what the hash can't see (EWMA recursion, plan shapes, balance
+targets)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from un_datapipeline_spark.operators.aggregations import agg_iqr_outliers
+from un_datapipeline_spark.operators.etl import etl_balance_domains, etl_compact_files
+from un_datapipeline_spark.operators.joins import join_prefilter_semi
+from un_datapipeline_spark.operators.time_series import ts_ewma_smooth
+from un_datapipeline_spark.operators.windows import win_dedup_debounce
+from un_datapipeline_spark.tables import load_table
+
+
+def test_ewma_matches_pandas_exactly(spark, sf_smoke):
+    out = ts_ewma_smooth(spark, sf_smoke).toPandas()
+    e = (
+        load_table(spark, sf_smoke, "events")
+        .select("event_id", "event_type", "ts", "value")
+        .toPandas()
+    )
+    for etype, grp in e.groupby("event_type"):
+        grp = grp.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        want = grp["value"].ewm(alpha=0.2, adjust=False).mean().round(6)
+        got = (
+            out[out.event_type == etype]
+            .set_index("event_id")
+            .loc[grp["event_id"]]["ewma"]
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_series_equal(got, want, check_names=False, atol=1e-9)
+
+
+def test_ewma_distributes_by_key_not_global(spark, sf_smoke):
+    plan = ts_ewma_smooth(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+
+
+def test_iqr_outliers_bounded(spark, sf_smoke):
+    rows = agg_iqr_outliers(spark, sf_smoke).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.q1 <= r.q3
+        assert 0 <= r.n_low + r.n_high < r.n_events, "fences keep the bulk"
+
+
+def test_balance_downsamples_toward_min(spark, sf_smoke):
+    rows = etl_balance_domains(spark, sf_smoke).collect()
+    mn = min(r.n_before for r in rows)
+    for r in rows:
+        assert r.n_kept <= r.n_before
+        if r.n_before == mn:
+            assert r.n_kept == mn, "smallest language keeps everything"
+        else:
+            # hash gating is binomial around the target; allow wide slack
+            assert r.n_kept <= r.n_before
+            assert abs(r.n_kept - mn) <= max(10, mn // 2)
+
+
+def test_compact_preserves_rows_and_hits_layout(spark, sf_smoke):
+    r = etl_compact_files(spark, sf_smoke).collect()[0]
+    assert r.files_before == 32 and r.files_after == 4
+    li = load_table(spark, sf_smoke, "lineitem")
+    assert r.n_rows == li.count()
+
+
+def test_debounce_keeps_earliest_per_bucket(spark, sf_smoke):
+    kept = win_dedup_debounce(spark, sf_smoke).toPandas()
+    assert kept.groupby(["user_id", "event_type", "bucket"]).size().max() == 1
+    e = load_table(spark, sf_smoke, "events").toPandas()
+    assert len(kept) <= len(e)
+    # survivor is the min (ts, event_id) of its bucket
+    e["bucket"] = (e["ts"].astype("int64") // 1000) // 300_000_000
+    first = (
+        e.sort_values(["ts", "event_id"])
+        .groupby(["user_id", "event_type", "bucket"])
+        .first()
+        .reset_index()
+    )
+    merged = kept.merge(
+        first[["user_id", "event_type", "bucket", "event_id"]],
+        on=["user_id", "event_type", "bucket"],
+        suffixes=("_kept", "_first"),
+    )
+    assert (merged["event_id_kept"] == merged["event_id_first"]).all()
+
+
+def test_prefilter_semi_uses_broadcasts(spark, sf_smoke):
+    plan = (
+        join_prefilter_semi(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

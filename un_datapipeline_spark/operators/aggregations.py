@@ -342,3 +342,73 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 4).alias("lo"),
         F.round(F.max("o_totalprice"), 4).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier detection
+# ---------------------------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       ROUND(q.q1, 6) AS q1,
+       ROUND(q.q3, 6) AS q3,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type, q.q1, q.q3
+"""
+
+
+@register("agg_iqr_outliers", oracle=_IQR_ORACLE, tier="T2")
+def agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per event type: interpolated quartiles
+    (Spark `percentile` ≡ DuckDB `quantile_cont` on the same doubles, so
+    the fences q1−1.5·IQR / q3+1.5·IQR are bit-identical) and the count
+    of events outside them — the standard robust filter for metric
+    streams whose tails would wreck a mean/stddev gate.
+
+    Scale shape: exact quantiles need the per-type value multiset — at
+    bench scale that is one shuffle on 5 keys; at 100 TB swap the exact
+    quantile for approx_percentile (same plan, sketch merge) and keep the
+    fence math unchanged.  The second pass is a broadcast join of 5 fence
+    rows onto one scan."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("value") < F.col("q1") - 1.5 * iqr, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.sum(
+                F.when(F.col("value") > F.col("q3") + 1.5 * iqr, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high"),
+        )
+        .select(
+            "event_type",
+            F.round("q1", 6).alias("q1"),
+            F.round("q3", 6).alias("q3"),
+            "n_events",
+            "n_low",
+            "n_high",
+        )
+    )

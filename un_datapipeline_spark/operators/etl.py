@@ -228,3 +228,118 @@ def etl_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_id"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Language/domain balancing via integer hash thresholds
+# ---------------------------------------------------------------------------
+
+_BALANCE_ORACLE = """
+WITH per AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+), mn AS (
+  SELECT min(n_docs) AS min_docs FROM per
+), th AS (
+  SELECT lang, n_docs, (65536 * min_docs) // n_docs AS thresh, min_docs
+  FROM per, mn
+)
+SELECT d.lang,
+       CAST(t.n_docs AS BIGINT) AS n_before,
+       CAST(t.thresh AS BIGINT) AS thresh,
+       CAST(sum(CASE WHEN t.n_docs = t.min_docs
+                       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                          < lpad(lower(to_hex(t.thresh)), 4, '0')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN th t USING (lang)
+GROUP BY d.lang, t.n_docs, t.thresh
+"""
+
+
+@register("etl_balance_domains", oracle=_BALANCE_ORACLE, tier="T2")
+def etl_balance_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language balancing by deterministic hash gating: every language is
+    downsampled toward the smallest language's doc count.  The keep
+    threshold is the exact integer (65536·min_docs)//n_docs compared
+    against each doc's first 4 md5 hex chars — integer arithmetic and
+    string comparison only, so both engines select the IDENTICAL doc set
+    (no RNG, no float boundary).  The min_docs language short-circuits to
+    keep-all (its threshold would need 5 hex digits).
+
+    Scale shape: the per-language histogram is dimension-sized and
+    broadcast back; gating is a scan-side Column predicate.  Re-running
+    on a grown corpus keeps previously-kept docs stable wherever the
+    threshold didn't move — the reproducibility property a training-mix
+    rebuild needs."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    mn = per.agg(F.min("n_docs").alias("min_docs"))
+    th = per.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_docs",
+        F.expr("(65536 * min_docs) div n_docs").alias("thresh"),
+        "min_docs",
+    )
+    j = d.join(F.broadcast(th), "lang")
+    kept = F.when(
+        (F.col("n_docs") == F.col("min_docs"))
+        | (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < F.lpad(F.lower(F.hex(F.col("thresh"))), 4, "0")
+        ),
+        1,
+    ).otherwise(0)
+    return j.groupBy("lang", "n_docs", "thresh").agg(
+        F.sum(kept).cast("long").alias("n_kept")
+    ).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_before"),
+        F.col("thresh").cast("long").alias("thresh"),
+        "n_kept",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction
+# ---------------------------------------------------------------------------
+
+_COMPACT_ORACLE = """
+SELECT 32 AS files_before,
+       4  AS files_after,
+       count(*) AS n_rows,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+FROM lineitem
+"""
+
+
+@register("etl_compact_files", oracle=_COMPACT_ORACLE, tier="T2")
+def etl_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: materialize lineitem as 32 small parquet
+    files (the over-partitioned layout a streaming ingest leaves behind),
+    then rewrite with coalesce(4) and verify nothing was lost.  The
+    oracle pins the layout CONTRACT — exactly 32 before, 4 after, same
+    rows and key checksum — because repartition(n)/coalesce(n) emit
+    exactly n files.
+
+    Scale shape: coalesce(4) merges partitions WITHOUT a shuffle (it
+    narrows the partitioning), which is the entire point of compaction —
+    a repartition would pay a full shuffle to fix a layout problem.  At
+    100 TB the same op runs per hive-partition with n sized to the
+    128 MB-file target."""
+    import glob
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    small_dir = tempfile.mkdtemp(prefix="udps_small_")
+    li.repartition(32).write.mode("overwrite").parquet(small_dir)
+    files_before = len(glob.glob(f"{small_dir}/part-*.parquet"))
+    compact_dir = tempfile.mkdtemp(prefix="udps_compact_")
+    spark.read.parquet(small_dir).coalesce(4).write.mode("overwrite").parquet(
+        compact_dir
+    )
+    files_after = len(glob.glob(f"{compact_dir}/part-*.parquet"))
+    back = spark.read.parquet(compact_dir)
+    return back.agg(
+        F.lit(files_before).alias("files_before"),
+        F.lit(files_after).alias("files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").cast("long").alias("key_sum"),
+    )

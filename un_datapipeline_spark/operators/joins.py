@@ -309,3 +309,81 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("n_ship"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join reduction (bloom-filter-style fact prefilter)
+# ---------------------------------------------------------------------------
+
+_PREFILTER_ORACLE = """
+SELECT n.n_name,
+       count(*) AS n_items,
+       ROUND(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0, 4)
+         AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+GROUP BY n.n_name
+"""
+
+
+@register("join_prefilter_semi", oracle=_PREFILTER_ORACLE, tier="T2")
+def join_prefilter_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction: before the wide fact⋈fact join, the fact
+    table is cut down with LEFT SEMI joins against the (already filtered)
+    key sets — the manual form of the bloom-filter/DPP runtime filters a
+    warehouse engine injects.  Result is EXACTLY the plain star-join
+    (semi filters have no false positives here), which is what the
+    oracle asserts.
+
+    Scale shape: customer keys for one region (~1/5 of customers) semi-
+    filter orders; surviving order keys semi-filter lineitem BEFORE its
+    shuffle — the biggest table shuffles only matching rows instead of
+    everything (at 100 TB this is the difference between shuffling 4 TB
+    and 100 TB).  The final joins then run on pre-shrunk inputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    asia_nations = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    asia_cust = c.join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "n_name")
+
+    o_filt = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).join(
+        F.broadcast(asia_cust.select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
+    # the reduction step: lineitem never shuffles non-matching rows
+    li_filt = li.join(
+        F.broadcast(o_filt.select("o_orderkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li_filt.join(o_filt, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(price_c * (100 - disc_c)) / 10000.0, 4).alias("revenue"),
+        )
+    )

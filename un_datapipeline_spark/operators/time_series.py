@@ -117,3 +117,40 @@ def ts_similarity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("va", "vb"), 5).alias("series_corr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (grouped sequential scan)
+# ---------------------------------------------------------------------------
+
+
+@register("ts_ewma_smooth", oracle=None, tier="T3")
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.2) of each event
+    type's value series, in time order.  Rows-only: EWMA is a recursive
+    accumulation — engines disagree in the last float ulp after thousands
+    of multiply-adds, so no cross-engine hash can be stable; the pytest
+    invariant recomputes a full group with pandas `ewm` and matches to
+    1e-9.
+
+    Scale shape: `applyInPandas` keyed by event_type — each group is one
+    Arrow batch stream processed as a vectorized pandas ewm (C loop, not
+    per-row Python).  This is the canonical 'grouped sequential scan'
+    pattern: anything recursive-per-key (EWMA, Kalman, run-length state)
+    distributes by key and stays linear inside the key.  A key whose
+    history exceeds one executor's memory needs the chunked-state
+    variant (stream_custom_stateful shows it)."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pdf["ewma"] = pdf["value"].ewm(alpha=0.2, adjust=False).mean().round(6)
+        return pdf[["event_id", "event_type", "value", "ewma"]]
+
+    return e.groupBy("event_type").applyInPandas(
+        smooth, "event_id long, event_type string, value double, ewma double"
+    )

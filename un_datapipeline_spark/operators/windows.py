@@ -182,3 +182,59 @@ def win_sliding_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).over(w) / (100.0 * F.count(F.lit(1)).over(w)), 6
         ).alias("mov_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Debounce dedup (first event per key per time bucket)
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_ORACLE = """
+WITH ranked AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) // 300000000 AS bucket,
+         row_number() OVER (PARTITION BY user_id, event_type,
+                                         epoch_us(ts) // 300000000
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id, event_type, CAST(bucket AS BIGINT) AS bucket
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("win_dedup_debounce", oracle=_DEBOUNCE_ORACLE, tier="T2")
+def win_dedup_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce deduplication: keep only the FIRST event per (user,
+    event_type) inside each 5-minute bucket — the batch formulation of
+    the duplicate-suppression a click collector applies (stream_dedup is
+    the streaming twin).  Bucketing is exact integer µs division, so
+    both engines agree on every boundary.
+
+    Scale shape: one shuffle keyed by (user, type, bucket); row_number
+    sorts only within a key's bucket (a handful of rows).  This beats
+    dropDuplicates on the same key only in that it picks a DETERMINISTIC
+    survivor (earliest, then lowest id) rather than an arbitrary one."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.expr("unix_micros(ts) div 300000000")
+    w = Window.partitionBy("user_id", "event_type", bucket.alias("b")).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            bucket.cast("long").alias("bucket"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "event_type", "bucket").orderBy(
+                    "ts", "event_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "bucket")
+    )
