@@ -1,0 +1,49 @@
+"""Invariant tests for round-2 batch 5: null-safe join, gap detection,
+TTR, bucketed write, URL parsing."""
+
+from __future__ import annotations
+
+from un_datapipeline_spark.operators.joins import join_null_safe_eq
+from un_datapipeline_spark.operators.sources import sink_bucketed_write
+from un_datapipeline_spark.operators.text_analysis import llm_type_token_ratio
+from un_datapipeline_spark.operators.time_series import ts_gap_detect
+from un_datapipeline_spark.tables import load_table
+
+
+def test_null_safe_join_matches_null_bucket(spark, sf_smoke):
+    rows = {r.pri: r for r in join_null_safe_eq(spark, sf_smoke).collect()}
+    assert "<null>" in rows, "NULL keys must match under <=>"
+    assert all(r.n > 0 for r in rows.values())
+
+
+def test_gap_detect_covers_all_types(spark, sf_smoke):
+    rows = ts_gap_detect(spark, sf_smoke).collect()
+    e = load_table(spark, sf_smoke, "events")
+    per_type = {r.event_type: r["count"] for r in e.groupBy("event_type").count().collect()}
+    assert {r.event_type for r in rows} == set(per_type)
+    for r in rows:
+        assert r.n_gaps == per_type[r.event_type] - 1, "n-1 gaps for n events"
+        assert r.max_gap_us >= 0
+
+
+def test_ttr_bounds(spark, sf_smoke):
+    for r in llm_type_token_ratio(spark, sf_smoke).collect():
+        assert 0 < r.min_doc_ttr <= r.max_doc_ttr <= 1.0
+        assert 0 < r.corpus_ttr <= 1.0
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_smoke):
+    # run the op (writes the bucketed tables and proves result parity via
+    # its oracle elsewhere); at smoke scale Catalyst picks broadcast, so
+    # force the merge path to exercise the bucketed-layout guarantee
+    sink_bucketed_write(spark, sf_smoke).collect()
+    cb = spark.table("bk_customer").hint("merge")
+    ob = spark.table("bk_orders")
+    j = cb.join(ob, cb.c_custkey == ob.o_custkey)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # co-bucketed + sorted at write time ⇒ no Exchange (shuffle) at all
+    assert "Exchange hashpartitioning" not in plan, (
+        "bucketed join must not re-shuffle inputs:\n" + plan
+    )
+    assert "SelectedBucketsCount: 8 out of 8" in plan

@@ -1,0 +1,78 @@
+"""Invariant tests for the sketch / source-evolution / quarantine batch
+(round 2 batch 4).  SQL-matched ops also run in test_oracle_parity;
+these cover sketch algebra and scan-level plan properties the hash
+can't see."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from un_datapipeline_spark.operators.aggregations import (
+    agg_freq_sketch_cms,
+    agg_sketch_mergeable,
+)
+from un_datapipeline_spark.operators.etl import etl_quarantine_bad_rows
+from un_datapipeline_spark.operators.sources import src_schema_evolution
+from un_datapipeline_spark.tables import load_table
+
+
+def test_hll_merge_equals_global_and_near_truth(spark, sf_smoke):
+    rows = {r.scope: r.est for r in agg_sketch_mergeable(spark, sf_smoke).collect()}
+    assert set(rows) == {"merged", "global"}
+    # mergeability: union of partial sketches IS the global sketch
+    assert rows["merged"] == rows["global"]
+    truth = (
+        load_table(spark, sf_smoke, "customer")
+        .select("c_custkey")
+        .distinct()
+        .count()
+    )
+    assert abs(rows["global"] - truth) / truth < 0.02
+
+
+def test_cms_estimates_dominate_truth(spark, sf_smoke):
+    est = {r.event_type: r.est_count for r in agg_freq_sketch_cms(spark, sf_smoke).collect()}
+    truth = {
+        r.event_type: r["count"]
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    assert set(est) == set(truth)
+    for k, t in truth.items():
+        # CMS guarantee: estimate never undercounts
+        assert est[k] >= t
+
+
+def test_schema_evolution_union_schema(spark, sf_smoke):
+    r = src_schema_evolution(spark, sf_smoke).collect()[0]
+    s = load_table(spark, sf_smoke, "supplier")
+    n = s.count()
+    assert r.n == n
+    assert r.n_with_bal + r.n_with_nation == n, "each generation owns its column"
+
+
+def test_quarantine_accounts_for_every_row(spark, sf_smoke):
+    r = etl_quarantine_bad_rows(spark, sf_smoke).collect()[0]
+    e = load_table(spark, sf_smoke, "events")
+    assert r.n_total == e.count()
+    assert r.n_good + r.n_quarantined == r.n_total
+    assert r.n_quarantined == e.filter("event_id % 97 = 0").count()
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_smoke, tmp_path):
+    """Hive-partitioned layout must prune at planning time: a filter on
+    the partition column reads only that directory (PartitionFilters in
+    the scan, no pushed data filter needed)."""
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    out = str(tmp_path / "part_pq")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "A")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+    # correctness of the pruned read
+    want = li.filter("l_returnflag = 'A'").count()
+    assert back.count() == want

@@ -412,3 +412,99 @@ def agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_high",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch mergeability (HLL)
+# ---------------------------------------------------------------------------
+
+
+@register("agg_sketch_mergeable", oracle=None, tier="T2")
+def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches-HLL mergeability demo: per-nation customer-key
+    sketches, merged with hll_union_agg, must estimate the SAME
+    cardinality as one global sketch — the algebraic property that lets
+    distinct-counting scale (partial sketches per partition/day/shard,
+    merged later, no re-scan).  Rows-only: sketch binaries are
+    engine-specific; pytest asserts merged == global exactly and both
+    within 2% of the true distinct count.
+
+    Scale shape: both paths are one partial-aggregated scan; the merge
+    input is 25 nation-sized sketch blobs."""
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("cust_sk")
+    per_nation = spark.sql(
+        "SELECT c_nationkey, hll_sketch_agg(c_custkey) AS sk "
+        "FROM cust_sk GROUP BY c_nationkey"
+    )
+    per_nation.createOrReplaceTempView("nation_sk")
+    merged = spark.sql(
+        "SELECT 'merged' AS scope, "
+        "hll_sketch_estimate(hll_union_agg(sk)) AS est FROM nation_sk"
+    )
+    global_ = spark.sql(
+        "SELECT 'global' AS scope, "
+        "hll_sketch_estimate(hll_sketch_agg(c_custkey)) AS est FROM cust_sk"
+    )
+    return merged.unionByName(global_).orderBy("scope")
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch frequency estimation (DataFrame-native)
+# ---------------------------------------------------------------------------
+
+_CMS_ORACLE = """
+SELECT event_type, count(*) AS est_count
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_freq_sketch_cms", oracle=_CMS_ORACLE, tier="T2")
+def agg_freq_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built as a DataFrame program: 3 hash rows
+    (xxhash64 with per-row seed) × 512 buckets, counts per cell, then
+    each key's estimate = min over rows of its cell count.  With 5
+    distinct keys in 512 buckets there are no collisions, so the
+    estimate equals the EXACT count — which the oracle asserts (the
+    general CMS bound is est ≥ true, ≤ true + ε·N).
+
+    Scale shape: the sketch is a groupBy on (row, bucket) — at most
+    3×512 cells regardless of input size, built with partial aggregation
+    in one scan.  The probe joins the (tiny, broadcast) cell table back
+    to the distinct keys.  This replaces a vocabulary-sized shuffle with
+    a constant-size one when only hot-key estimates are needed — and
+    unlike the JVM sketch blob, every step is visible to Catalyst."""
+    e = load_table(spark, sf_dir, "events")
+    depth, width = 3, 512
+    rows = [
+        e.select(
+            F.lit(d).alias("row"),
+            (F.abs(F.xxhash64(F.col("event_type"), F.lit(d))) % width).alias(
+                "bucket"
+            ),
+            "event_type",
+        )
+        for d in range(depth)
+    ]
+    hashed = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    cells = hashed.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cell_count"))
+    probes = (
+        e.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("row"),
+        )
+        .select(
+            "event_type",
+            "row",
+            (F.abs(F.xxhash64(F.col("event_type"), F.col("row"))) % width).alias(
+                "bucket"
+            ),
+        )
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("event_type")
+        .agg(F.min("cell_count").alias("est_count"))
+    )

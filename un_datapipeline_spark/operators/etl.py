@@ -343,3 +343,52 @@ def etl_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_orderkey").cast("long").alias("key_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record quarantine
+# ---------------------------------------------------------------------------
+
+_QUARANTINE_ORACLE = """
+WITH parsed AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN NULL
+              ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM events
+)
+SELECT count(*) AS n_total,
+       count(k) AS n_good,
+       count(*) - count(k) AS n_quarantined,
+       CAST(sum(k) AS BIGINT) AS k_sum
+FROM parsed
+"""
+
+
+@register("etl_quarantine_bad_rows", oracle=_QUARANTINE_ORACLE, tier="T2")
+def etl_quarantine_bad_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine: a deterministic 1/97 slice of the
+    events feed has its JSON payload truncated (simulating upstream
+    corruption), PERMISSIVE from_json turns those into NULL structs, and
+    the pipeline splits good rows from quarantined ones instead of
+    failing the batch.  Counts + payload checksum verify nothing is
+    silently dropped.
+
+    Scale shape: pure per-row Column expressions (regexp + from_json in
+    codegen); the quarantine split is two filters over one scan — the
+    standard dead-letter pattern, no shuffle at all (the final count
+    aggregate is the only exchange)."""
+    e = load_table(spark, sf_dir, "events")
+    corrupted = F.when(
+        F.col("event_id") % 97 == 0,
+        # chop the payload mid-object: '{"k": 12' — invalid JSON
+        F.expr("substring(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    parsed = e.select(
+        "event_id", F.from_json(corrupted, "k long").alias("p")
+    ).select("event_id", F.col("p.k").alias("k"))
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("k").alias("n_good"),
+        (F.count(F.lit(1)) - F.count("k")).alias("n_quarantined"),
+        F.sum("k").cast("long").alias("k_sum"),
+    )

@@ -350,3 +350,49 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr"),
         F.bit_count(k).alias("popcnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL parsing
+# ---------------------------------------------------------------------------
+
+_URL_ORACLE = """
+SELECT source || '.example.com' AS host,
+       count(*) AS n,
+       count(DISTINCT '/docs/' || CAST(doc_id AS VARCHAR)) AS n_paths,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source || '.example.com'
+"""
+
+
+@register("fn_url_parse", oracle=_URL_ORACLE, tier="T2")
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structural parsing: synthesize each doc's canonical URL, then
+    recover host / path / query-param with parse_url — the crawl-corpus
+    operator that feeds domain-level filtering and dedup.  The oracle
+    reconstructs the same fields from the source columns, so the check
+    verifies parse_url's decomposition against ground truth.
+
+    Scale shape: parse_url is a per-row JVM expression inside codegen —
+    one scan, then a host-keyed rollup whose cardinality is the domain
+    count, not the page count."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    parsed = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("qlang"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("path").alias("n_paths"),
+        F.countDistinct("qlang").alias("n_langs"),
+    )

@@ -387,3 +387,60 @@ def join_prefilter_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(price_c * (100 - disc_c)) / 10000.0, 4).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join
+# ---------------------------------------------------------------------------
+
+_NULLSAFE_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS pri,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+), b AS (
+  SELECT DISTINCT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                       ELSE o_orderpriority END AS pri
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT coalesce(a.pri, '<null>') AS pri,
+       count(*) AS n,
+       ROUND(sum(CAST(round(a.o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS total
+FROM a JOIN b ON a.pri IS NOT DISTINCT FROM b.pri
+GROUP BY coalesce(a.pri, '<null>')
+"""
+
+
+@register("join_null_safe_eq", oracle=_NULLSAFE_ORACLE, tier="T2")
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics a dimension
+    join needs when 'unknown' is itself a valid bucket.  A deterministic
+    slice of order priorities is nulled to exercise it.
+
+    Scale shape: `<=>` stays a hash-joinable equi-condition in Catalyst
+    (null-safe keys hash like any value) — same shuffle/broadcast
+    strategies as `=`, unlike an OR-of-IS-NULL rewrite which would
+    degrade to nested-loop."""
+    o = load_table(spark, sf_dir, "orders")
+    pri = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    a = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        pri.alias("pri_a"), "o_totalprice"
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % 11 == 0)
+        .select(pri.alias("pri_b"))
+        .distinct()
+    )
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        a.join(F.broadcast(b), a.pri_a.eqNullSafe(b.pri_b))
+        .groupBy(F.coalesce("pri_a", F.lit("<null>")).alias("pri"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(price_c) / 100.0, 4).alias("total"),
+        )
+    )

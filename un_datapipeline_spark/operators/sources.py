@@ -170,3 +170,114 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("s_acctbal"), 4).alias("bal_sum"),
         F.countDistinct("s_nationkey").alias("n_nations"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution across file generations
+# ---------------------------------------------------------------------------
+
+_EVOLUTION_ORACLE = """
+SELECT count(*) AS n,
+       CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+       count(CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal END) AS n_with_bal,
+       count(CASE WHEN s_suppkey % 2 = 1 THEN s_nationkey END) AS n_with_nation,
+       ROUND(sum(CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal END), 4) AS bal_sum
+FROM supplier
+"""
+
+
+@register("src_schema_evolution", oracle=_EVOLUTION_ORACLE, tier="T1")
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: two parquet generations of the supplier feed —
+    an old one carrying (key, name, acctbal) and a new one carrying
+    (key, name, nationkey) — read together with mergeSchema, yielding
+    the union schema with NULLs where a generation lacks the column.
+    The oracle replays the generation split with CASE filters on the
+    original table.
+
+    Scale shape: mergeSchema unions footer schemas at planning time
+    (cost ∝ number of FILES' footers, not data); each file still prunes
+    to the columns it has.  This is how a year of evolving daily drops
+    reads as one table at 100 TB."""
+    s = load_table(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="udps_evo_")
+    s.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    ).write.mode("overwrite").parquet(f"{out}/gen=old")
+    s.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    ).write.mode("overwrite").parquet(f"{out}/gen=new")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=old", f"{out}/gen=new"
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s_suppkey").cast("long").alias("key_sum"),
+        F.count("s_acctbal").alias("n_with_bal"),
+        F.count("s_nationkey").alias("n_with_nation"),
+        F.round(F.sum("s_acctbal"), 4).alias("bal_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed table write + shuffle-free join
+# ---------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       ROUND(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 4)
+         AS total_price
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("sink_bucketed_write", oracle=_BUCKETED_ORACLE, tier="T1")
+def sink_bucketed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table layout: customer and orders both written
+    bucketBy(8, custkey) + sortBy via saveAsTable, then joined — with
+    co-bucketed layouts Catalyst plans the join WITHOUT a shuffle on
+    either side (asserted in tests/test_scale.py for the scale.py twin;
+    here the oracle checks the join result equals the plain join).
+
+    Scale shape: bucketing pre-pays the shuffle ONCE at write time; every
+    subsequent join/aggregation on the bucket key is exchange-free.  At
+    100 TB this is the difference between re-shuffling the fact table per
+    query and never shuffling it again."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS bk_customer")
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    # a fresh session's in-memory catalog doesn't know tables written by a
+    # previous process, so DROP alone leaves their warehouse dirs behind —
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS.  Clear them.
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("bk_customer", "bk_orders"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    (
+        c.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("bk_customer")
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("bk_orders")
+    )
+    cb = spark.table("bk_customer")
+    ob = spark.table("bk_orders")
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        cb.join(ob, cb.c_custkey == ob.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(price_c) / 100.0, 4).alias("total_price"),
+        )
+    )

@@ -232,3 +232,52 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", "shared")
         .orderBy("a", "b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio (lexical diversity)
+# ---------------------------------------------------------------------------
+
+_TTR_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       ROUND(CAST(sum(len(list_distinct(toks))) AS BIGINT)
+             / CAST(sum(len(toks)) AS BIGINT), 6) AS corpus_ttr,
+       ROUND(min(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 6)
+         AS min_doc_ttr,
+       ROUND(max(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 6)
+         AS max_doc_ttr
+FROM toked
+GROUP BY lang
+"""
+
+
+@register("llm_type_token_ratio", oracle=_TTR_ORACLE, tier="T3")
+def llm_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity screening: per-language type-token ratios
+    (distinct words / total words), corpus-level and per-doc extremes —
+    low TTR flags keyword-stuffed or template text that repetition rules
+    miss.  All ratios are single divisions of exact integer sums.
+
+    Scale shape: distinct-per-doc is per-row array math (array_distinct
+    in codegen — no shuffle); only the 5-key language rollup exchanges.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    per_doc = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+    )
+    doc_ttr = F.col("n_types").cast("double") / F.col("n_toks")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("n_types") / F.sum("n_toks").cast("double"), 6
+        ).alias("corpus_ttr"),
+        F.round(F.min(doc_ttr), 6).alias("min_doc_ttr"),
+        F.round(F.max(doc_ttr), 6).alias("max_doc_ttr"),
+    )

@@ -154,3 +154,50 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         smooth, "event_id long, event_type string, value double, ewma double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap detection
+# ---------------------------------------------------------------------------
+
+_GAP_ORACLE = """
+WITH gaps AS (
+  SELECT event_type, event_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_gaps,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(CASE WHEN gap_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_1m
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("ts_gap_detect", oracle=_GAP_ORACLE, tier="T3")
+def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-health gap detection: per event type, inter-arrival gaps via
+    lag(), with max gap and the count of gaps exceeding one minute — the
+    monitor that catches a stalled upstream partition.  Gap math is
+    exact integer µs.
+
+    Scale shape: one shuffle on event_type, lag inside the sorted
+    partition, then a partial-aggregated rollup to 5 rows.  For a
+    single giant key, pre-bucket by (type, hour) and stitch boundaries —
+    the two-phase pattern etl_pack_sequences demonstrates."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.sum(F.when(F.col("gap_us") > 60_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_1m"),
+    )

@@ -238,3 +238,45 @@ def win_dedup_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-rank window family
+# ---------------------------------------------------------------------------
+
+_PCTRANK_ORACLE = """
+SELECT o_orderstatus, o_orderkey, o_totalprice,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist()    OVER w, 6) AS cume,
+       ntile(4)             OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+QUALIFY o_orderkey % 37 = 0
+"""
+
+
+@register("win_percent_rank_cume", oracle=_PCTRANK_ORACLE, tier="T2")
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks per order-status: percent_rank ((rank−1)/(n−1)),
+    cume_dist (rows ≤ current / n), and quartile ntile, sampled to every
+    37th key to keep the verified output bounded.  Both engines compute
+    the ranks from identical integer (rank, n) pairs — one division each,
+    no accumulation — so 6dp rounding is safe.
+
+    Scale shape: one shuffle on o_orderstatus; the per-partition sort is
+    the same one every rank-family window pays.  The %37 sample filter
+    applies AFTER ranking (it must — ranks are over the full partition),
+    so it prunes output size, not compute."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("o_orderkey") % 37 == 0)
+    )
