@@ -56,15 +56,20 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
 
+    import time
+
     n_match = n_rows_only = n_fail = 0
     for name in q:  # registry order — the order the driver walks
+        t0 = time.perf_counter()
         try:
             spdf = q[name](spark, SF).toPandas()
+            el = time.perf_counter() - t0
             if name in o:
                 ocdf = con.execute(o[name]).df()
                 problems = strict_compare(spdf, ocdf)
                 out.write(
-                    f"t2 {name}: rows={len(spdf)}/{len(ocdf)} match={not problems}\n"
+                    f"t2 {name}: rows={len(spdf)}/{len(ocdf)} "
+                    f"match={not problems} spark_s={el:.2f}\n"
                 )
                 for p in problems[:8]:
                     out.write(f"    {p}\n")
@@ -74,7 +79,9 @@ def main() -> int:
                 # rows-only still goes through the driver's canon so an
                 # unhashable array cell fails here, not under the driver.
                 canon(spdf)
-                out.write(f"t2 {name}: rows-only rows={len(spdf)}\n")
+                out.write(
+                    f"t2 {name}: rows-only rows={len(spdf)} spark_s={el:.2f}\n"
+                )
                 n_rows_only += 1
         except Exception:
             out.write(f"t2 {name}: EXCEPTION\n{traceback.format_exc()}\n")

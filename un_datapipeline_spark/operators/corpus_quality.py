@@ -406,3 +406,119 @@ def llm_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step pair counting
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), chars AS (
+  SELECT w, string_split(w, '') AS cs FROM toked
+), pairs AS (
+  SELECT cs[i] || cs[i + 1] AS pair
+  FROM chars, LATERAL (
+    SELECT unnest(generate_series(1, len(cs) - 1)) AS i
+  )
+  WHERE len(cs) >= 2
+)
+SELECT pair, count(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 50
+"""
+
+
+@register("llm_bpe_pair_counts", oracle=_BPE_ORACLE, tier="T3")
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-wide
+    adjacent-character-pair frequencies, top-50 (the pair a trainer would
+    merge first, and the next 49 candidates).  Subsequent iterations
+    re-run the same plan over re-segmented words — each merge step IS
+    this operator.
+
+    Scale shape: word→char-pair explosion shuffles on the PAIR key —
+    alphabet², a few hundred distinct keys regardless of corpus size —
+    with partial aggregation collapsing each partition to that same tiny
+    key set before the exchange.  The top-50 is a TakeOrdered, not a full
+    sort."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w"))
+    cs = F.split("w", "")
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.concat(F.element_at(cs, i), F.element_at(cs, i + 1)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+    FROM toked GROUP BY w
+  ) WHERE rn <= 500
+)
+SELECT t.lang,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_vocab,
+       ROUND(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6)
+         AS coverage
+FROM toked t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.lang
+"""
+
+
+@register("llm_vocab_coverage", oracle=_VOCAB_ORACLE, tier="T3")
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: build the top-500 corpus vocabulary,
+    then measure per-language token coverage (1 − OOV rate) — the check
+    that reveals when a tokenizer's vocab starves a language before
+    training does.  Coverage is one int/int division.
+
+    Scale shape: vocab construction is a word-keyed count + global
+    top-k; the coverage pass joins the (tiny, broadcast) vocab onto the
+    token stream — one scan, one vocabulary-keyed shuffle, never a
+    corpus-keyed one."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    wv = Window.orderBy(F.desc("n"), "w")
+    vocab = (
+        toked.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= 500)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toked.join(F.broadcast(vocab), "w", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("in_vocab", F.lit(0))).cast("long").alias("n_in_vocab"),
+            F.round(
+                F.sum(F.coalesce("in_vocab", F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
