@@ -1002,3 +1002,85 @@ def llm_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection over dup clusters
+# ---------------------------------------------------------------------------
+
+_CANONICAL_ORACLE = """
+WITH RECURSIVE grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  ) WHERE len(string_split(gram, ' ')) = 3
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM grams x JOIN grams y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), jedges AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+), hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
+medges AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM hashes x JOIN hashes y ON x.h = y.h AND x.doc_id < y.doc_id
+), edges AS (SELECT a, b FROM jedges UNION SELECT a, b FROM medges),
+bidir AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(node, label) AS (
+  SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM bidir)
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN bidir e ON e.a = r.node
+), labeled AS (
+  SELECT node, min(label) AS rep FROM reach GROUP BY node
+), ranked AS (
+  SELECT l.rep, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY l.rep
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         count(*) OVER (PARTITION BY l.rep) AS n_docs
+  FROM labeled l JOIN documents d ON d.doc_id = l.node
+)
+SELECT rep, doc_id AS canonical_doc, CAST(n_chars AS BIGINT) AS canonical_chars,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("llm_canonical_select", oracle=_CANONICAL_ORACLE, tier="T3")
+def llm_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that completes dedup: inside each near-dup cluster
+    (connected components over the exact ∪ Jaccard≥0.5 edge graph), keep
+    ONE canonical document — the longest variant, ties to the lowest
+    doc_id — and count what gets dropped.  This is the keep-policy
+    RefinedWeb/C4-style pipelines apply after clustering.
+
+    Scale shape: reuses the sub-quadratic edge builder and the
+    iterative min-label components (see llm_dedup_cluster); the
+    selection itself is one window over cluster-sized partitions.  The
+    SQL oracle replays the whole chain with a recursive CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    labels = connected_components(_dup_edges(d))
+    ranked = labels.join(d, labels.node == d.doc_id).select(
+        F.col("label").alias("rep"), "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("rep").orderBy(F.desc("n_chars"), "doc_id")
+    wc = Window.partitionBy("rep")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "rep",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_chars").cast("long").alias("canonical_chars"),
+            "n_docs",
+            (F.col("n_docs") - 1).cast("long").alias("n_dropped"),
+        )
+    )
