@@ -18,7 +18,13 @@ import tempfile
 
 import pyspark.sql.functions as F
 
-from un_datapipeline_spark.operators.streaming import EVENTS_STREAM_SCHEMA
+# This test manufactures its own micro-batches with int64 epoch-ns ts
+# (the round-1/2 physical layout) — the schema is local on purpose; the
+# production stream reader now probes the footer for the actual layout.
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
 
 US = 1_000_000  # µs per second
 NS = 1_000_000_000

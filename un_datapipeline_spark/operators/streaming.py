@@ -54,25 +54,34 @@ def stream_shuffle_partitions(spark: SparkSession):
     finally:
         spark.conf.set(key, before)
 
-# Physical schema of events.parquet under nanosAsLong (ts: int64 ns).
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+def _events_stream_schema(spark: SparkSession, sf_dir: str) -> str:
+    """File stream sources need an explicit schema; probe the batch
+    footer (one cheap metadata read) so the schema tracks whichever
+    physical ts layout the generator shipped (int64-ns under nanosAsLong
+    in rounds 1-2, timestamp[us] → NTZ since round 3)."""
+    raw = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
+    phys = "long" if raw.get("ts") == "bigint" else "timestamp_ntz"
+    return (
+        f"event_id long, ts {phys}, user_id long, event_type string, "
+        "value double, props string"
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as a Structured Streaming file source, ts normalized to
     µs timestamps exactly like the batch loader (tables.load_table)."""
     ensure_runtime_confs(spark)
+    schema = _events_stream_schema(spark, sf_dir)
     # File stream sources need a directory; pathGlobFilter narrows the
     # listing to the events table inside the shared sf_dir.
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if "ts long" in schema:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:

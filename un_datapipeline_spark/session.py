@@ -1,18 +1,18 @@
 """SparkSession factory and runtime configuration.
 
-Two hard requirements (SURVEY.md §1.2, verified empirically):
+Hard requirements (SURVEY.md §1.2, verified empirically):
 
-1. ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.ts`` is
-   parquet ``timestamp[ns]`` which Spark 4.x refuses to read natively
-   (``PARQUET_TYPE_ILLEGAL``).  The conf is honored when set at *runtime*
-   via ``spark.conf.set`` (verified), which matters because the driver
-   builds the session — ``ensure_runtime_confs`` is therefore called by
-   every loader, not just by our own factory.
+1. ``events.ts`` physical layout has varied across testdata generations:
+   parquet ``timestamp[ns]`` (rounds 1-2; needs
+   ``spark.sql.legacy.parquet.nanosAsLong=true`` + integer ``ts div
+   1000`` — float division mismatches ~12% of rows above 2^53) and
+   parquet ``timestamp[us]`` (round 3+; arrives as TIMESTAMP_NTZ, cast
+   to UTC TIMESTAMP).  ``tables._normalize_events_ts`` dispatches on the
+   loaded dtype; the nanosAsLong conf stays set so the ns layout still
+   loads if a future generation reverts.
 
-2. ns→µs conversion must use *integer* division (``ts div 1000``): the
-   double-division recipe loses precision above 2^53 and mismatches the
-   DuckDB oracle on ~12% of rows (measured at sf0.01).  See
-   ``tables.load_table``.
+2. Session timezone pinned UTC so epoch/date math matches the
+   (naive-timestamp) DuckDB oracle regardless of machine timezone.
 
 Scale posture: AQE on (coalesce + skew-join split at runtime), shuffle
 partitions sized for the local test data but overridable via

@@ -1,11 +1,20 @@
 """Canonical loaders for the ten testdata tables (FIXTURES.md).
 
 All operators load inputs through ``load_table`` so the one data-model
-hazard — ``events.ts`` stored as parquet ``timestamp[ns]`` — is fixed in
-exactly one place.  Conversion uses **integer** division (``ts div
-1000``): verified to match DuckDB's ``CAST(ts AS TIMESTAMP)`` on every
-row at sf0.01, whereas float division mismatches ~12% of rows (ns epoch
-values exceed 2^53).
+hazard — the physical type of ``events.ts`` — is fixed in exactly one
+place.  The generator has shipped two layouts across rounds:
+
+* parquet ``timestamp[ns]`` (rounds 1-2): read as int64 under
+  ``nanosAsLong`` and converted with **integer** division (``ts div
+  1000`` — float division mismatches ~12% of rows; ns epochs exceed
+  2^53), then ``timestamp_micros``;
+* parquet ``timestamp[us]`` (round 3+): arrives as TIMESTAMP_NTZ
+  natively; cast to session-timezone TIMESTAMP (session is pinned UTC,
+  so the wall-clock is preserved and epoch math matches DuckDB's naive
+  TIMESTAMP exactly).
+
+``_normalize_events_ts`` dispatches on the loaded dtype so either layout
+produces the same logical schema: ``ts TIMESTAMP`` at µs precision.
 
 At 100 TB these reads stay scan-friendly: loaders never cache, never
 collect, and return raw DataFrames so Catalyst can push predicates and
@@ -62,11 +71,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as LongType (nanosAsLong). Integer `div` keeps exact
-        # microseconds; timestamp_micros interprets as epoch-µs.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_events_ts(df)
     _LOAD_CACHE[key] = df
     return df
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a µs-precision TIMESTAMP regardless of
+    the parquet physical layout (see module docstring)."""
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        # int64 epoch-ns under nanosAsLong; integer div keeps exact µs.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # timestamp[us] parquet; session tz is UTC so the cast is a pure
+        # type relabel (same wall clock, same epoch).
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df  # already TIMESTAMP
 
 
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
