@@ -25,29 +25,40 @@ def test_operators_md_matches_registry():
     )
 
 
-def test_priority_lists_cover_registry_exactly():
-    """Every registered op must be in exactly one priority group; no
-    priority entry may name a nonexistent op (typo guard)."""
+def test_priority_lists_match_correctness_union():
+    """DRIVER_GREEN must equal the set of ops with a green verdict in
+    CORRECTNESS_r01 ∪ r02 ∪ r03 (the round-4 regeneration basis), and the
+    two literal lists must be disjoint with no typos."""
+    import json
+
+    union: set[str] = set()
+    for rnd in ("r01", "r02", "r03"):
+        data = json.loads((REPO / f"CORRECTNESS_{rnd}.json").read_text())
+        for name, res in data.items():
+            # green = hash-match or contracted rows-only (no_oracle), and
+            # never an error/failure on the latest verdict
+            if res.get("err") in (None, "no_oracle") and res.get("hash_match") is not False:
+                union.add(name)
     registered = set(all_operators())
     nv = set(priority.NEVER_VERIFIED)
-    nvs = set(priority.NEVER_VERIFIED_STREAMING)
     green = set(priority.DRIVER_GREEN)
-    assert not (nv & nvs) and not (nv & green) and not (nvs & green)
-    known = nv | nvs | green
-    assert not (known - registered), f"priority names not in registry: {sorted(known - registered)}"
-    # New ops may legitimately be in no list (they sort as group 2), but
-    # at regeneration time the lists should be complete:
-    assert not (registered - known), (
-        f"ops missing from priority lists (regenerate priority.py): "
-        f"{sorted(registered - known)}"
+    assert not (nv & green)
+    assert green == union, (
+        f"DRIVER_GREEN drifted from correctness union: "
+        f"missing {sorted(union - green)}, extra {sorted(green - union)}"
     )
+    known = nv | green
+    assert not (known - registered), f"priority names not in registry: {sorted(known - registered)}"
 
 
 def test_unverified_ops_fill_driver_slots():
-    """The driver checks the first 50 queries() entries; those slots must
-    all go to operators without a driver verdict."""
+    """The driver checks the first 50 queries() entries; the never-verified
+    streaming trio must hold slots 1-3, followed by any round-4 additions,
+    with every already-green op behind them."""
     order = list(all_operators())
     nv = list(priority.NEVER_VERIFIED)
     assert order[: len(nv)] == nv
-    assert order[len(nv) : len(nv) + 3] == list(priority.NEVER_VERIFIED_STREAMING)
-    assert all(n in priority.DRIVER_GREEN for n in order[len(nv) + 3 :])
+    tail = order[len(nv) :]
+    # new-this-round ops (group 1) must all precede greens (group 2)
+    groups = [0 if n not in priority.DRIVER_GREEN else 1 for n in tail]
+    assert groups == sorted(groups), "a green op sorts before a new unverified op"

@@ -5,107 +5,42 @@ entries of ``all_operators()`` iteration order and then stops, so this
 module pins an explicit verification priority: operators that still need
 a driver verdict come first, operators already green come last.
 
-Round-3 regeneration (VERDICT.md round 2, item 1): the registry holds
-149 operators; the union of CORRECTNESS_r01.json and CORRECTNESS_r02.json
-covers 96, all green or contracted rows-only.  The remaining 53 operators
-have never been driver-verified, so they are group 0 here.  Because
-53 > 50, the three overflow slots are deliberately the slowest ops — the
-streaming trio (``stream_static_join``, ``stream_stream_join``,
-``stream_custom_stateful``), each of which costs a 2–3 s micro-batch
-lifecycle — so a time-boxed pass loses the least.
+Round-4 regeneration (VERDICT.md round 3, item 1): the registry held
+149 operators entering round 4; the union of CORRECTNESS_r01.json,
+CORRECTNESS_r02.json and CORRECTNESS_r03.json covers 146, all green or
+contracted rows-only.  The only never-verified operators left are the
+streaming trio that rounds 2-3 deliberately parked in overflow slots
+51-53 — they now occupy slots 1-3, so round 4's driver pass finally
+gives them a verdict.  Everything added in round 4 sorts right after
+them, still comfortably inside the 50-slot window.
 
-Groups:
+Groups (the codes ``sort_key`` assigns):
 
-0. never driver-verified (absent from CORRECTNESS_r01 ∪ r02), cheap
-   Column-expr/agg ops first, streaming lifecycle ops last;
-1. operators added after this file was regenerated (no verdict yet —
-   sort right after the known-unverified set);
-2. driver-green in round 1 or round 2 (cheapest to lose if the pass is
-   capped again).
+0. never driver-verified (absent from CORRECTNESS_r01 ∪ r02 ∪ r03) —
+   the streaming trio;
+1. operators added after this file was regenerated (in the registry but
+   in neither literal list below — no verdict yet);
+2. driver-green (hash-match or contracted rows-only) in round 1, 2 or 3
+   (cheapest to lose if the pass is capped again).
 
-Group lists are literal name tuples derived from the two correctness
+Group lists are literal name tuples derived from the three correctness
 files so the ordering is reproducible and reviewable.
 """
 
 from __future__ import annotations
 
-# Group 0a — never driver-verified, non-streaming (50 ops).  Ordered
-# roughly cheapest-first within each family: pure Column-expression and
-# single-agg shapes, then joins/windows, then write-path and iterative
-# ops.  The float-rounding-exposed ops (VERDICT item 5) are early so a
-# partial pass still reaches them.
+# Group 0 — never driver-verified.  The streaming lifecycle trio
+# (2-3 s each for checkpoint + availableNow micro-batch); everything
+# else in the registry has a green verdict in r01 ∪ r02 ∪ r03.
 NEVER_VERIFIED = (
-    # float-parity-exposed first (VERDICT round-2 item 5)
-    "agg_corr_pearson",
-    "agg_approx_percentile",
-    "agg_iqr_outliers",
-    "ts_ewma_smooth",
-    "llm_ngram_lm",
-    # cheap Column-expr / scalar-function shapes
-    "fn_regex_extract",
-    "fn_url_parse",
-    "fn_explode_pos",
-    "llm_quality_score",
-    "llm_lang_id",
-    "llm_token_count_bpe",
-    "llm_doc_fingerprint",
-    "llm_type_token_ratio",
-    "llm_repetition_flags",
-    "llm_pii_redact",
-    "llm_doc_chunking",
-    "llm_length_curriculum",
-    # set ops / reshape
-    "set_intersect_all",
-    "set_except_all",
-    "reshape_pivot",
-    "reshape_unpivot",
-    # aggregation / sketch
-    "agg_sketch_mergeable",
-    "agg_freq_sketch_cms",
-    "llm_bpe_pair_counts",
-    "llm_vocab_coverage",
-    "llm_boilerplate_ngrams",
-    # windows
-    "win_streaks",
-    "win_dedup_debounce",
-    "win_percent_rank_cume",
-    "win_funnel_attribution",
-    # time series
-    "ts_gap_detect",
-    "ts_anomaly_zscore",
-    "ts_resample_ffill",
-    "ts_similarity_corr",
-    # joins
-    "join_null_safe_eq",
-    "join_prefilter_semi",
-    "llm_contamination_check",
-    "llm_dedup_fuzzy_edit",
-    # ETL / sampling
-    "etl_stratified_sample",
-    "etl_domain_mixture",
-    "etl_balance_domains",
-    "etl_pack_sequences",
-    "etl_quarantine_bad_rows",
-    "etl_scd2_incremental",
-    "llm_canonical_select",
-    "llm_kmeans_cluster",
-    # write-path / source shapes (filesystem round-trips cost more)
-    "src_schema_evolution",
-    "src_orc_roundtrip",
-    "sink_bucketed_write",
-    "etl_compact_files",
-)
-
-# Group 0b — never driver-verified streaming lifecycle ops (2–3 s each).
-# Deliberately the 3 overflow ops past the driver's 50-query cap.
-NEVER_VERIFIED_STREAMING = (
     "stream_static_join",
     "stream_stream_join",
     "stream_custom_stateful",
 )
 
 # Group 2 — green (hash-match or contracted rows-only) in the union of
-# CORRECTNESS_r01.json and CORRECTNESS_r02.json.  96 ops.
+# CORRECTNESS_r01.json, CORRECTNESS_r02.json and CORRECTNESS_r03.json.
+# 146 ops: 96 from r01 ∪ r02 plus the 50 that round 3 verified.
 DRIVER_GREEN = frozenset(
     {
         # round-1 verdicts
@@ -206,6 +141,57 @@ DRIVER_GREEN = frozenset(
         "udf_grouped_map",
         "udaf_grouped_agg",
         "udtf_split_words",
+        # round-3 verdicts
+        "agg_corr_pearson",
+        "agg_approx_percentile",
+        "agg_iqr_outliers",
+        "ts_ewma_smooth",
+        "llm_ngram_lm",
+        "fn_regex_extract",
+        "fn_url_parse",
+        "fn_explode_pos",
+        "llm_quality_score",
+        "llm_lang_id",
+        "llm_token_count_bpe",
+        "llm_doc_fingerprint",
+        "llm_type_token_ratio",
+        "llm_repetition_flags",
+        "llm_pii_redact",
+        "llm_doc_chunking",
+        "llm_length_curriculum",
+        "set_intersect_all",
+        "set_except_all",
+        "reshape_pivot",
+        "reshape_unpivot",
+        "agg_sketch_mergeable",
+        "agg_freq_sketch_cms",
+        "llm_bpe_pair_counts",
+        "llm_vocab_coverage",
+        "llm_boilerplate_ngrams",
+        "win_streaks",
+        "win_dedup_debounce",
+        "win_percent_rank_cume",
+        "win_funnel_attribution",
+        "ts_gap_detect",
+        "ts_anomaly_zscore",
+        "ts_resample_ffill",
+        "ts_similarity_corr",
+        "join_null_safe_eq",
+        "join_prefilter_semi",
+        "llm_contamination_check",
+        "llm_dedup_fuzzy_edit",
+        "etl_stratified_sample",
+        "etl_domain_mixture",
+        "etl_balance_domains",
+        "etl_pack_sequences",
+        "etl_quarantine_bad_rows",
+        "etl_scd2_incremental",
+        "llm_canonical_select",
+        "llm_kmeans_cluster",
+        "src_schema_evolution",
+        "src_orc_roundtrip",
+        "sink_bucketed_write",
+        "etl_compact_files",
     }
 )
 
@@ -215,14 +201,12 @@ def sort_key(names: list[str]) -> dict[str, tuple[int, int]]:
     group: dict[str, tuple[int, int]] = {}
     for i, n in enumerate(NEVER_VERIFIED):
         group[n] = (0, i)
-    for i, n in enumerate(NEVER_VERIFIED_STREAMING):
-        group[n] = (1, i)
     out: dict[str, tuple[int, int]] = {}
     for i, n in enumerate(names):
         if n in group:
             out[n] = group[n]
         elif n in DRIVER_GREEN:
-            out[n] = (3, i)  # already green — last
+            out[n] = (2, i)  # already green — last
         else:
-            out[n] = (2, i)  # brand-new this round — after known-unverified
+            out[n] = (1, i)  # brand-new this round — right after group 0
     return out
