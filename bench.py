@@ -48,19 +48,30 @@ def q1_pricing_summary(spark, d) -> DataFrame:
 
 
 def q3_shipping_priority(spark, d) -> DataFrame:
-    c = load_table(spark, d, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, d, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    # Size-safe plan (round-3 verdict item 3): no fact table is ever
+    # forced onto a broadcast build side.  Both filters' selectivities
+    # are data-dependent, so the build-side choice is left to Catalyst's
+    # size estimates (auto-broadcast below threshold, shuffle join
+    # above) — the plan that still works when orders is 100× bigger.
+    # Columns are pruned to keys + agg inputs before any join.
+    c = (
+        load_table(spark, d, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
     )
-    li = load_table(spark, d, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    o = (
+        load_table(spark, d, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     )
-    # orders after the date filter is small → broadcast it so the big
-    # lineitem side never shuffles (bench runs with AQE off, so the
-    # build-side choice is made here, not at runtime).
+    li = (
+        load_table(spark, d, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -70,20 +81,32 @@ def q3_shipping_priority(spark, d) -> DataFrame:
 
 
 def q5_regional_revenue(spark, d) -> DataFrame:
-    c = load_table(spark, d, "customer")
-    o = load_table(spark, d, "orders")
-    li = load_table(spark, d, "lineitem")
-    s = load_table(spark, d, "supplier")
+    # Size-safe star join (round-3 verdict item 2, same shape as the
+    # registry twin join_broadcast_dim): ONLY the bounded dim chain
+    # region⋈nation⋈supplier is broadcast — pre-filtered to ASIA and
+    # projected to (s_suppkey, n_name) before the hint.  The fact tables
+    # (lineitem, orders, customer) are never on a build side; lineitem is
+    # pruned by the selective dim FIRST (~1/5 survives), then the
+    # surviving facts shuffle-join on their keys — the plan that still
+    # works when facts are 100× bigger.
+    c = load_table(spark, d, "customer").select("c_custkey")
+    o = load_table(spark, d, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, d, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, d, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, d, "nation")
     r = load_table(spark, d, "region").filter(F.col("r_name") == "ASIA")
-    # all non-fact sides broadcast → the lineitem scan feeds a pure
-    # broadcast-hash-join pipeline with zero shuffles before the agg.
+    dim = F.broadcast(
+        s.join(
+            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            s.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey", "n_name")
+    )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        li.join(dim, li.l_suppkey == dim.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"))
