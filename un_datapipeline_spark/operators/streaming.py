@@ -54,24 +54,42 @@ def stream_shuffle_partitions(spark: SparkSession):
     finally:
         spark.conf.set(key, before)
 
-def _events_stream_schema(spark: SparkSession, sf_dir: str) -> str:
+# Physical ts dtypes the events generator has shipped so far, and the
+# stream-source schema type each maps to.  Mirrors the batch dispatch in
+# tables._normalize_events_ts: bigint = epoch-ns under nanosAsLong
+# (rounds 1-2), timestamp_ntz = parquet timestamp[us] (round 3+),
+# timestamp = a tz-adjusted timestamp[us] file (not seen yet, but the
+# batch path handles it, so the stream path must too).
+_TS_DTYPES = ("bigint", "timestamp_ntz", "timestamp")
+
+
+def _events_stream_schema(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """File stream sources need an explicit schema; probe the batch
     footer (one cheap metadata read) so the schema tracks whichever
-    physical ts layout the generator shipped (int64-ns under nanosAsLong
-    in rounds 1-2, timestamp[us] → NTZ since round 3)."""
+    physical ts layout the generator shipped.  Returns
+    ``(schema_ddl, ts_dtype)`` — callers branch on the probed dtype, not
+    on the rendered schema string."""
     raw = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
-    phys = "long" if raw.get("ts") == "bigint" else "timestamp_ntz"
-    return (
+    ts_dtype = raw.get("ts")
+    if ts_dtype not in _TS_DTYPES:
+        raise ValueError(
+            f"events.ts has unsupported parquet dtype {ts_dtype!r}; "
+            f"expected one of {_TS_DTYPES} — the generator changed layout "
+            "again, extend _TS_DTYPES and _normalize dispatch together"
+        )
+    phys = "long" if ts_dtype == "bigint" else ts_dtype
+    schema = (
         f"event_id long, ts {phys}, user_id long, event_type string, "
         "value double, props string"
     )
+    return schema, ts_dtype
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as a Structured Streaming file source, ts normalized to
     µs timestamps exactly like the batch loader (tables.load_table)."""
     ensure_runtime_confs(spark)
-    schema = _events_stream_schema(spark, sf_dir)
+    schema, ts_dtype = _events_stream_schema(spark, sf_dir)
     # File stream sources need a directory; pathGlobFilter narrows the
     # listing to the events table inside the shared sf_dir.
     raw = (
@@ -79,9 +97,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if "ts long" in schema:
+    if ts_dtype == "bigint":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_dtype == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw  # already TIMESTAMP
 
 
 def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
