@@ -211,3 +211,30 @@ def test_approx_percentile_error_bound(spark, sf_t2):
     for flag, vals in approx.items():
         for a, e in zip(vals, exact[flag]):
             assert abs(a - e) <= 0.01 * e, f"{flag}: approx {a} vs exact {e}"
+
+
+def test_hnsw_recall_beats_ivf(spark, sf_t2):
+    """Graph ANN (per-shard NSW + beam search) must be deterministic and
+    recover at least the IVF path's recall@1 vs brute force (VERDICT.md
+    round 3 item 8's done-bar).  Measured at regeneration: HNSW 0.98,
+    IVF 0.63."""
+    from un_datapipeline_spark.operators.llm_vectors import cosine_topk
+    from un_datapipeline_spark.registry import all_operators
+
+    em = load_table(spark, sf_t2, "embeddings")
+    probes = em.filter(F.col("vec_id") < 100)
+    exact = {
+        r.a_id: r.nn_id
+        for r in cosine_topk(em, probes, k=1, exclude_self=True).collect()
+    }
+    ops = all_operators()
+    got1 = {r.a_id: r.nn_id for r in ops["llm_simsearch_hnsw"].fn(spark, sf_t2).collect()}
+    got2 = {r.a_id: r.nn_id for r in ops["llm_simsearch_hnsw"].fn(spark, sf_t2).collect()}
+    assert got1 == got2, "HNSW result must be deterministic run-to-run"
+    assert len(got1) == len(exact) == 100
+    ivf = {r.a_id: r.nn_id for r in ops["llm_simsearch_ivf"].fn(spark, sf_t2).collect()}
+    recall_h = sum(got1.get(a) == nn for a, nn in exact.items()) / len(exact)
+    recall_i = sum(ivf.get(a) == nn for a, nn in exact.items()) / len(exact)
+    assert recall_h >= max(recall_i, 0.8), (
+        f"HNSW recall@1 {recall_h} below IVF {recall_i} / 0.8 floor"
+    )

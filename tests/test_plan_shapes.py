@@ -100,3 +100,16 @@ def test_multiprobe_join_is_bucket_keyed(spark, sf_smoke):
     plan = plan_of(spark, "llm_simsearch_multiprobe", sf_smoke)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_smoke):
+    """src_partitioned_pruning's read-back scan must prune on the hive
+    partition column at listing time: the week filter shows up as
+    PartitionFilters bounds on the scan (pruned before any file opens),
+    with NO residual DataFilters — the filter is satisfied entirely by
+    the directory layout."""
+    plan = plan_of(spark, "src_partitioned_pruning", sf_smoke)
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters: [isnotnull(event_date" in scan
+    assert "(event_date" in scan and ">= 2024-01-08" in scan and "<= 2024-01-14" in scan
+    assert "DataFilters: []" in scan

@@ -522,3 +522,81 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt
+), scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         -avg(ln(c.c * 1.0 / tot.n)) AS s
+  FROM toks t JOIN cnt c USING (w) CROSS JOIN tot
+  GROUP BY t.doc_id
+), stats AS (
+  SELECT avg(s) AS mu, stddev_samp(s) AS sd FROM scored
+)
+SELECT doc_id, n_tokens,
+       ROUND(s, 6) AS surprisal,
+       CAST(CASE WHEN s > mu + 2 * sd THEN 1 ELSE 0 END AS INT) AS flag_outlier
+FROM scored CROSS JOIN stats
+ORDER BY doc_id
+"""
+
+
+@register("llm_perplexity_filter", oracle=_SURPRISAL_ORACLE, tier="T3")
+def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter, with the corpus' own unigram LM as
+    the scorer: per-document surprisal = −mean ln p(w) under the corpus
+    unigram distribution, and documents more than 2σ above the corpus
+    mean are flagged as outliers (rare-token soup — the population a
+    perplexity filter cuts).
+
+    Scale shape: the vocabulary is an AGGREGATE over the token explode
+    (map-side combine → vocabulary-bounded shuffle); the token→count
+    join is equi-key with exactly one match per token.  The 'the'-style
+    hot keys skew that shuffle at 100 TB — the production plan broadcasts
+    the head of the vocabulary (top-K counts cover >90% of token mass)
+    and shuffle-joins only the tail, or leans on AQE skew-join; test
+    scale keeps the single plain join so DuckDB replays it verbatim.
+    Corpus mean/σ are a 2-row scalar aggregate crossed back in (no
+    driver collect).  Sums of ln() terms are irrational doubles — 6dp
+    rounding is boundary-safe (ROUND_NOTES float policy: only
+    exact-decimal money sits on rounding-grid boundaries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.avg(F.log(F.col("c") / F.col("n")))).alias("s"),
+        )
+    )
+    stats = scored.agg(
+        F.avg("s").alias("mu"), F.stddev_samp("s").alias("sd")
+    )
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("s", 6).alias("surprisal"),
+            F.when(F.col("s") > F.col("mu") + 2 * F.col("sd"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("flag_outlier"),
+        )
+        .orderBy("doc_id")
+    )

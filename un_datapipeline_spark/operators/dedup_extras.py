@@ -331,3 +331,89 @@ def llm_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "n_cands", "nn_id", F.round("sim", 6).alias("sim"))
         .orderBy("a_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplication scoring (Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better", ExactSubstr — window form)
+# --------------------------------------------------------------------------
+
+# Token-window width.  Lee et al. use 50-token spans on web-scale text;
+# the synthetic corpus' docs are 10-99 tokens, so 8 keeps the detector
+# meaningful at test scale.  The algorithm is width-independent.
+SUBSTR_WINDOW = 8
+
+_SUBSTR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), w AS (
+  SELECT doc_id, array_to_string(t[i:i+{SUBSTR_WINDOW - 1}], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {SUBSTR_WINDOW - 1})) AS i
+        FROM t WHERE len(t) >= {SUBSTR_WINDOW})
+), dupg AS (
+  SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT)                                    AS n_windows,
+       CAST(sum(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       ROUND(sum(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6)                                        AS dup_frac
+FROM w LEFT JOIN dupg d USING (g)
+GROUP BY w.doc_id
+HAVING sum(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+ORDER BY doc_id
+"""
+
+
+@register("llm_dedup_substr", oracle=_SUBSTR_ORACLE, tier="T3")
+def llm_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication detector: every ``SUBSTR_WINDOW``-token
+    sliding window is hashed across the corpus; a window text seen in ≥2
+    distinct documents is duplicated, and each document is scored by the
+    fraction of its windows that are duplicated (the ExactSubstr signal
+    used to cut verbatim-repeated training spans).
+
+    Scale shape: the window explode is linear in corpus tokens; the
+    duplicated-window set is found with a count AGGREGATE on the window
+    key (map-side partial combine, never a self-join), and the score
+    join is equi-key with ≤1 match per probe row — so no shuffle bucket
+    is ever quadratic, unlike naive pairwise substring comparison.  At
+    100 TB the window strings would be replaced by 64-bit hashes before
+    the shuffle (same plan, 8-byte keys); test scale keeps the raw text
+    so the DuckDB oracle can replay it exactly."""
+    w = SUBSTR_WINDOW
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= w
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - w),
+                lambda i: F.array_join(F.slice(F.col("t"), i + 1, w), " "),
+            )
+        ).alias("g"),
+    )
+    dupg = (
+        wins.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g", F.lit(1).alias("is_dup"))
+    )
+    return (
+        wins.join(dupg, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_windows"),
+        )
+        .filter(F.col("n_dup_windows") > 0)
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -330,3 +330,126 @@ def llm_embed_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph ANN (HNSW-style NSW): per-shard navigable graph + broadcast probes
+# ---------------------------------------------------------------------------
+
+def _nsw_build(mat, m: int = 8, ef: int = 32):
+    """Build a navigable-small-world graph over the (n, dim) L2-normalized
+    matrix ``mat``: insert nodes in row order; each new node beam-searches
+    the partial graph for its ``ef`` nearest, links to the best ``m``
+    bidirectionally, and over-full neighbor lists are pruned back to the
+    ``m`` closest.  Deterministic (insert order + argsort tie-breaks on
+    index).  Cost O(n · ef · m) dot products — index-build is per shard,
+    never global."""
+    import numpy as np
+
+    n = len(mat)
+    nbrs: list[list[int]] = [[] for _ in range(n)]
+    for i in range(1, n):
+        cand = _nsw_search(mat, nbrs, mat[i], ef=ef, n_nodes=i)
+        best = cand[:m]
+        nbrs[i] = [int(j) for j in best]
+        for j in best:
+            nbrs[j].append(i)
+            if len(nbrs[j]) > m:
+                sims = mat[nbrs[j]] @ mat[j]
+                order = np.argsort(-sims, kind="stable")[:m]
+                nbrs[j] = [nbrs[j][t] for t in order]
+    return nbrs
+
+
+def _nsw_search(mat, nbrs, q, ef: int, n_nodes: int):
+    """Greedy beam search from node 0 over the first ``n_nodes`` nodes.
+    Returns candidate node ids sorted by descending cosine to ``q``
+    (ties → lower id).  Classic HNSW layer-0 search: a best-first beam of
+    width ``ef``; stops when the worst beam member beats every frontier
+    candidate."""
+    import heapq
+
+    import numpy as np
+
+    visited = {0}
+    s0 = float(mat[0] @ q)
+    # frontier max-heap by sim (python heapq is a min-heap → negate)
+    frontier = [(-s0, 0)]
+    beam: list[tuple[float, int]] = [(s0, 0)]  # min-heap: worst first
+    while frontier:
+        neg_s, node = heapq.heappop(frontier)
+        if -neg_s < beam[0][0] and len(beam) >= ef:
+            break
+        nxt = [j for j in nbrs[node] if j < n_nodes and j not in visited]
+        if not nxt:
+            continue
+        visited.update(nxt)
+        sims = mat[nxt] @ q
+        for j, s in zip(nxt, sims):
+            s = float(s)
+            if len(beam) < ef:
+                heapq.heappush(beam, (s, j))
+                heapq.heappush(frontier, (-s, j))
+            elif s > beam[0][0]:
+                heapq.heapreplace(beam, (s, j))
+                heapq.heappush(frontier, (-s, j))
+    out = sorted(beam, key=lambda t: (-t[0], t[1]))
+    return np.array([j for _, j in out], dtype=np.int64)
+
+
+@register("llm_simsearch_hnsw", oracle=None, tier="T3")
+def llm_simsearch_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-style graph ANN, sharded the way production vector stores
+    shard (per-segment index + broadcast probes + global merge): every
+    corpus partition builds its own navigable-small-world graph inside
+    one `mapInPandas` pass (index cost bounded per shard, no global
+    build), beam-searches the broadcast probe matrix (vec_id < 100)
+    against its local graph, and emits per-shard top-1 candidates; a
+    cheap `partitions × probes` window reduce picks the global winner.
+    At 100 TB this is embarrassingly parallel on the corpus axis — graph
+    build never leaves the shard, probes are a <100-row broadcast, and
+    the reduce is candidate-bounded.  Rows-only (approximate by design);
+    determinism + recall@1 ≥ the IVF path are pytest-asserted
+    (tests/test_llm_invariants.py)."""
+    import numpy as np
+
+    em = load_table(spark, sf_dir, "embeddings")
+    probe_rows = em.filter(F.col("vec_id") < 100).select("vec_id", "embedding").collect()
+    p_ids = np.array([r[0] for r in probe_rows], dtype=np.int64)
+    p_mat = np.array([r[1] for r in probe_rows], dtype=np.float64)
+    p_mat /= np.linalg.norm(p_mat, axis=1, keepdims=True)
+
+    def shard_search(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # insert order must not depend on arrow batch layout
+            order = np.argsort(b_ids, kind="stable")
+            b_ids = b_ids[order]
+            b_mat = np.array(list(pdf["embedding"]), dtype=np.float64)[order]
+            b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+            graph = _nsw_build(b_mat, m=8, ef=32)
+            out_a, out_n, out_s = [], [], []
+            for pi in range(len(p_ids)):
+                cand = _nsw_search(b_mat, graph, p_mat[pi], ef=48, n_nodes=len(b_mat))
+                for j in cand:
+                    if b_ids[j] != p_ids[pi]:  # exclude self-match
+                        out_a.append(p_ids[pi])
+                        out_n.append(b_ids[j])
+                        out_s.append(float(b_mat[j] @ p_mat[pi]))
+                        break
+            yield pd.DataFrame({"a_id": out_a, "nn_id": out_n, "sim": out_s})
+
+    cands = em.select("vec_id", "embedding").mapInPandas(
+        shard_search, "a_id long, nn_id long, sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("nn_id"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("a_id", "nn_id", F.round("sim", 6).alias("sim"))
+        .orderBy("a_id")
+    )

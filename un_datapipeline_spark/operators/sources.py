@@ -281,3 +281,82 @@ def sink_bucketed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(price_c) / 100.0, 4).alias("total_price"),
         )
     )
+
+
+_PRUNE_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value), 4)    AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("src_partitioned_pruning", oracle=_PRUNE_ORACLE, tier="T1")
+def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake layout + partition-pruned scan: events are
+    written partitioned by event date (`event_date=YYYY-MM-DD/` dirs),
+    then read back with a one-week filter on the partition column — the
+    listing-time pruning that turns a 100 TB table scan into a
+    7-partition read (the plan's PartitionFilters prune before any file
+    is opened; asserted in tests/test_plan_shapes.py).  The oracle
+    replays the same week directly against the source table, proving the
+    partitioned roundtrip loses nothing."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="udps_part_")
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            F.col("event_date").between(F.lit("2024-01-08"), F.lit("2024-01-14"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TEXT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT)                            AS n_lines,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT)   AS ws_tokens,
+       CAST(sum(len(text)) AS BIGINT)                      AS n_chars,
+       CAST(min(len(text)) AS BIGINT)                      AS min_len,
+       CAST(max(len(text)) AS BIGINT)                      AS max_len
+FROM documents
+"""
+
+
+@register("src_text_lines", oracle=_TEXT_ORACLE, tier="T1")
+def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → line-delimited .txt files → `spark.read.text`
+    (the rawest LLM-corpus interchange format: one document per line) →
+    corpus token/char stats.  The oracle computes the same stats on the
+    source table: equality proves the text sink/source roundtrip is
+    byte-lossless for newline-free documents.  (The corpus generator
+    emits no embedded newlines — asserted before writing, since a
+    newline would silently split a document into two lines.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.filter(F.col("text").contains("\n")).limit(1).count() == 0, (
+        "documents.text contains embedded newlines — line-per-doc text "
+        "roundtrip would corrupt the corpus"
+    )
+    out = tempfile.mkdtemp(prefix="udps_text_")
+    docs.select("text").write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.size(F.split("value", " "))).cast("long").alias("ws_tokens"),
+        F.sum(F.length("value")).cast("long").alias("n_chars"),
+        F.min(F.length("value")).cast("long").alias("min_len"),
+        F.max(F.length("value")).cast("long").alias("max_len"),
+    )
