@@ -76,3 +76,31 @@ def test_partitioned_sink_prunes_partitions(spark, sf_smoke, tmp_path):
     # correctness of the pruned read
     want = li.filter("l_returnflag = 'A'").count()
     assert back.count() == want
+
+
+def test_clustered_write_files_cover_disjoint_ranges(spark, sf_smoke):
+    """sink_clustered_write's promise: each output file owns a disjoint
+    l_shipdate slice (footer min/max don't interleave), so a date-window
+    scan can skip whole files.  Audited straight from the parquet
+    footers."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from un_datapipeline_spark.operators.sources import clustered_write
+
+    out = clustered_write(spark, sf_smoke)
+    ranges = []
+    for f in sorted(Path(out).glob("*.parquet")):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # l_shipdate is first column
+            assert col.path_in_schema == "l_shipdate"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2, "expected multiple clustered files"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        # ranges may touch at a boundary value, never interleave past it
+        assert hi1 <= lo2, f"file ranges interleave: {(lo1, hi1)} vs {(lo2, hi2)}"

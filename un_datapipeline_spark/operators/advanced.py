@@ -1084,3 +1084,49 @@ def llm_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - 1).cast("long").alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-dimension rollup
+# ---------------------------------------------------------------------------
+
+_CALENDAR_ORACLE = """
+SELECT quarter(ts)                              AS qtr,
+       weekofyear(ts)                           AS iso_week,
+       isodow(ts)                               AS iso_dow,
+       CAST(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS INT) AS is_weekend,
+       CAST(count(*) AS BIGINT)                 AS n,
+       ROUND(sum(value), 4)                     AS total_value
+FROM events
+GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2, 3
+"""
+
+
+@register("ts_calendar_rollup", oracle=_CALENDAR_ORACLE, tier="T2")
+def ts_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-feature rollup (quarter / ISO week / ISO weekday /
+    weekend flag) — the derived time dimensions every BI layer and
+    seasonality model group by.  Engine gotcha, probed and papered over:
+    Spark's dayofweek is Sunday=1 while DuckDB's isodow is Monday=1, so
+    the ISO weekday is derived as ((dayofweek+5) % 7) + 1; weekofyear
+    and quarter agree natively.  Pure expression derivation into a
+    calendar-bounded groupBy (≤ 4×53×7 groups regardless of data scale
+    — map-side combine collapses everything before the shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
+    return (
+        ev.select(
+            F.quarter("ts").alias("qtr"),
+            F.weekofyear("ts").alias("iso_week"),
+            iso_dow.alias("iso_dow"),
+            F.when(iso_dow >= 6, 1).otherwise(0).cast("int").alias("is_weekend"),
+            "value",
+        )
+        .groupBy("qtr", "iso_week", "iso_dow", "is_weekend")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("qtr", "iso_week", "iso_dow")
+    )

@@ -508,3 +508,46 @@ def agg_freq_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.min("cell_count").alias("est_count"))
     )
+
+
+_WEIGHTED_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+       ROUND(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT))
+             / (100.0 * sum(CAST(l_quantity AS BIGINT))), 6) AS wavg_price,
+       ROUND(sum(CAST(round(l_discount * 10000) AS BIGINT) * CAST(l_quantity AS BIGINT))
+             / (10000.0 * sum(CAST(l_quantity AS BIGINT))), 6) AS wavg_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_weighted_avg", oracle=_WEIGHTED_ORACLE, tier="T2")
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price and discount per return flag —
+    the weighted-mean aggregate (plain avg answers a different question
+    when line sizes vary).  Weights are integer quantities and money is
+    scaled to integer cents / discount to basis points before the
+    multiply-sum, so both engines sum EXACT integers and divide once at
+    the end — the ROUND_NOTES float policy applied to a product
+    aggregate, where a double multiply-sum would be order-dependent.
+    Map-side partial sums of two integer columns; the shuffle carries
+    one row per (flag, partial) — nothing here grows with scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(qty).alias("total_qty"),
+            F.round(
+                F.sum(price_c * qty) / (100.0 * F.sum(qty)), 6
+            ).alias("wavg_price"),
+            F.round(
+                F.sum(disc_bp * qty) / (10000.0 * F.sum(qty)), 6
+            ).alias("wavg_disc"),
+        )
+        .orderBy("l_returnflag")
+    )

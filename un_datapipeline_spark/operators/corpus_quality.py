@@ -600,3 +600,50 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-card corpus statistics
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT)                               AS docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT)      AS ws_tokens,
+       ROUND(avg(n_chars), 6)                                 AS avg_chars,
+       ROUND(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE),
+                           0.5), 4)                           AS p50_tokens,
+       ROUND(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6) AS dup_rate
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+@register("llm_corpus_stats", oracle=_CARD_ORACLE, tier="T3")
+def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: the per-(source, lang) statistics table every
+    corpus release ships — document and token volume, length centrals
+    (mean chars, median tokens), and the exact-duplicate rate from
+    distinct text hashes.  One groupBy over strata keys; the only
+    non-trivially-mergeable piece is the median, which Spark computes
+    with the same linear-interpolation semantics as DuckDB's
+    quantile_cont (avg(n_chars) is an int-sum / count — exact).  At
+    100 TB the stratum count stays dimension-sized, so the shuffle is
+    vocabulary-bounded and the hot path is the map-side partial
+    aggregation of token counts and md5 hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(ntok).cast("long").alias("ws_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.median(ntok.cast("double")), 4).alias("p50_tokens"),
+            F.round(
+                1.0 - F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source", "lang")
+    )

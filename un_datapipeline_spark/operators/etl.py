@@ -11,6 +11,8 @@ fold into one scan per table with conditional counts.
 
 from __future__ import annotations
 
+import tempfile
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -391,4 +393,150 @@ def etl_quarantine_bad_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("k").alias("n_good"),
         (F.count(F.lit(1)) - F.count("k")).alias("n_quarantined"),
         F.sum("k").cast("long").alias("k_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-07-01'
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+), diff AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_totalprice <> n.o_totalprice THEN 'update'
+              ELSE 'unchanged' END AS change_type,
+         COALESCE(CAST(round(n.o_totalprice * 100) AS BIGINT), 0)
+           - COALESCE(CAST(round(o.o_totalprice * 100) AS BIGINT), 0) AS delta_c
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT change_type,
+       CAST(count(*) AS BIGINT)            AS n,
+       CAST(min(k) AS BIGINT)              AS min_key,
+       CAST(max(k) AS BIGINT)              AS max_key,
+       ROUND(sum(delta_c) / 100.0, 4)      AS amount_delta
+FROM diff
+WHERE change_type <> 'unchanged'
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+
+@register("etl_cdc_diff", oracle=_CDC_ORACLE, tier="T2")
+def etl_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture snapshot diff: two overlapping snapshots of
+    orders (old = first year-and-a-half, new = trailing window with a
+    deterministic +100.00 price change on urgent orders) are full-outer
+    joined on the key and every row classified insert / delete / update
+    / unchanged; the summary reports row counts and the net amount
+    delta per change class.
+
+    Scale shape: ONE full-outer shuffle join on the primary key — the
+    canonical snapshot-reconciliation plan; both sides shuffle once on
+    the join key and the classifier is a row-local CASE.  Money deltas
+    are summed as integer cents and divided once (ROUND_NOTES float
+    policy — sums of 2-dec doubles would round-flip on .5 boundaries)."""
+    o_all = load_table(spark, sf_dir, "orders")
+    old = o_all.filter(
+        F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice")
+    new = o_all.filter(
+        F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") + 100.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    diff = j.select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("k"),
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .when(F.col("o.o_totalprice") != F.col("n.o_totalprice"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        (
+            F.coalesce(cents(F.col("n.o_totalprice")), F.lit(0))
+            - F.coalesce(cents(F.col("o.o_totalprice")), F.lit(0))
+        ).alias("delta_c"),
+    )
+    return (
+        diff.filter(F.col("change_type") != "unchanged")
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+            F.round(F.sum("delta_c") / 100.0, 4).alias("amount_delta"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition backfill (dynamic partition overwrite)
+# ---------------------------------------------------------------------------
+
+_BACKFILL_ORACLE = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+       CAST(count(*) AS BIGINT)               AS n,
+       ROUND(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+                      THEN value * 2 ELSE value END), 4) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("etl_backfill_partitions", oracle=_BACKFILL_ORACLE, tier="T2")
+def etl_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent single-partition backfill, the lake maintenance
+    operation: events land hive-partitioned by day, then ONE day
+    (2024-01-05) is recomputed (value doubled) and rewritten under
+    `partitionOverwriteMode=dynamic` — only the touched partition's
+    directory is replaced, every other day's files are left physically
+    untouched.  (Static overwrite mode would delete all 30 days — the
+    classic backfill foot-gun this mode exists to prevent.)  The oracle
+    recomputes the expected post-backfill state from the source table;
+    equality proves both the partition isolation and the rewrite.
+    At 100 TB this is the nightly-correction pattern: cost scales with
+    the corrected day, not the table."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = tempfile.mkdtemp(prefix="udps_backfill_")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    patch = ev.filter(F.col("event_date") == F.lit("2024-01-05").cast("date")).withColumn(
+        "value", F.col("value") * 2
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "dynamic")
+        patch.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    finally:
+        spark.conf.set(key, before)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.date_format("event_date", "yyyy-MM-dd").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_date")
     )

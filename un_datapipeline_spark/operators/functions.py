@@ -396,3 +396,48 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("path").alias("n_paths"),
         F.countDistinct("qlang").alias("n_langs"),
     )
+
+
+_STRUCT_ORACLE = """
+SELECT o_orderkey,
+       to_json(struct_pack(key := o_orderkey,
+                           prio := o_orderpriority,
+                           yr := CAST(year(o_orderdate) AS INT)))::VARCHAR AS order_json,
+       struct_pack(head := struct_pack(prio := o_orderpriority)).head.prio AS prio_nested,
+       CAST(year(o_orderdate) AS INT) + 0 AS yr_from_struct
+FROM orders
+WHERE o_orderkey % 41 = 0
+ORDER BY o_orderkey
+"""
+
+
+@register("fn_struct_nested", oracle=_STRUCT_ORACLE, tier="T1")
+def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct construction, dotted field access through two
+    levels, and struct→JSON serialization (the schema shape every
+    typed-metadata column — multimodal headers, provenance blocks —
+    relies on).  The struct cells themselves never reach the output:
+    the driver's canonicalizer takes scalars, so the struct round-trips
+    through to_json / field extraction back to strings and ints (both
+    engines render {"k":v} JSON byte-identically for int/string fields
+    — probed before this was written).  All whole-stage-codegen
+    expression work, zero shuffle besides the final sort."""
+    o = load_table(spark, sf_dir, "orders")
+    order_struct = F.named_struct(
+        F.lit("key"), F.col("o_orderkey"),
+        F.lit("prio"), F.col("o_orderpriority"),
+        F.lit("yr"), F.year("o_orderdate"),
+    )
+    nested = F.named_struct(
+        F.lit("head"), F.named_struct(F.lit("prio"), F.col("o_orderpriority"))
+    )
+    return (
+        o.filter(F.col("o_orderkey") % 41 == 0)
+        .select(
+            "o_orderkey",
+            F.to_json(order_struct).alias("order_json"),
+            nested["head"]["prio"].alias("prio_nested"),
+            (order_struct["yr"] + 0).alias("yr_from_struct"),
+        )
+        .orderBy("o_orderkey")
+    )

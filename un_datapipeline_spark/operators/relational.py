@@ -120,3 +120,47 @@ def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_null_nullsafe"),
     )
+
+
+_EXISTS_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(*) FILTER (EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 200000)) AS BIGINT) AS with_big_order,
+       CAST(count(*) FILTER (NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+         AS never_ordered
+FROM customer c
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("filter_exists_subquery", oracle=_EXISTS_ORACLE, tier="T1")
+def filter_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subquery predicates, expressed in
+    SQL and decorrelated by Catalyst into ExistenceJoin hash joins
+    (plan-verified: two BroadcastHashJoin ... ExistenceJoin nodes, the
+    existence-flag cousin of the semi/anti plans join_left_semi/anti
+    build directly).  The point is the SUBQUERY surface reaching a hash
+    join: a correlated subquery executed naively per-row would be a
+    nested loop over the fact table at 100 TB.  The big-order predicate
+    is pushed into the orders scan (DataFilters) before its join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(count_if(EXISTS (
+                    SELECT 1 FROM v_orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 200000)) AS BIGINT) AS with_big_order,
+               CAST(count_if(NOT EXISTS (
+                    SELECT 1 FROM v_orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+                 AS never_ordered
+        FROM v_customer c
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """
+    )

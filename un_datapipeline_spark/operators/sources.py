@@ -360,3 +360,121 @@ def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("value")).cast("long").alias("min_len"),
         F.max(F.length("value")).cast("long").alias("max_len"),
     )
+
+
+_CLUSTER_ORACLE = """
+SELECT CAST(count(*) AS BIGINT)        AS n,
+       ROUND(sum(l_quantity), 4)       AS sum_qty,
+       ROUND(sum(l_extendedprice), 4)  AS sum_price,
+       CAST(min(l_shipdate) AS TIMESTAMP) AS min_ship,
+       CAST(max(l_shipdate) AS TIMESTAMP) AS max_ship
+FROM lineitem
+"""
+
+
+def clustered_write(spark: SparkSession, sf_dir: str) -> str:
+    """Range-cluster lineitem on l_shipdate into 8 files: global range
+    partitioning (each file owns a disjoint date range) + an in-file
+    sort.  Returns the output dir so tests can audit footer min/max."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    out = tempfile.mkdtemp(prefix="udps_cluster_")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+@register("sink_clustered_write", oracle=_CLUSTER_ORACLE, tier="T1")
+def sink_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered sink (z-order-lite on one dimension): lineitem is
+    globally range-partitioned on l_shipdate and sorted within each
+    file, so every output file covers a disjoint date slice — the layout
+    that lets a downstream date-filtered scan skip whole files on parquet
+    footer min/max alone (the 100 TB file-skipping story; bucketed_write
+    covers the join-key layout, this covers the range-scan one).  The
+    oracle checks the roundtrip is lossless; the disjoint-ranges property
+    itself is audited from the parquet footers in
+    tests/test_sketches_sources.py."""
+    out = clustered_write(spark, sf_dir)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+_MALFORMED_ORACLE = """
+SELECT CAST(count(*) AS BIGINT)                                    AS n_rows,
+       CAST(count(*) FILTER (n_nationkey % 5 = 0) AS BIGINT)       AS n_bad,
+       CAST(count(*) FILTER (n_nationkey % 5 <> 0) AS BIGINT)      AS n_good,
+       CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END) AS BIGINT)
+         AS good_key_sum,
+       CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN n_regionkey END) AS BIGINT)
+         AS good_region_sum
+FROM nation
+"""
+
+
+@register("src_csv_malformed", oracle=_MALFORMED_ORACLE, tier="T1")
+def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion of a deliberately dirty file: nation is
+    serialized to CSV with every 5th row's integer region field
+    corrupted ('x'-prefixed), and read back with an explicit schema plus
+    a columnNameOfCorruptRecord column.  Malformed lines must surface as
+    captured corrupt records — never dropped rows, never a failed job
+    (the DROPMALFORMED/FAILFAST alternatives are the wrong default for a
+    100 TB ingest where a 0.01% bad-line rate is a certainty).  The
+    oracle derives the same good/bad split from the clean source table,
+    proving per-line corruption containment: one bad field poisons
+    exactly its own row.
+
+    Engine gotcha, probed: the CSV parser PRUNES to referenced columns,
+    and a malformed value in an unreferenced column is then never parsed
+    — so no corrupt record fires.  The aggregate therefore references
+    the corrupted n_regionkey field explicitly (good_region_sum); an
+    ingest-audit query that projects away the dirty columns silently
+    under-counts bad lines."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="udps_dirty_")
+    lines = nation.select(
+        F.concat_ws(
+            ",",
+            F.col("n_nationkey").cast("string"),
+            F.col("n_name"),
+            F.when(
+                F.col("n_nationkey") % 5 == 0,
+                F.concat(F.lit("x"), F.col("n_regionkey").cast("string")),
+            ).otherwise(F.col("n_regionkey").cast("string")),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    is_bad = F.col("_corrupt").isNotNull()
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(is_bad.cast("long")).alias("n_bad"),
+        F.sum((~is_bad).cast("long")).alias("n_good"),
+        F.sum(F.when(~is_bad, F.col("n_nationkey"))).cast("long").alias("good_key_sum"),
+        F.sum(F.when(~is_bad, F.col("n_regionkey"))).cast("long").alias("good_region_sum"),
+    )

@@ -280,3 +280,50 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("o_orderkey") % 37 == 0)
     )
+
+
+_MOVING_MEDIAN_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
+FROM orders
+WHERE o_custkey % 17 = 0
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("win_moving_median", oracle=_MOVING_MEDIAN_ORACLE, tier="T2")
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row moving MEDIAN of order value per customer — the
+    robust-statistics window (outlier-resistant smoothing) that mean
+    windows can't substitute for.  Spark disallows `median`/`percentile`
+    aggregates over a bounded window frame (INVALID_WINDOW_SPEC — probed),
+    so the frame is materialized with collect_list, sorted, and the
+    median interpolated by element arithmetic — with linear-interpolation
+    semantics matching DuckDB's quantile_cont (plain DuckDB `median` on
+    DECIMAL takes the lower middle, another probed difference the oracle
+    avoids).  The frame is row-bounded at 5 → the array is O(5) per row
+    regardless of scale.  The (o_orderdate, o_orderkey) sort key is
+    unique per customer, pinning frame contents across engines; the %17
+    key filter bounds output and is pushed below the window since it
+    references the partition key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    frame = F.sort_array(F.collect_list("o_totalprice").over(w))
+    n = F.size(frame)
+    lo = F.element_at(frame, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, F.ceil((n + 1) / 2).cast("int"))
+    return (
+        o.filter(F.col("o_custkey") % 17 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round((lo + hi) / 2, 4).alias("med5"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
