@@ -417,3 +417,220 @@ def llm_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Containment (asymmetric Jaccard) — sub-document duplication
+# --------------------------------------------------------------------------
+
+_CONTAIN_ORACLE = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  ) WHERE gram IS NOT NULL
+), hot AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) > {MAX_GRAM_DF}
+), gf AS (
+  SELECT g.* FROM grams g WHERE g.gram NOT IN (SELECT gram FROM hot)
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gf GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM gf x JOIN gf y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  WHERE x.doc_id < 100
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b,
+       ROUND(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.6
+"""
+
+
+@register("llm_dedup_containment", oracle=_CONTAIN_ORACLE, tier="T3")
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram CONTAINMENT ≥ 0.6 pairs: |grams(a) ∩ grams(b)| / min(|a|,|b|)
+    — the asymmetric cousin of Jaccard that catches a short document
+    embedded verbatim inside a long one, where Jaccard stays low because
+    the union is dominated by the long side (the quote/excerpt/
+    template-instantiation duplication class Broder's containment
+    measure exists for).  Identical scale posture to
+    llm_dedup_ngram_jaccard: df-capped grams (no hot shuffle key, every
+    bucket ≤ MAX_GRAM_DF² pairs), probe-bounded left side, and the only
+    change is the denominator — min(sizes) instead of union."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams_arr = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(toks, i),
+                F.try_element_at(toks, i + 1),
+                F.try_element_at(toks, i + 2),
+            ),
+        ),
+        lambda g: F.size(F.split(g, " ")) == 3,
+    )
+    grams = d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram"))
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_GRAM_DF)
+        .select("gram")
+    )
+    gf = grams.join(F.broadcast(hot), "gram", "left_anti")
+    sizes = gf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        gf.alias("x")
+        .filter(F.col("doc_id") < 100)
+        .join(gf.alias("y"), F.expr("x.gram = y.gram AND x.doc_id < y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    contain = F.col("shared").cast("double") / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b") == F.col("sb.doc_id"))
+        .filter(contain >= 0.6)
+        .select("a", "b", F.round(contain, 6).alias("containment"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# --------------------------------------------------------------------------
+
+_INCR_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 400
+), batch AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400
+), exact AS (
+  SELECT b.doc_id, min(ba.doc_id) AS match_id
+  FROM batch b JOIN base ba ON b.h = ba.h
+  GROUP BY b.doc_id
+), grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  ) WHERE gram IS NOT NULL
+), hot AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) > {MAX_GRAM_DF}
+), gf AS (
+  SELECT g.* FROM grams g WHERE g.gram NOT IN (SELECT gram FROM hot)
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gf GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS b_id, y.doc_id AS base_id, CAST(count(*) AS BIGINT) AS shared
+  FROM gf x JOIN gf y ON x.gram = y.gram
+  WHERE x.doc_id >= 400 AND y.doc_id < 400
+  GROUP BY x.doc_id, y.doc_id
+), near AS (
+  SELECT b_id AS doc_id, min(base_id) AS match_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = b_id
+  JOIN sizes sb ON sb.doc_id = base_id
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+  GROUP BY b_id
+)
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN n.doc_id IS NOT NULL THEN 'near'
+            ELSE 'new' END AS dup_kind,
+       COALESCE(e.match_id, n.match_id, -1) AS match_id
+FROM batch b
+LEFT JOIN exact e ON b.doc_id = e.doc_id
+LEFT JOIN near n ON b.doc_id = n.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@register("llm_dedup_incremental", oracle=_INCR_ORACLE, tier="T3")
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: classify every NEW document (the
+    batch, doc_id ≥ 400) against the EXISTING corpus (doc_id < 400) as
+    'exact' (hash match), 'near' (word-3-gram Jaccard ≥ 0.5 against any
+    base doc), or 'new' — WITHOUT ever comparing base docs to each
+    other.  This is the shape that matters at 100 TB: a daily crawl
+    drop dedups against the accumulated corpus index (hash join on
+    content digest + df-capped gram join), touching base-side state
+    only through those two key-partitioned indexes — never re-running
+    corpus×corpus dedup.  Candidate buckets stay ≤ MAX_GRAM_DF² by the
+    same cap as llm_dedup_ngram_jaccard; exact matches take min(base
+    id) as the canonical pointer, near matches likewise."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    exact = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(
+            base.select(F.col("doc_id").alias("base_id"), F.md5("text").alias("h")),
+            "h",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("base_id").alias("exact_match"))
+    )
+    toks = F.split("text", " ")
+    grams_arr = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(toks, i),
+                F.try_element_at(toks, i + 1),
+                F.try_element_at(toks, i + 2),
+            ),
+        ),
+        lambda g: F.size(F.split(g, " ")) == 3,
+    )
+    grams = d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram"))
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_GRAM_DF)
+        .select("gram")
+    )
+    gf = grams.join(F.broadcast(hot), "gram", "left_anti")
+    sizes = gf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        gf.alias("x")
+        .filter(F.col("doc_id") >= 400)
+        .join(
+            gf.alias("y").filter(F.col("doc_id") < 400),
+            F.expr("x.gram = y.gram"),
+        )
+        .groupBy(F.col("x.doc_id").alias("b_id"), F.col("y.doc_id").alias("base_id"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("shared"))
+    near = (
+        inter.join(sizes.alias("sa"), F.col("b_id") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("base_id") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .groupBy(F.col("b_id").alias("doc_id"))
+        .agg(F.min("base_id").alias("near_match"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), "exact")
+            .when(F.col("near_match").isNotNull(), "near")
+            .otherwise("new")
+            .alias("dup_kind"),
+            F.coalesce("exact_match", "near_match", F.lit(-1)).alias("match_id"),
+        )
+        .orderBy("doc_id")
+    )

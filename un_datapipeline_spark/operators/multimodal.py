@@ -261,3 +261,92 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(
         sample, "doc_id long, frame_idx int, frame_bytes int, frame_md5 string"
     )
+
+
+# ---------------------------------------------------------------------------
+# 'Audio' PCM window features
+# ---------------------------------------------------------------------------
+
+AUDIO_WIN = 128  # samples per analysis window
+AUDIO_N_WIN = 4  # fixed windows per payload (tiled like _decode_payload)
+AUDIO_DC = 80  # fixed DC offset removed from each 8-bit sample
+
+# The oracle replays the fake PCM decode: sample j = ascii byte at
+# position j mod len(text), minus the DC constant; all window moments
+# are exact-integer sums, so the only doubles are the final divisions —
+# identical IEEE expressions on identical operands in both engines.
+_AUDIO_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+), samples AS (
+  SELECT doc_id,
+         CAST(j // {AUDIO_WIN} AS INT) AS win,
+         j % {AUDIO_WIN} AS pos,
+         ascii(substr(text, CAST(j % n AS INT) + 1, 1)) - {AUDIO_DC} AS v,
+         CASE WHEN j % {AUDIO_WIN} <> {AUDIO_WIN - 1}
+              THEN ascii(substr(text, CAST((j + 1) % n AS INT) + 1, 1)) - {AUDIO_DC}
+         END AS v_next
+  FROM sized, LATERAL (
+    SELECT unnest(generate_series(0, {AUDIO_WIN * AUDIO_N_WIN - 1})) AS j
+  )
+)
+SELECT doc_id, win,
+       ROUND(sqrt(sum(v * v) / {AUDIO_WIN}.0), 6)            AS rms,
+       CAST(max(abs(v)) AS INT)                              AS peak,
+       CAST(sum(CASE WHEN v * v_next < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings
+FROM samples
+GROUP BY doc_id, win
+ORDER BY doc_id, win
+"""
+
+
+@register("mm_audio_windows", oracle=_AUDIO_ORACLE, tier="T3")
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Audio' windowed signal features over the binary payload treated
+    as 8-bit PCM: per {AUDIO_WIN}-sample window — RMS energy, peak
+    amplitude, zero-crossing count (the silence/clipping/voicedness
+    triage every audio ingest runs before expensive transcription).
+    Same stub seam as mm_decode_features: a real deployment decodes
+    with ffmpeg/soundfile; here the deterministic fallback tiles the
+    payload bytes (sample j = byte j mod len), so the Spark-side
+    plumbing — binary column in, fixed {AUDIO_N_WIN} rows per doc out
+    of an Arrow-batched mapInPandas — is fully real and the feature
+    math SQL-replays exactly.  The UDF accumulates integer moments
+    only; rounding happens JVM-side (ROUND_NOTES float policy)."""
+    import numpy as np
+
+    m = documents_as_media(spark, sf_dir)
+    schema = "doc_id long, win int, rms_raw double, peak int, zero_crossings long"
+
+    def extract(batches):
+        import math
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8).astype("int64")
+                need = AUDIO_WIN * AUDIO_N_WIN
+                reps = -(-need // max(len(buf), 1))
+                v = (np.tile(buf, reps)[:need] - AUDIO_DC).reshape(
+                    AUDIO_N_WIN, AUDIO_WIN
+                )
+                for w in range(AUDIO_N_WIN):
+                    row = v[w]
+                    ss = int((row * row).sum())
+                    peak = int(np.abs(row).max())
+                    zc = int(((row[:-1] * row[1:]) < 0).sum())
+                    out.append((doc_id, w, math.sqrt(ss / AUDIO_WIN), peak, zc))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "win", "rms_raw", "peak", "zero_crossings"],
+            )
+
+    raw = m.select("doc_id", "payload").mapInPandas(extract, schema)
+    return raw.select(
+        "doc_id",
+        "win",
+        F.round("rms_raw", 6).alias("rms"),
+        "peak",
+        "zero_crossings",
+    ).orderBy("doc_id", "win")

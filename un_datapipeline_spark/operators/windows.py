@@ -327,3 +327,59 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+_CUMDIST_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN row_number() OVER (
+              PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(sum(first_seen) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS distinct_types_so_far
+FROM flagged
+WHERE user_id % 29 = 0
+ORDER BY user_id, event_id
+"""
+
+
+@register("win_running_distinct", oracle=_CUMDIST_ORACLE, tier="T2")
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user — how many distinct event types
+    each user has touched as of each event (the feature-breadth /
+    engagement-depth signal).  Neither engine allows COUNT(DISTINCT)
+    over a window frame, so it's decomposed into two stacked windows:
+    a first-occurrence flag (row_number = 1 over (user, type)) and a
+    running sum of flags over (user) — both with unique (ts, event_id)
+    sort keys, both bounded-state at any scale (the running sum frame
+    carries one long).  The two windows share the user_id partitioning,
+    so Spark plans ONE shuffle (the second Window reuses the first's
+    distribution; the (user, type) sort is a sort-only re-pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+        )
+        .filter(F.col("user_id") % 29 == 0)
+        .orderBy("user_id", "event_id")
+    )
