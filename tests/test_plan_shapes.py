@@ -113,3 +113,11 @@ def test_partitioned_read_prunes_partitions(spark, sf_smoke):
     assert "PartitionFilters: [isnotnull(event_date" in scan
     assert "(event_date" in scan and ">= 2024-01-08" in scan and "<= 2024-01-14" in scan
     assert "DataFilters: []" in scan
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_smoke):
+    """join_dpp_partitioned's fact scan must carry a runtime
+    dynamicpruningexpression in its PartitionFilters — the dim filter
+    reaches the partitioned fact read at execution time."""
+    plan = plan_of(spark, "join_dpp_partitioned", sf_smoke)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

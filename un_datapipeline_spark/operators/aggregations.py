@@ -551,3 +551,84 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_BITMAP_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("agg_bitmap_distinct", oracle=_BITMAP_ORACLE, tier="T2")
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type computed through Spark's
+    bitmap aggregate family instead of COUNT(DISTINCT): each key is
+    mapped to (bucket, bit-position), per-partition bitmaps are OR-merged
+    through the shuffle, and the final count sums bitmap_count over
+    buckets.  Same answer as COUNT(DISTINCT) — the oracle IS
+    count(distinct) — but the shuffle carries fixed-size bitmap blobs
+    per (group, bucket) instead of every distinct raw value, the way
+    exact-distinct rollups stay affordable over 100 TB when the key
+    domain is dense integers.  (approx_count_distinct is the ε-tolerant
+    cousin; this one is exact.)"""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+_LISTAGG_ORACLE = """
+SELECT l_returnflag, statuses,
+       CAST(len(string_split(statuses, '|')) AS INT) AS n_statuses
+FROM (
+  SELECT l_returnflag,
+         string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS statuses
+  FROM lineitem GROUP BY l_returnflag)
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_listagg_sorted", oracle=_LISTAGG_ORACLE, tier="T2")
+def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg with DISTINCT + explicit ORDER BY — the
+    delimiter-joined label rollup (report columns, tag lists).  An
+    unordered listagg is nondeterministic across partitionings, so the
+    contract REQUIRES the order clause; Spark's listagg(DISTINCT ...
+    WITHIN GROUP) matches DuckDB's string_agg(DISTINCT ... ORDER BY).
+    Distinct-set size per group is bounded by the label domain, so the
+    aggregation state never scales with row count.
+
+    Engine bug, probed and avoided: pairing listagg(DISTINCT) with a
+    SECOND distinct aggregate (count(DISTINCT)) in one Aggregate crashes
+    Spark's RewriteDistinctAggregates (ListAgg.withNewChildrenInternal),
+    so the distinct-label count is derived from the joined string in a
+    follow-up projection instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "listagg(DISTINCT l_linestatus, '|') WITHIN GROUP (ORDER BY l_linestatus)"
+            ).alias("statuses"),
+        )
+        .select(
+            "l_returnflag",
+            "statuses",
+            F.size(F.split("statuses", "\\|")).alias("n_statuses"),
+        )
+        .orderBy("l_returnflag")
+    )

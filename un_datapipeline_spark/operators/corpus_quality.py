@@ -647,3 +647,76 @@ def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter-funnel accounting (per-stage survivor counts)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH per_doc AS (
+  SELECT doc_id,
+         lang IN ('en', 'de', 'fr') AS lang_ok,
+         len(string_split(text, ' ')) BETWEEN 20 AND 90 AS len_ok,
+         (SELECT max(c) FROM (
+            SELECT count(*) AS c
+            FROM unnest(string_split(text, ' ')) AS u(w) GROUP BY w))
+           * 1.0 / len(string_split(text, ' ')) <= 0.1 AS rep_ok
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT)                                   AS n_total,
+       CAST(count(*) FILTER (lang_ok) AS BIGINT)                  AS pass_lang,
+       CAST(count(*) FILTER (lang_ok AND len_ok) AS BIGINT)       AS pass_len,
+       CAST(count(*) FILTER (lang_ok AND len_ok AND rep_ok) AS BIGINT)
+         AS pass_all,
+       ROUND(count(*) FILTER (lang_ok AND len_ok AND rep_ok) * 1.0
+             / count(*), 6)                                       AS keep_rate
+FROM per_doc
+"""
+
+
+@register("llm_filter_funnel", oracle=_FUNNEL_ORACLE, tier="T3")
+def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential filter-funnel accounting: how many documents survive
+    each cleaning stage (language allowlist → token-length band →
+    repetition cap) applied IN ORDER — the observability query every
+    corpus pipeline runs before committing a filter change, because
+    'this filter cuts 40%' means something different at stage 1 than
+    stage 3.  One corpus scan: the repetition stage's per-doc max word
+    frequency folds into the same pass via an aggregate-over-explode
+    (word counts grouped per doc — shuffle keyed by doc_id, map-side
+    combined), then the funnel is a single global aggregate of boolean
+    conjunctions.  Flag semantics are deliberately simplified mirrors
+    of llm_lang_filter_clean / llm_quality_score / llm_repetition_flags
+    thresholds; the full operators remain the per-doc surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    maxfreq = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"))
+    )
+    per_doc = (
+        docs.join(maxfreq, "doc_id")
+        .select(
+            F.col("lang").isin("en", "de", "fr").alias("lang_ok"),
+            ntok.between(20, 90).alias("len_ok"),
+            (F.col("max_c") * 1.0 / ntok <= 0.1).alias("rep_ok"),
+        )
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("lang_ok").cast("long")).alias("pass_lang"),
+        F.sum((F.col("lang_ok") & F.col("len_ok")).cast("long")).alias("pass_len"),
+        F.sum(
+            (F.col("lang_ok") & F.col("len_ok") & F.col("rep_ok")).cast("long")
+        ).alias("pass_all"),
+        F.round(
+            F.sum((F.col("lang_ok") & F.col("len_ok") & F.col("rep_ok")).cast("long"))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("keep_rate"),
+    )

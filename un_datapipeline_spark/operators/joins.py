@@ -444,3 +444,55 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(price_c) / 100.0, 4).alias("total"),
         )
     )
+
+
+_DPP_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value), 4)     AS total_value
+FROM events
+WHERE isodow(ts) <= 2
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("join_dpp_partitioned", oracle=_DPP_ORACLE, tier="T2")
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is a hive-partitioned
+    events lake (partitioned by event_date), the dim side is a small
+    filtered date dimension (Mondays+Tuesdays), and the join key IS the
+    partition column — so Catalyst injects a dynamicpruningexpression
+    subquery into the fact scan's PartitionFilters (plan-asserted in
+    tests/test_plan_shapes.py) and the fact read skips every partition
+    the dim filter eliminates AT RUNTIME, before static planning could
+    know the surviving dates.  This is the flagship 100 TB star-schema
+    mechanism: a WHERE on the dim table prunes fact I/O by ~5/7 here,
+    by arbitrary dim selectivity in production.  The oracle replays the
+    semantics (week-day filter) directly on the source table."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="udps_dpp_")
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    iso_dow = (F.dayofweek("d") + 5) % 7 + 1
+    dim = (
+        ev.select(F.to_date("ts").alias("d"))
+        .distinct()
+        .filter(iso_dow <= 2)
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.event_date == dim.d)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
