@@ -720,3 +720,77 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("keep_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal n-gram novelty
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  ) WHERE gram IS NOT NULL AND len(string_split(gram, ' ')) = 3
+), first_seen AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT)                                    AS n_grams,
+       CAST(count(*) FILTER (f.first_doc = g.doc_id) AS BIGINT)    AS n_novel,
+       ROUND(count(*) FILTER (f.first_doc = g.doc_id) * 1.0
+             / count(*), 6)                                        AS novelty
+FROM grams g JOIN first_seen f USING (gram)
+WHERE g.doc_id % 7 = 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@register("llm_ngram_novelty", oracle=_NOVELTY_ORACLE, tier="T3")
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal novelty score: the fraction of each document's distinct
+    word-3-grams never seen in any EARLIER document (doc_id = ingestion
+    order) — the signal that separates fresh content from recombined
+    boilerplate as a crawl accumulates, and the cheap precursor to full
+    dedup (novelty ≈ 0 ⇒ candidate for the expensive pipeline).
+    Scale shape: gram → min(doc_id) is a vocabulary-keyed aggregate
+    (map-side combine collapses hot grams to ONE row each — no df-cap
+    needed, unlike the pairwise joins); the join back is equi-key with
+    exactly one match per gram occurrence.  In production the
+    first-seen table is the persistent index a daily drop joins
+    against, exactly like llm_dedup_incremental's digest index."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams_arr = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(toks, i),
+                F.try_element_at(toks, i + 1),
+                F.try_element_at(toks, i + 2),
+            ),
+        ),
+        lambda g: F.size(F.split(g, " ")) == 3,
+    )
+    grams = d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram"))
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "gram")
+        .filter(F.col("doc_id") % 7 == 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("n_novel"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -441,3 +441,117 @@ def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+_TRY_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_quantity / NULLIF(l_linenumber - l_linenumber, 0)   AS div0_null,
+       l_quantity / NULLIF(l_discount, 0)                    AS safe_ratio,
+       TRY_CAST(concat('x', CAST(l_orderkey AS VARCHAR)) AS BIGINT) AS bad_cast,
+       TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT)       AS good_cast
+FROM lineitem
+WHERE l_orderkey % 61 = 0
+ORDER BY l_orderkey, l_linenumber, l_quantity
+"""
+
+
+@register("fn_try_arithmetic", oracle=_TRY_ORACLE, tier="T1")
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: try_divide (NULL on /0 instead of
+    ANSI exception or silent ±Inf), try_cast on garbage and on valid
+    input — the functions a 100 TB job uses so one dirty row degrades
+    to NULL instead of killing a 6-hour stage.  DuckDB has no
+    try_divide, so the oracle encodes the identical semantics as
+    x / NULLIF(y, 0); TRY_CAST exists in both.  Pure whole-stage-codegen
+    expressions; the WHERE %61 bound is pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 61 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.try_divide(F.col("l_quantity"), F.col("l_linenumber") - F.col("l_linenumber")).alias("div0_null"),
+            F.try_divide(F.col("l_quantity"), F.nullif(F.col("l_discount"), F.lit(0))).alias("safe_ratio"),
+            F.try_to_number(
+                F.concat(F.lit("x"), F.col("l_orderkey").cast("string")), F.lit("999999999")
+            ).cast("long").alias("bad_cast"),
+            F.col("l_orderkey").cast("string").try_cast("long").alias("good_cast"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+_MASK_ORACLE = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+         substr(text, 1, 40), '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+         '[0-9]', 'n', 'g') AS masked_head,
+       CAST(length(regexp_replace(substr(text, 1, 40), '[^0-9]', '', 'g')) AS INT)
+         AS n_digits
+FROM documents
+WHERE doc_id % 13 = 0
+ORDER BY doc_id
+"""
+
+
+@register("fn_mask_redact", oracle=_MASK_ORACLE, tier="T1")
+def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class masking (upper→X, lower→x, digit→n) over document
+    heads via Spark's built-in `mask` — the display-redaction primitive
+    for logs/samples of sensitive corpora (llm_pii_redact is the
+    pattern-level cousin).  DuckDB has no mask(), so the oracle applies
+    the same three character-class regexp_replace passes; other
+    characters pass through on both engines (mask's other-char default).
+    Row-local expressions only."""
+    d = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 40)
+    return (
+        d.filter(F.col("doc_id") % 13 == 0)
+        .select(
+            "doc_id",
+            F.mask(head, F.lit("X"), F.lit("x"), F.lit("n"), F.lit(None)).alias(
+                "masked_head"
+            ),
+            F.length(F.regexp_replace(head, "[^0-9]", "")).alias("n_digits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CODEC_ORACLE = """
+SELECT doc_id,
+       base64(encode(substr(text, 1, 30)))          AS b64,
+       lower(hex(encode(substr(text, 1, 10))))      AS hex10,
+       CAST(octet_length(encode(text)) AS BIGINT)   AS n_bytes,
+       substr(text, 1, 30) = decode(from_base64(base64(encode(substr(text, 1, 30)))))
+         AS roundtrip_ok
+FROM documents
+WHERE doc_id % 19 = 0
+ORDER BY doc_id
+"""
+
+
+@register("fn_binary_codecs", oracle=_CODEC_ORACLE, tier="T1")
+def fn_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary transport codecs: base64 encode + decode roundtrip, hex
+    rendering, byte length — the serialization shims for binary columns
+    crossing JSON/text boundaries (multimodal payload manifests).  Both
+    engines implement RFC 4648 base64 and hex over the same utf-8
+    bytes; the roundtrip equality column proves losslessness inside the
+    query itself.  Row-local, codegen-friendly."""
+    d = load_table(spark, sf_dir, "documents")
+    head30 = F.encode(F.substring("text", 1, 30), "utf-8")
+    return (
+        d.filter(F.col("doc_id") % 19 == 0)
+        .select(
+            "doc_id",
+            F.base64(head30).alias("b64"),
+            F.lower(F.hex(F.encode(F.substring("text", 1, 10), "utf-8"))).alias("hex10"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+            (
+                F.substring("text", 1, 30)
+                == F.decode(F.unbase64(F.base64(head30)), "utf-8")
+            ).alias("roundtrip_ok"),
+        )
+        .orderBy("doc_id")
+    )
