@@ -1130,3 +1130,193 @@ def ts_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qtr", "iso_week", "iso_dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence pattern matching (CEP-lite)
+# ---------------------------------------------------------------------------
+
+_PATTERN_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT)                                   AS n_users,
+       CAST(count(*) FILTER (regexp_matches(s, 'v.*c.*p')) AS BIGINT)
+         AS funnel_vcp,
+       CAST(count(*) FILTER (regexp_matches(s, 'vcp')) AS BIGINT)
+         AS strict_vcp,
+       CAST(count(*) FILTER (regexp_matches(s, 'ee')) AS BIGINT)  AS double_err,
+       CAST(sum(length(regexp_replace(s, '[^p]', '', 'g'))) AS BIGINT)
+         AS total_purchases
+FROM seq
+"""
+
+
+@register("win_event_pattern", oracle=_PATTERN_ORACLE, tier="T2")
+def win_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite event-sequence patterns: each user's ordered
+    event history collapses to a symbol string (one char per event,
+    (ts, event_id)-ordered so it's deterministic), and sequence
+    questions become regexes — eventual funnel v.*c.*p, STRICT
+    adjacency vcp (view, click, purchase with nothing between — the
+    contiguity constraint windows can't express without N self-joins),
+    repeated-error runs.  This is how sequence analytics scales on
+    Spark without a CEP engine: ONE shuffle keyed by user collapses the
+    history; per-user strings are session-bounded; regexes run
+    data-parallel on the collapsed rows.  listagg WITHIN GROUP gives
+    the ordered concatenation JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.substring("event_type", 1, 1).alias("c"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "listagg(c, '') WITHIN GROUP (ORDER BY ts, event_id)"
+            ).alias("s")
+        )
+    )
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("s").rlike("v.*c.*p").cast("long")).alias("funnel_vcp"),
+        F.sum(F.col("s").rlike("vcp").cast("long")).alias("strict_vcp"),
+        F.sum(F.col("s").rlike("ee").cast("long")).alias("double_err"),
+        F.sum(F.length(F.regexp_replace("s", "[^p]", ""))).cast("long").alias(
+            "total_purchases"
+        ),
+    )
+
+
+_TRANSITION_ORACLE = """
+WITH step AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type), 6)
+         AS p
+FROM step
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY from_type, to_type
+"""
+
+
+@register("ts_transition_matrix", oracle=_TRANSITION_ORACLE, tier="T2")
+def ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    P(next event type | current), from lead() pairs per user — the
+    behavioral fingerprint behind next-action prediction and bot
+    detection.  One window shuffle keyed by user builds the bigrams;
+    the count rollup is domain-bounded (|types|² rows); the row
+    probability is count/row-total via a window over the tiny
+    aggregated matrix — int/int division, engine-exact.  The
+    (ts, event_id) order key is unique per user, pinning every
+    transition pair across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    step = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = step.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return (
+        counts.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") * 1.0 / F.sum("n").over(wrow), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (trend + day-of-week seasonal + residual)
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c
+  FROM events
+  GROUP BY event_type, CAST(ts AS DATE)
+), trended AS (
+  SELECT event_type, d, total_c,
+         sum(total_c) OVER w * 1.0 / count(*) OVER w AS trend_c,
+         total_c - sum(total_c) OVER w * 1.0 / count(*) OVER w AS detr_c
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), seasonal AS (
+  SELECT *, avg(detr_c) OVER (PARTITION BY event_type, isodow(d)) AS seas_c
+  FROM trended
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       ROUND(total_c / 100.0, 4)            AS observed,
+       ROUND(trend_c / 100.0, 6)            AS trend,
+       ROUND(seas_c / 100.0, 6)             AS seasonal,
+       ROUND((detr_c - seas_c) / 100.0, 6)  AS residual
+FROM seasonal
+ORDER BY event_type, day
+"""
+
+
+@register("ts_seasonal_decompose", oracle=_SEASONAL_ORACLE, tier="T3")
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of each event type's
+    daily revenue series: trend = centered 7-day moving mean, seasonal
+    = day-of-week mean of the detrended series, residual = the rest —
+    the decomposition behind anomaly baselines and capacity forecasts.
+    All series math runs on EXACT integer cents until the final
+    divisions, whose denominators are bounded (window length ≤ 7 ×
+    ≤5 weekday samples), putting every true value ≥ 1/(2·35)·10⁻⁶ away
+    from a rounding boundary — double noise (~10⁻¹²) can't flip the
+    6dp round (ROUND_NOTES float policy, extended to rationals).
+    Scale shape: the daily rollup is calendar-bounded per type; both
+    windows partition by event_type (tiny, re-shuffles nothing heavy);
+    at 100 TB the heavy lifting is the first groupBy's map-side
+    combine over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum(cents).alias("total_c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    trend_c = F.sum("total_c").over(w) * 1.0 / F.count(F.lit(1)).over(w)
+    trended = daily.select(
+        "event_type",
+        "d",
+        "total_c",
+        trend_c.alias("trend_c"),
+        (F.col("total_c") - trend_c).alias("detr_c"),
+    )
+    iso_dow = (F.dayofweek("d") + 5) % 7 + 1
+    w_seas = Window.partitionBy("event_type", iso_dow)
+    seasonal = trended.withColumn("seas_c", F.avg("detr_c").over(w_seas))
+    return seasonal.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("total_c") / 100.0, 4).alias("observed"),
+        F.round(F.col("trend_c") / 100.0, 6).alias("trend"),
+        F.round(F.col("seas_c") / 100.0, 6).alias("seasonal"),
+        F.round((F.col("detr_c") - F.col("seas_c")) / 100.0, 6).alias("residual"),
+    ).orderBy("event_type", "day")
