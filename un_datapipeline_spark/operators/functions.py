@@ -555,3 +555,43 @@ def fn_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_AES_ORACLE = """
+SELECT doc_id,
+       CAST((len(text) // 16 + 1) * 16 AS INT) AS cipher_bytes,
+       CAST(1 AS BOOLEAN)                      AS roundtrip_ok
+FROM documents
+WHERE doc_id % 23 = 0
+ORDER BY doc_id
+"""
+
+
+@register("fn_aes_roundtrip", oracle=_AES_ORACLE, tier="T1")
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: aes_encrypt / aes_decrypt
+    roundtrip per document (at-rest field protection for sensitive
+    columns travelling through a shared lake).  ECB mode is used ONLY
+    because it's deterministic and thus testable — the docstring-level
+    guidance for production is GCM, whose random IV defeats equality
+    checks by design.  DuckDB has no AES, so the oracle checks the two
+    provable invariants from the OUTSIDE: PKCS#7 ciphertext length
+    ((n÷16+1)·16 — probed) and in-query decrypt∘encrypt == plaintext.
+    All JVM-side expression work."""
+    d = load_table(spark, sf_dir, "documents")
+    cipher = F.expr(
+        "aes_encrypt(text, '0123456789abcdef', 'ECB')"
+    )
+    plain_again = F.expr(
+        "cast(aes_decrypt(aes_encrypt(text, '0123456789abcdef', 'ECB'), "
+        "'0123456789abcdef', 'ECB') as string)"
+    )
+    return (
+        d.filter(F.col("doc_id") % 23 == 0)
+        .select(
+            "doc_id",
+            F.length(cipher).alias("cipher_bytes"),
+            (plain_again == F.col("text")).alias("roundtrip_ok"),
+        )
+        .orderBy("doc_id")
+    )

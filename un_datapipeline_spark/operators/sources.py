@@ -478,3 +478,74 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~is_bad, F.col("n_nationkey"))).cast("long").alias("good_key_sum"),
         F.sum(F.when(~is_bad, F.col("n_regionkey"))).cast("long").alias("good_region_sum"),
     )
+
+
+_NESTED_ORACLE = """
+SELECT l_orderkey AS o_orderkey,
+       CAST(count(*) AS BIGINT)       AS n_lines,
+       ROUND(sum(l_quantity), 4)      AS sum_qty,
+       CAST(min(l_linenumber) AS INT) AS first_line,
+       CAST(max(l_linenumber) AS INT) AS last_line
+FROM lineitem
+WHERE l_orderkey % 53 = 0
+GROUP BY l_orderkey
+ORDER BY o_orderkey
+"""
+
+
+@register("src_json_nested", oracle=_NESTED_ORACLE, tier="T1")
+def src_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON document source: each order's lineitems are packed
+    into one JSON document with an array<struct> field (the shape every
+    API export / document store drop arrives in), written as JSON lines,
+    read back with an explicit NESTED schema, and exploded back to
+    relational rows.  The oracle aggregates the flat source directly —
+    equality proves pack → serialize → parse → explode is lossless,
+    including struct field types through the JSON boundary.  At scale
+    the explode is row-local; the only shuffle is the original per-order
+    groupBy (key-partitioned, map-side combined)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 53 == 0)
+    packed = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+                )
+            ).alias("lines")
+        )
+        .select(F.to_json(F.struct("l_orderkey", "lines")).alias("value"))
+    )
+    out = tempfile.mkdtemp(prefix="udps_nested_")
+    packed.write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField(
+                "lines",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("l_linenumber", T.IntegerType()),
+                            T.StructField("l_quantity", T.DoubleType()),
+                            T.StructField("l_extendedprice", T.DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    flat = back.select(
+        F.col("l_orderkey").alias("o_orderkey"), F.explode("lines").alias("ln")
+    )
+    return (
+        flat.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("ln.l_quantity"), 4).alias("sum_qty"),
+            F.min("ln.l_linenumber").alias("first_line"),
+            F.max("ln.l_linenumber").alias("last_line"),
+        )
+        .orderBy("o_orderkey")
+    )
