@@ -1320,3 +1320,80 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("seas_c") / 100.0, 6).alias("seasonal"),
         F.round((F.col("detr_c") - F.col("seas_c")) / 100.0, 6).alias("residual"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation from integer window moments
+# ---------------------------------------------------------------------------
+
+_ROLLCORR_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT)                                 AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), mo AS (
+  SELECT event_type, d,
+         count(*)   OVER w AS n,
+         sum(x)     OVER w AS sx,
+         sum(y)     OVER w AS sy,
+         sum(x * x) OVER w AS sxx,
+         sum(y * y) OVER w AS syy,
+         sum(x * y) OVER w AS sxy
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * 1.0 * sy)
+             / sqrt((n * sxx - sx * 1.0 * sx) * (n * syy - sy * 1.0 * sy)), 6)
+         AS roll_corr
+FROM mo
+WHERE n >= 3
+ORDER BY event_type, day
+"""
+
+
+@register("win_rolling_corr", oracle=_ROLLCORR_ORACLE, tier="T2")
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling Pearson correlation between each event
+    type's daily revenue and daily event count — the does-volume-track-
+    value drift signal.  No corr() window exists in either engine over
+    arbitrary frames, so it's assembled from SIX integer window moments
+    (n, Σx, Σy, Σx², Σy², Σxy over exact cents/counts; all < 2^53) and
+    one closed-form expression — identical operands, identical double
+    result on both engines, no accumulation-order exposure.  The frame
+    is row-bounded (7) and partitions are calendar×type-bounded; at
+    100 TB the daily rollup's map-side combine does all heavy lifting."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(cents).alias("x"), F.count(F.lit(1)).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    mo = daily.select(
+        "event_type",
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * 1.0 * F.col("sy"))
+    )
+    return (
+        mo.filter(F.col("n") >= 3)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(num / den, 6).alias("roll_corr"),
+        )
+        .orderBy("event_type", "day")
+    )

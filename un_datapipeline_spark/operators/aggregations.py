@@ -632,3 +632,92 @@ def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_TTEST_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)  AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+  GROUP BY event_type
+), w AS (
+  SELECT
+    (SELECT n  FROM m WHERE event_type = 'purchase') AS n1,
+    (SELECT s  FROM m WHERE event_type = 'purchase') AS s1,
+    (SELECT ss FROM m WHERE event_type = 'purchase') AS ss1,
+    (SELECT n  FROM m WHERE event_type = 'click')    AS n2,
+    (SELECT s  FROM m WHERE event_type = 'click')    AS s2,
+    (SELECT ss FROM m WHERE event_type = 'click')    AS ss2
+)
+SELECT n1, n2,
+       ROUND(s1 / (100.0 * n1), 6) AS mean_a,
+       ROUND(s2 / (100.0 * n2), 6) AS mean_b,
+       ROUND((ss1 - s1 * 1.0 * s1 / n1) / ((n1 - 1) * 10000.0), 6) AS var_a,
+       ROUND((ss2 - s2 * 1.0 * s2 / n2) / ((n2 - 1) * 10000.0), 6) AS var_b,
+       ROUND((s1 / (100.0 * n1) - s2 / (100.0 * n2))
+             / sqrt((ss1 - s1 * 1.0 * s1 / n1) / ((n1 - 1) * 10000.0) / n1
+                  + (ss2 - s2 * 1.0 * s2 / n2) / ((n2 - 1) * 10000.0) / n2), 6)
+         AS t_welch
+FROM w
+"""
+
+
+@register("agg_ab_ttest", oracle=_TTEST_ORACLE, tier="T2")
+def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic between purchase and click values —
+    the A/B significance primitive, computed entirely from EXACT integer
+    moments (n, Σcents, Σcents²; all < 2^53) so both engines evaluate
+    the LITERAL same double expression on identical operands —
+    bit-identical before rounding, immune to accumulation-order drift
+    (the only float hazard in distributed statistics).  One scan, one
+    2-group aggregate, a 1-row pivot; at 100 TB the moments come from
+    map-side partial sums and the t-math is constant-time."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("s"),
+            F.sum(cents * cents).alias("ss"),
+        )
+    )
+    w = (
+        m.groupBy()
+        .pivot("event_type", ["purchase", "click"])
+        .agg(F.first("n").alias("n"), F.first("s").alias("s"), F.first("ss").alias("ss"))
+        .select(
+            F.col("purchase_n").alias("n1"),
+            F.col("purchase_s").alias("s1"),
+            F.col("purchase_ss").alias("ss1"),
+            F.col("click_n").alias("n2"),
+            F.col("click_s").alias("s2"),
+            F.col("click_ss").alias("ss2"),
+        )
+    )
+    mean_a = F.col("s1") / (100.0 * F.col("n1"))
+    mean_b = F.col("s2") / (100.0 * F.col("n2"))
+    var_a = (F.col("ss1") - F.col("s1") * 1.0 * F.col("s1") / F.col("n1")) / (
+        (F.col("n1") - 1) * 10000.0
+    )
+    var_b = (F.col("ss2") - F.col("s2") * 1.0 * F.col("s2") / F.col("n2")) / (
+        (F.col("n2") - 1) * 10000.0
+    )
+    return w.select(
+        "n1",
+        "n2",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(var_a, 6).alias("var_a"),
+        F.round(var_b, 6).alias("var_b"),
+        F.round(
+            (mean_a - mean_b)
+            / F.sqrt(var_a / F.col("n1") + var_b / F.col("n2")),
+            6,
+        ).alias("t_welch"),
+    )

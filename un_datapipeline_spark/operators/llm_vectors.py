@@ -453,3 +453,53 @@ def llm_simsearch_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "nn_id", F.round("sim", 6).alias("sim"))
         .orderBy("a_id")
     )
+
+
+_MEANPOOL_ORACLE = """
+SELECT d.lang,
+       CAST(p.pos AS INT)                 AS dim,
+       CAST(count(*) AS BIGINT)           AS n,
+       ROUND(avg(CAST(e.embedding[p.pos] AS DOUBLE)), 6) AS mean_val,
+       ROUND(min(CAST(e.embedding[p.pos] AS DOUBLE)), 6) AS min_val,
+       ROUND(max(CAST(e.embedding[p.pos] AS DOUBLE)), 6) AS max_val
+FROM documents d
+JOIN embeddings e ON d.doc_id = e.vec_id,
+     LATERAL (SELECT unnest(generate_series(1, 8)) AS pos) p
+GROUP BY d.lang, p.pos
+ORDER BY d.lang, dim
+"""
+
+
+@register("llm_embedding_mean_pool", oracle=_MEANPOOL_ORACLE, tier="T3")
+def llm_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum vector aggregation: the mean-pooled embedding (plus
+    per-dimension min/max) for each language over the doc⋈vector join —
+    the centroid computation behind per-domain drift monitoring and
+    cluster seeding.  The vector column is posexploded to (dim, value)
+    rows and aggregated per (stratum, dim): the shuffle is bounded by
+    |strata| × dim regardless of corpus size, with map-side partial
+    aggregation doing the heavy reduction — the scalable alternative to
+    collecting vectors and averaging driver-side.  Only the first 8
+    dims are emitted to keep the verification surface small; the plan
+    is dimension-count-agnostic.  (Spark posexplode is 0-based, DuckDB
+    list indexing 1-based — aligned explicitly; this DuckDB build lacks
+    WITH ORDINALITY, so the oracle indexes via a lateral
+    generate_series.)"""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = (
+        d.join(e, d.doc_id == e.vec_id)
+        .select("lang", F.posexplode("embedding").alias("pos0", "val"))
+        .filter(F.col("pos0") < 8)
+        .select("lang", (F.col("pos0") + 1).alias("dim"), F.col("val").cast("double").alias("v"))
+    )
+    return (
+        exploded.groupBy("lang", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 6).alias("mean_val"),
+            F.round(F.min("v"), 6).alias("min_val"),
+            F.round(F.max("v"), 6).alias("max_val"),
+        )
+        .orderBy("lang", "dim")
+    )
