@@ -1397,3 +1397,98 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day deltas and share-of-total windows
+# ---------------------------------------------------------------------------
+
+_DOD_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       ROUND(c / 100.0, 4) AS revenue,
+       ROUND((c - lag(c) OVER w) / 100.0, 4) AS delta,
+       ROUND((c - lag(c) OVER w) * 1.0 / lag(c) OVER w, 6) AS pct_change
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY d)
+ORDER BY event_type, day
+"""
+
+
+@register("ts_day_over_day", oracle=_DOD_ORACLE, tier="T2")
+def ts_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue delta and percent change per event type —
+    the first derivative every metrics dashboard plots.  Daily totals
+    are exact integer cents; delta is an integer difference and the
+    percent change one division of identical integers on both engines.
+    First day per series yields NULLs (no lag), preserved as NULL on
+    both sides.  One calendar-bounded rollup + one lag window sharing
+    the event_type partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(cents).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    prev = F.lag("c").over(w)
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("c") / 100.0, 4).alias("revenue"),
+        F.round((F.col("c") - prev) / 100.0, 4).alias("delta"),
+        F.round((F.col("c") - prev) * 1.0 / prev, 6).alias("pct_change"),
+    ).orderBy("event_type", "day")
+
+
+_SHARE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       ROUND(c * 1.0 / sum(c) OVER (PARTITION BY d), 6)           AS share_of_day,
+       ROUND(c * 1.0 / sum(c) OVER (PARTITION BY event_type), 6)  AS share_of_type,
+       ROUND(sum(c) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING)
+             * 1.0 / sum(c) OVER (PARTITION BY event_type), 6)    AS cum_share
+FROM daily
+ORDER BY event_type, day
+"""
+
+
+@register("win_share_of_total", oracle=_SHARE_ORACLE, tier="T2")
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total windows along two axes plus a cumulative share —
+    each day's slice of its type, each type's slice of its day, and the
+    running fraction of the series completed (the pacing curve).  All
+    numerators/denominators are exact integer cent sums; each share is
+    ONE division of identical integers, so both engines produce
+    bit-identical doubles.  Three window specs over the tiny daily
+    rollup; the raw-event heavy lifting happens once in the map-side
+    combined groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(cents).alias("c")
+    )
+    w_day = Window.partitionBy("d")
+    w_type = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("c") * 1.0 / F.sum("c").over(w_day), 6).alias("share_of_day"),
+        F.round(F.col("c") * 1.0 / F.sum("c").over(w_type), 6).alias("share_of_type"),
+        F.round(
+            F.sum("c").over(w_cum) * 1.0 / F.sum("c").over(w_type), 6
+        ).alias("cum_share"),
+    ).orderBy("event_type", "day")

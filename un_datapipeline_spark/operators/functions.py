@@ -595,3 +595,50 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_ARRAYSET_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey,
+         string_split(o_orderpriority, '-') AS a,
+         string_split(o_orderstatus || '-' || substr(o_orderpriority, 1, 1), '-') AS b
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT o_orderkey,
+       array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS union_ab,
+       array_to_string(list_sort(list_intersect(a, b)), ',')             AS inter_ab,
+       array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ',')
+         AS except_ab,
+       CAST(len(list_distinct(list_concat(a, b))) AS INT)               AS n_union
+FROM t
+ORDER BY o_orderkey
+"""
+
+
+@register("fn_array_set_ops", oracle=_ARRAYSET_ORACLE, tier="T1")
+def fn_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra — union/intersect/except on array columns (tag
+    lists, token sets).  Spark's array_union/array_intersect/array_except
+    and DuckDB's list_* cousins agree on SET semantics but NOT element
+    order, so every result is array_sort-ed and serialized to a joined
+    string before comparison (raw array cells also crash the driver's
+    canonicalizer — ROUND_NOTES).  DuckDB's list_except isn't in this
+    build, so the oracle spells it as a list_filter/contains lambda.
+    Row-local expression work only."""
+    o = load_table(spark, sf_dir, "orders")
+    a = F.split("o_orderpriority", "-")
+    b = F.split(
+        F.concat_ws("-", F.col("o_orderstatus"), F.substring("o_orderpriority", 1, 1)),
+        "-",
+    )
+    return (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.array_join(F.array_sort(F.array_union(a, b)), ",").alias("union_ab"),
+            F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("inter_ab"),
+            F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("except_ab"),
+            F.size(F.array_union(a, b)).alias("n_union"),
+        )
+        .orderBy("o_orderkey")
+    )
