@@ -238,3 +238,21 @@ def test_hnsw_recall_beats_ivf(spark, sf_t2):
     assert recall_h >= max(recall_i, 0.8), (
         f"HNSW recall@1 {recall_h} below IVF {recall_i} / 0.8 floor"
     )
+
+
+def test_pq_deterministic_and_compresses(spark, sf_t2):
+    """PQ codes must be stable run-to-run (seeded sample-trained
+    codebooks) and reconstruct most of the vector energy: mean relative
+    reconstruction error < 0.9 (random 64-d data is the worst case for
+    16-cell subspace codebooks; real embeddings do far better)."""
+    from un_datapipeline_spark.registry import all_operators
+
+    fn = all_operators()["llm_vector_pq"].fn
+    a = {r.vec_id: (r.pq_code, r.rel_err) for r in fn(spark, sf_t2).collect()}
+    b = {r.vec_id: (r.pq_code, r.rel_err) for r in fn(spark, sf_t2).collect()}
+    assert a == b, "PQ encoding must be deterministic"
+    assert len(a) == 500
+    errs = [e for _, e in a.values()]
+    assert all(0 <= e <= 1.5 for e in errs)
+    mean_err = sum(errs) / len(errs)
+    assert mean_err < 0.9, f"PQ reconstruction too lossy: {mean_err}"

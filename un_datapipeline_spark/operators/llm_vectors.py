@@ -503,3 +503,87 @@ def llm_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — vector compression for billion-scale ANN
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8  # 64-dim vectors → 8 subvectors of 8 dims
+PQ_CODEBOOK = 16  # 16 centroids per subspace → 4 bits/code, 8 bytes/vector
+
+
+def train_pq_codebooks(corpus, sample: int = 512, n_iters: int = 5, seed: int = 7):
+    """Deterministic per-subspace k-means codebooks from a driver-side
+    sample (orderBy-pinned, like the IVF trainer): training cost is
+    O(sample), never O(corpus).  Returns (PQ_SUBSPACES, PQ_CODEBOOK,
+    sub_dim) float64."""
+    import numpy as np
+
+    rows = (
+        corpus.select("vec_id", "embedding").orderBy("vec_id").limit(sample).collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    sub_dim = x.shape[1] // PQ_SUBSPACES
+    books = np.zeros((PQ_SUBSPACES, PQ_CODEBOOK, sub_dim))
+    rng = np.random.RandomState(seed)
+    for s in range(PQ_SUBSPACES):
+        xs = x[:, s * sub_dim : (s + 1) * sub_dim]
+        cent = xs[rng.choice(len(xs), size=PQ_CODEBOOK, replace=False)]
+        for _ in range(n_iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(PQ_CODEBOOK):
+                m = assign == c
+                if m.any():
+                    cent[c] = xs[m].mean(axis=0)
+        books[s] = cent
+    return books
+
+
+@register("llm_vector_pq", oracle=None, tier="T3")
+def llm_vector_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-dim vector compresses to 8×4-bit
+    codes (one per 8-dim subspace, nearest codebook centroid) — a 64×
+    compression that is the second half of the standard IVF+PQ recipe
+    for billion-vector ANN (llm_simsearch_ivf is the first half; at
+    100 TB the codes live in RAM while raw vectors stay on disk).
+    Codebooks are sample-trained driver-side (deterministic seed/order)
+    and shipped in the mapInPandas closure; encoding is one corpus scan
+    doing batched subspace matmuls.  Emits per-vector codes plus the
+    relative reconstruction error.  Rows-only by nature (k-means);
+    determinism and the compression-quality invariant (mean relative
+    error well below 1) are pytest-asserted."""
+    import numpy as np
+
+    em = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(em)
+    sub_dim = books.shape[2]
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            codes = np.zeros((len(x), PQ_SUBSPACES), dtype=np.int64)
+            recon = np.zeros_like(x)
+            for s in range(PQ_SUBSPACES):
+                xs = x[:, s * sub_dim : (s + 1) * sub_dim]
+                d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+                recon[:, s * sub_dim : (s + 1) * sub_dim] = books[s][codes[:, s]]
+            err = np.linalg.norm(x - recon, axis=1) / np.linalg.norm(x, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "pq_code": ["-".join(str(c) for c in row) for row in codes],
+                    "rel_err": np.round(err, 6),
+                }
+            )
+
+    return (
+        em.select("vec_id", "embedding")
+        .mapInPandas(encode, "vec_id long, pq_code string, rel_err double")
+        .orderBy("vec_id")
+    )
