@@ -41,158 +41,159 @@ NEVER_VERIFIED = (
 # Group 2 — green (hash-match or contracted rows-only) in the union of
 # CORRECTNESS_r01.json, CORRECTNESS_r02.json and CORRECTNESS_r03.json.
 # 146 ops: 96 from r01 ∪ r02 plus the 50 that round 3 verified.
-DRIVER_GREEN = frozenset(
-    {
-        # round-1 verdicts
-        "agg_pricing_summary",
-        "agg_count_distinct",
-        "agg_rollup",
-        "agg_having",
-        "agg_approx_distinct",
-        "agg_grouping_sets",
-        "agg_cube",
-        "agg_stats",
-        "agg_percentile_exact",
-        "agg_histogram",
-        "agg_collect_sorted",
-        "agg_mode",
-        "fn_conditional",
-        "fn_datetime",
-        "fn_json",
-        "fn_cast_types",
-        "fn_bitwise",
-        "fn_math",
-        "fn_string",
-        "fn_array",
-        "join_inner_equi",
-        "join_broadcast_dim",
-        "join_sort_merge",
-        "join_left_outer",
-        "join_full_outer",
-        "join_left_semi",
-        "join_left_anti",
-        "join_cross",
-        "join_theta_range",
-        "join_asof",
-        "join_interval",
-        "join_skew_salted",
-        "llm_lang_filter_clean",
-        "llm_text_token_stats",
-        "llm_word_freq_topk",
-        "llm_tfidf_topterms",
-        "llm_dedup_exact",
-        "llm_dedup_near_minhash",
-        "llm_dedup_ngram_jaccard",
-        "llm_dedup_simhash",
-        "llm_dedup_embedding",
-        "llm_dedup_cluster",
-        "llm_simsearch_cosine_topk",
-        "llm_simsearch_lsh",
-        "llm_simsearch_ivf",
-        "llm_simsearch_multiprobe",
-        "llm_knn_join",
-        "llm_vector_norms",
-        "llm_embed_join_docs",
-        "etl_latest_by_key",
-        "etl_merge_upsert",
-        "etl_dq_validate",
-        "etl_train_split",
-        "etl_sample_hash",
-        "etl_scd2_snapshot",
-        "mm_binary_stats",
-        "mm_decode_features",
-        "mm_frame_sample",
-        # round-2 verdicts
-        "src_parquet_scan",
-        "src_csv_roundtrip",
-        "src_json_roundtrip",
-        "sink_parquet_write",
-        "src_stream_file",
-        "stream_kafka_source",
-        "proj_select_expr",
-        "filter_complex_pred",
-        "filter_case_when",
-        "filter_null_handling",
-        "win_ranking",
-        "win_analytic",
-        "win_running_sum",
-        "win_sliding_range",
-        "win_topk_per_group",
-        "llm_sessionize_funnel",
-        "ts_multires_rollup",
-        "sort_multi_key",
-        "topk_global",
-        "limit_offset",
-        "set_union_all",
-        "set_union_distinct",
-        "set_intersect",
-        "set_except",
-        "distinct_rows",
-        "fn_map",
-        "stream_tumbling_window",
-        "stream_sliding_window",
-        "stream_session_window",
-        "stream_watermark_late",
-        "stream_dedup",
-        "stream_stateful_running",
-        "stream_foreach_batch_sink",
-        "udf_python_scalar",
-        "udf_pandas_scalar",
-        "udf_grouped_map",
-        "udaf_grouped_agg",
-        "udtf_split_words",
-        # round-3 verdicts
-        "agg_corr_pearson",
-        "agg_approx_percentile",
-        "agg_iqr_outliers",
-        "ts_ewma_smooth",
-        "llm_ngram_lm",
-        "fn_regex_extract",
-        "fn_url_parse",
-        "fn_explode_pos",
-        "llm_quality_score",
-        "llm_lang_id",
-        "llm_token_count_bpe",
-        "llm_doc_fingerprint",
-        "llm_type_token_ratio",
-        "llm_repetition_flags",
-        "llm_pii_redact",
-        "llm_doc_chunking",
-        "llm_length_curriculum",
-        "set_intersect_all",
-        "set_except_all",
-        "reshape_pivot",
-        "reshape_unpivot",
-        "agg_sketch_mergeable",
-        "agg_freq_sketch_cms",
-        "llm_bpe_pair_counts",
-        "llm_vocab_coverage",
-        "llm_boilerplate_ngrams",
-        "win_streaks",
-        "win_dedup_debounce",
-        "win_percent_rank_cume",
-        "win_funnel_attribution",
-        "ts_gap_detect",
-        "ts_anomaly_zscore",
-        "ts_resample_ffill",
-        "ts_similarity_corr",
-        "join_null_safe_eq",
-        "join_prefilter_semi",
-        "llm_contamination_check",
-        "llm_dedup_fuzzy_edit",
-        "etl_stratified_sample",
-        "etl_domain_mixture",
-        "etl_balance_domains",
-        "etl_pack_sequences",
-        "etl_quarantine_bad_rows",
-        "etl_scd2_incremental",
-        "llm_canonical_select",
-        "llm_kmeans_cluster",
-        "src_schema_evolution",
-        "src_orc_roundtrip",
-        "sink_bucketed_write",
-        "etl_compact_files",
-    }
+# ORDERED tuple, oldest verdicts first: after the unverified groups fill
+# the driver's slots, any remaining slots re-verify the STALEST greens
+# (round-1-era names lead), refreshing the oldest verdicts first.
+DRIVER_GREEN = (
+    # round-1 verdicts
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_having",
+    "agg_approx_distinct",
+    "agg_grouping_sets",
+    "agg_cube",
+    "agg_stats",
+    "agg_percentile_exact",
+    "agg_histogram",
+    "agg_collect_sorted",
+    "agg_mode",
+    "fn_conditional",
+    "fn_datetime",
+    "fn_json",
+    "fn_cast_types",
+    "fn_bitwise",
+    "fn_math",
+    "fn_string",
+    "fn_array",
+    "join_inner_equi",
+    "join_broadcast_dim",
+    "join_sort_merge",
+    "join_left_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_asof",
+    "join_interval",
+    "join_skew_salted",
+    "llm_lang_filter_clean",
+    "llm_text_token_stats",
+    "llm_word_freq_topk",
+    "llm_tfidf_topterms",
+    "llm_dedup_exact",
+    "llm_dedup_near_minhash",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_simhash",
+    "llm_dedup_embedding",
+    "llm_dedup_cluster",
+    "llm_simsearch_cosine_topk",
+    "llm_simsearch_lsh",
+    "llm_simsearch_ivf",
+    "llm_simsearch_multiprobe",
+    "llm_knn_join",
+    "llm_vector_norms",
+    "llm_embed_join_docs",
+    "etl_latest_by_key",
+    "etl_merge_upsert",
+    "etl_dq_validate",
+    "etl_train_split",
+    "etl_sample_hash",
+    "etl_scd2_snapshot",
+    "mm_binary_stats",
+    "mm_decode_features",
+    "mm_frame_sample",
+    # round-2 verdicts
+    "src_parquet_scan",
+    "src_csv_roundtrip",
+    "src_json_roundtrip",
+    "sink_parquet_write",
+    "src_stream_file",
+    "stream_kafka_source",
+    "proj_select_expr",
+    "filter_complex_pred",
+    "filter_case_when",
+    "filter_null_handling",
+    "win_ranking",
+    "win_analytic",
+    "win_running_sum",
+    "win_sliding_range",
+    "win_topk_per_group",
+    "llm_sessionize_funnel",
+    "ts_multires_rollup",
+    "sort_multi_key",
+    "topk_global",
+    "limit_offset",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "distinct_rows",
+    "fn_map",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_dedup",
+    "stream_stateful_running",
+    "stream_foreach_batch_sink",
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udf_grouped_map",
+    "udaf_grouped_agg",
+    "udtf_split_words",
+    # round-3 verdicts
+    "agg_corr_pearson",
+    "agg_approx_percentile",
+    "agg_iqr_outliers",
+    "ts_ewma_smooth",
+    "llm_ngram_lm",
+    "fn_regex_extract",
+    "fn_url_parse",
+    "fn_explode_pos",
+    "llm_quality_score",
+    "llm_lang_id",
+    "llm_token_count_bpe",
+    "llm_doc_fingerprint",
+    "llm_type_token_ratio",
+    "llm_repetition_flags",
+    "llm_pii_redact",
+    "llm_doc_chunking",
+    "llm_length_curriculum",
+    "set_intersect_all",
+    "set_except_all",
+    "reshape_pivot",
+    "reshape_unpivot",
+    "agg_sketch_mergeable",
+    "agg_freq_sketch_cms",
+    "llm_bpe_pair_counts",
+    "llm_vocab_coverage",
+    "llm_boilerplate_ngrams",
+    "win_streaks",
+    "win_dedup_debounce",
+    "win_percent_rank_cume",
+    "win_funnel_attribution",
+    "ts_gap_detect",
+    "ts_anomaly_zscore",
+    "ts_resample_ffill",
+    "ts_similarity_corr",
+    "join_null_safe_eq",
+    "join_prefilter_semi",
+    "llm_contamination_check",
+    "llm_dedup_fuzzy_edit",
+    "etl_stratified_sample",
+    "etl_domain_mixture",
+    "etl_balance_domains",
+    "etl_pack_sequences",
+    "etl_quarantine_bad_rows",
+    "etl_scd2_incremental",
+    "llm_canonical_select",
+    "llm_kmeans_cluster",
+    "src_schema_evolution",
+    "src_orc_roundtrip",
+    "sink_bucketed_write",
+    "etl_compact_files",
 )
 
 
@@ -202,11 +203,13 @@ def sort_key(names: list[str]) -> dict[str, tuple[int, int]]:
     for i, n in enumerate(NEVER_VERIFIED):
         group[n] = (0, i)
     out: dict[str, tuple[int, int]] = {}
+    green_rank = {n: i for i, n in enumerate(DRIVER_GREEN)}
     for i, n in enumerate(names):
         if n in group:
             out[n] = group[n]
-        elif n in DRIVER_GREEN:
-            out[n] = (2, i)  # already green — last
+        elif n in green_rank:
+            # already green — last, stalest verdict first
+            out[n] = (2, green_rank[n])
         else:
             out[n] = (1, i)  # brand-new this round — right after group 0
     return out
