@@ -7,6 +7,7 @@ inventory section; each public function is one operator ID.
 from un_datapipeline_spark.operators import (  # noqa: F401
     advanced,
     aggregations,
+    analytics_extras,
     corpus_quality,
     dedup_extras,
     etl,

@@ -1,0 +1,558 @@
+"""Cohort analytics, exact-integer time-series diagnostics, z-order
+clustering, and the Spark-4 semi-structured ingestion surfaces (XML,
+VARIANT).
+
+Scale posture shared by the family: every operator aggregates to a
+bounded grain before any expensive step — user-cohort grids (weeks ×
+offsets), hourly/daily series (buckets × event types), 16 z-buckets —
+so shuffle volume is proportional to the grain, not the fact-table row
+count.  Float output follows the house integer-cents discipline
+(ROUND_NOTES.md): sum exact cents as BIGINT, divide ONCE, round both
+engines — no accumulation-order exposure.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+def _cents() -> F.Column:
+    # classic-mode F.col needs an active SparkContext, so build lazily
+    return F.round(F.col("value") * 100).cast("long")
+
+_COHORT_ORACLE = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+), sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY cohort_week
+), ret AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.week) // 7 AS INT) AS week_offset,
+         CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+  FROM act a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT r.cohort_week, r.week_offset, r.active_users, s.cohort_size,
+       ROUND(r.active_users * 1.0 / s.cohort_size, 6) AS retention_pct
+FROM ret r JOIN sizes s USING (cohort_week)
+"""
+
+
+@register("agg_cohort_retention", oracle=_COHORT_ORACLE, tier="T2")
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users are assigned to the week of
+    their first event, and each cell counts how many of a cohort's users
+    were active N weeks later.  The classic growth-analytics rollup, and
+    a shape worth owning natively because at 100 TB the naive
+    formulation (self-join events × events on user) is quadratic — this
+    one reduces to first-touch per user (one shuffle by user), a
+    distinct (user, week) activity set bounded by users × weeks, and a
+    final group by (cohort, offset) whose cardinality is weeks².
+    retention_pct is one division of two exact counts — deterministic
+    across engines."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    ret = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    sizes = first.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return ret.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        "cohort_size",
+        F.round(F.col("active_users") / F.col("cohort_size"), 6).alias(
+            "retention_pct"
+        ),
+    )
+
+
+_INTERP_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM hourly GROUP BY event_type
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
+  FROM bounds b
+), g AS (
+  SELECT gr.event_type, gr.hour, h.c,
+         CAST(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', gr.hour) AS BIGINT) AS i
+  FROM grid gr LEFT JOIN hourly h USING (event_type, hour)
+), nb AS (
+  SELECT *,
+    last_value(CASE WHEN c IS NOT NULL THEN i END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pi,
+    last_value(c IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+    first_value(CASE WHEN c IS NOT NULL THEN i END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ni,
+    first_value(c IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+  FROM g
+)
+SELECT event_type, CAST(hour AS TIMESTAMP) AS hour,
+       CAST(c IS NULL AS INT) AS interpolated,
+       ROUND(CASE WHEN c IS NOT NULL THEN c / 100.0
+                  ELSE (pc * (ni - i) + nc * (i - pi)) / ((ni - pi) * 100.0)
+             END, 6) AS val
+FROM nb
+"""
+
+
+@register("ts_interpolate_linear", oracle=_INTERP_ORACLE, tier="T3")
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to a dense hourly grid per event_type and fill
+    interior gaps by LINEAR interpolation between the neighboring
+    observed hours (ts_resample_ffill's step-function sibling — the
+    right gap model for totals that trend).  The spine is per-type
+    min..max, so the first and last grid rows are always observed and
+    every gap has both neighbors.
+
+    Determinism: hourly totals are exact integer cents; the interpolated
+    value (pc·(ni−i) + nc·(i−pi)) / gap is computed as BIGINT terms with
+    ONE final double division, so both engines round the identical
+    double.  Neighbor lookup is two IGNORE-NULLS window scans — no
+    self-join, no explode beyond the spine (cardinality = hours ×
+    types, independent of event volume)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.sum(_cents()).alias("c"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    g = grid.join(hourly, ["event_type", "hour"], "left").withColumn(
+        "i", F.expr("CAST(hour AS LONG) DIV 3600")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_i = F.when(F.col("c").isNotNull(), F.col("i"))
+    nb = g.select(
+        "event_type",
+        "hour",
+        "c",
+        "i",
+        F.last(obs_i, ignorenulls=True).over(wp).alias("pi"),
+        F.last("c", ignorenulls=True).over(wp).alias("pc"),
+        F.first(obs_i, ignorenulls=True).over(wn).alias("ni"),
+        F.first("c", ignorenulls=True).over(wn).alias("nc"),
+    )
+    interp = (
+        F.col("pc") * (F.col("ni") - F.col("i"))
+        + F.col("nc") * (F.col("i") - F.col("pi"))
+    ) / ((F.col("ni") - F.col("pi")) * 100.0)
+    return nb.select(
+        "event_type",
+        "hour",
+        F.col("c").isNull().cast("int").alias("interpolated"),
+        F.round(
+            F.when(F.col("c").isNotNull(), F.col("c") / 100.0).otherwise(interp), 6
+        ).alias("val"),
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH counts AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+), per AS (
+  SELECT source,
+         CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(sum(cnt * cnt) AS BIGINT) AS sumsq,
+         list_reduce(list_transform(list_sort(list(cnt)),
+                                    x -> CAST(x AS DOUBLE) * ln(x)),
+                     (a, x) -> a + x) AS plogp
+  FROM counts GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+       ROUND(ln(n_docs) - plogp / n_docs, 6) AS entropy,
+       ROUND(1.0 - sumsq * 1.0 / (n_docs * n_docs), 6) AS gini
+FROM per
+"""
+
+
+@register("agg_entropy_gini", oracle=_ENTROPY_ORACLE, tier="T2")
+def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-diversity metrics over documents: Shannon
+    entropy and Gini impurity of the language distribution — the two
+    standard mixture diagnostics a corpus datasheet reports.
+
+    Determinism across engines is the point of the formulation: Gini
+    needs only Σc² (exact BIGINT) and one division; entropy's Σ c·ln c
+    is a float sum, so both sides fold LEFT-TO-RIGHT over the SORTED
+    count list (Spark ``aggregate`` over ``sort_array(collect_list)``,
+    DuckDB ``list_reduce`` over ``list_sort(list)``) — identical
+    operand order, identical double.  The fold list is
+    vocabulary-bounded (languages per source), never row-bounded, so
+    collect_list here is a per-group handful, not a data column."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    per = counts.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list(cnt)),"
+            " x -> CAST(x AS DOUBLE) * ln(x)),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("plogp"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.round(F.log("n_docs") - F.col("plogp") / F.col("n_docs"), 6).alias(
+            "entropy"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("sumsq") / (F.col("n_docs") * F.col("n_docs")), 6
+        ).alias("gini"),
+    )
+
+
+def _morton_spark(x: str, y: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft((shiftright({x}, {i}) & 1), {2 * i})")
+        terms.append(f"shiftleft((shiftright({y}, {i}) & 1), {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _morton_duck(x: str, y: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH z AS (
+  SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx,
+         {_morton_duck("(l_partkey % 256)", "(l_suppkey % 256)")} AS zcode
+  FROM lineitem
+)
+SELECT zcode >> 12 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(px) AS BIGINT) AS min_px, CAST(max(px) AS BIGINT) AS max_px,
+       CAST(min(sx) AS BIGINT) AS min_sx, CAST(max(sx) AS BIGINT) AS max_sx,
+       CAST(min(zcode) AS BIGINT) AS min_z, CAST(max(zcode) AS BIGINT) AS max_z
+FROM z GROUP BY bucket
+"""
+
+
+def zorder_write(spark: SparkSession, sf_dir: str) -> str:
+    """Write lineitem parquet files range-clustered on the 16-bit Morton
+    code of (l_partkey, l_suppkey) low bytes; returns the output dir so
+    tests can audit footer min/max disjointness on zcode."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    z = li.withColumn(
+        "zcode",
+        F.expr(_morton_spark("(l_partkey % 256)", "(l_suppkey % 256)")),
+    )
+    out = tempfile.mkdtemp(prefix="udps_zorder_")
+    (
+        z.repartitionByRange(8, "zcode")
+        .sortWithinPartitions("zcode")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+@register("sink_zorder_write", oracle=_ZORDER_ORACLE, tier="T1")
+def sink_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered sink: lineitem laid out by the
+    bit-interleave of its two join/filter dimensions, so parquet footer
+    min/max prunes files for predicates on EITHER l_partkey or
+    l_suppkey — the two-dimensional generalization of
+    sink_clustered_write's single-column range layout, and the layout
+    Delta/Iceberg's OPTIMIZE ZORDER produces.  The write path is
+    repartitionByRange(zcode) + in-file sort (a distributed range sort —
+    no global window, no driver sort).  The returned summary buckets the
+    curve by its top 4 bits (zcode >> 12, a pure projection) and proves
+    in-SQL that every bucket confines BOTH dimensions: max_px−min_px and
+    max_sx−min_sx span ≤ half the domain for every bucket, which a
+    one-dimensional sort on either key alone cannot achieve for the
+    other.  The Morton expression itself is 16 shift-and-mask terms —
+    whole-stage-codegen integer ops, no UDF."""
+    out = zorder_write(spark, sf_dir)
+    back = spark.read.parquet(out)
+    z = back.select(
+        (F.col("l_partkey") % 256).alias("px"),
+        (F.col("l_suppkey") % 256).alias("sx"),
+        "zcode",
+    )
+    return z.groupBy(F.expr("shiftright(zcode, 12)").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("px").alias("min_px"),
+        F.max("px").alias("max_px"),
+        F.min("sx").alias("min_sx"),
+        F.max("sx").alias("max_sx"),
+        F.min("zcode").alias("min_z"),
+        F.max("zcode").alias("max_z"),
+    )
+
+
+_OHLC_ORACLE = """
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT event_type, CAST(hour AS TIMESTAMP) AS hour,
+       max(CASE WHEN ra = 1 THEN cents END) / 100.0 AS open,
+       max(cents) / 100.0 AS high,
+       min(cents) / 100.0 AS low,
+       max(CASE WHEN rd = 1 THEN cents END) / 100.0 AS close,
+       sum(cents) / 100.0 AS volume,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM base GROUP BY 1, 2
+"""
+
+
+@register("ts_ohlc_bars", oracle=_OHLC_ORACLE, tier="T2")
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: per (event_type, hour) the opening value
+    (first by ts, event_id tie-break), high, low, closing value (last),
+    total volume and event count — the canonical downsampling for any
+    value series.  open/close are selections of exact cents (unique
+    total order via the event_id tie-break), high/low are min/max, and
+    volume is an integer-cents sum with one final division — nothing
+    here can diverge between engines.  One shuffle to the (type, hour)
+    grain; window and aggregate share the same partitioning so the sort
+    is reused."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "ts",
+        "event_id",
+        _cents().alias("cents"),
+    )
+    wa = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    b = base.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rd", F.row_number().over(wd)
+    )
+    return b.groupBy("event_type", "hour").agg(
+        (F.max(F.when(F.col("ra") == 1, F.col("cents"))) / 100.0).alias("open"),
+        (F.max("cents") / 100.0).alias("high"),
+        (F.min("cents") / 100.0).alias("low"),
+        (F.max(F.when(F.col("rd") == 1, F.col("cents"))) / 100.0).alias("close"),
+        (F.sum("cents") / 100.0).alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_XML_ORACLE = """
+SELECT o_orderkey,
+       printf('<order><id>%d</id><status>%s</status><priority>%s</priority><odate>%s</odate></order>',
+              o_orderkey, o_orderstatus, o_orderpriority,
+              strftime(o_orderdate, '%Y-%m-%d')) AS xml,
+       o_orderkey AS parsed_id,
+       o_orderstatus AS parsed_status,
+       o_orderpriority AS parsed_priority,
+       strftime(o_orderdate, '%Y-%m-%d') AS parsed_odate,
+       o_orderstatus AS xpath_status
+FROM orders
+"""
+
+
+@register("fn_xml_roundtrip", oracle=_XML_ORACLE, tier="T1")
+def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML serialize → parse roundtrip over orders using the Spark 4
+    native XML surface: rows are rendered to an <order> document with
+    format_string, parsed back with ``from_xml`` against an explicit
+    struct schema, and one field is additionally pulled via the
+    ``xpath_string`` Hive-compatible extractor (the two coexisting XML
+    access paths a migrating user will have in their queries).  The
+    oracle rebuilds the document with printf and takes the parsed
+    fields straight from the source columns, so the hash proves the
+    roundtrip is lossless — any entity-escaping or type-coercion drift
+    in the parse would surface as a mismatch.  Pure string expressions,
+    whole-stage codegen, no UDF."""
+    o = load_table(spark, sf_dir, "orders")
+    xml = o.select(
+        "o_orderkey",
+        F.format_string(
+            "<order><id>%d</id><status>%s</status><priority>%s</priority>"
+            "<odate>%s</odate></order>",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ).alias("xml"),
+    )
+    parsed = xml.select(
+        "o_orderkey",
+        "xml",
+        F.from_xml(
+            "xml", "id bigint, status string, priority string, odate string"
+        ).alias("p"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        "xml",
+        F.col("p.id").alias("parsed_id"),
+        F.col("p.status").alias("parsed_status"),
+        F.col("p.priority").alias("parsed_priority"),
+        F.col("p.odate").alias("parsed_odate"),
+        F.expr("xpath_string(xml, '/order/status')").alias("xpath_status"),
+    )
+
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+       json_extract(props, '$.k')::BIGINT AS k_val,
+       CAST(json_extract(props, '$.k') IS NULL AS INT) AS k_missing,
+       printf('{"k":%d}', json_extract(props, '$.k')::BIGINT) AS canon_json
+FROM events
+"""
+
+
+@register("fn_variant_json", oracle=_VARIANT_ORACLE, tier="T1")
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through the Spark 4 VARIANT type:
+    events.props is parsed once with ``parse_json`` into a variant,
+    fields are extracted with typed ``variant_get`` paths, and the
+    variant is re-serialized with ``to_json`` — which canonicalizes the
+    text (key ordering, whitespace), the property the oracle pins by
+    rebuilding the canonical form with printf.  VARIANT is the scale
+    path for schema-on-read JSON: the binary encoding is parsed once at
+    scan time and every downstream path access is a cheap binary probe,
+    where the legacy get_json_object re-parses the string per
+    expression (fn_json covers that surface)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k_val"),
+        F.variant_get("v", "$.k", "bigint").isNull().cast("int").alias("k_missing"),
+        F.to_json("v").alias("canon_json"),
+    )
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, day, c,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
+  FROM daily
+), tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY event_type
+), s AS (
+  SELECT c.event_type, c.day, t.n,
+         abs(t.n * c.pre - c.i * t.total) AS s_abs,
+         row_number() OVER (PARTITION BY c.event_type
+                            ORDER BY abs(t.n * c.pre - c.i * t.total) DESC, c.day)
+           AS rn
+  FROM cum c JOIN tot t USING (event_type)
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS cp_day, n AS n_days,
+       ROUND(s_abs / (n * 100.0), 6) AS cusum_score
+FROM s WHERE rn = 1
+"""
+
+
+@register("ts_cusum_changepoint", oracle=_CUSUM_ORACLE, tier="T2")
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event_type: the day where the
+    cumulative sum of deviations from the series mean peaks — the
+    classic single-changepoint estimator (Page's CUSUM / binary
+    segmentation's first split).  The whole statistic stays in exact
+    integers: S_i = Σ_{j≤i}(x_j − mean) would be fractional, so both
+    engines maximize |n·prefix_i − i·total| (S_i scaled by n), with ONE
+    double division only for the reported score.  Aggregates to the
+    daily grain first, so the windowed scan runs over days × types
+    regardless of event volume; argmax ties break to the earliest
+    day."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_cents()).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pre"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    s_abs = F.abs(F.col("n") * F.col("pre") - F.col("i") * F.col("total"))
+    s = cum.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        s_abs.alias("s_abs"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                s_abs.desc(), F.col("day")
+            )
+        )
+        .alias("rn"),
+    )
+    return s.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("day").alias("cp_day"),
+        F.col("n").alias("n_days"),
+        F.round(F.col("s_abs") / (F.col("n") * 100.0), 6).alias("cusum_score"),
+    )
