@@ -12,15 +12,18 @@ from un_datapipeline_spark.operators import (  # noqa: F401
     dedup_extras,
     etl,
     functions,
+    graph_stats,
     joins,
     llm_text,
     llm_vectors,
     multimodal,
     relational,
     reshape,
+    robust_stats,
     setops,
     sorting,
     sources,
+    spatial,
     streaming,
     text_analysis,
     time_series,

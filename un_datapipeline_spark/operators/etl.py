@@ -540,3 +540,124 @@ def etl_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+_TIME_TRAVEL_ORACLE = """
+SELECT
+  CAST(count(*) FILTER (o_orderkey % 10 <> 0) AS BIGINT) AS v1_rows,
+  CAST(count(*) AS BIGINT) AS v2_rows,
+  CAST(count(*) FILTER (o_orderkey % 10 = 0) AS BIGINT) AS rows_added,
+  CAST(count(*) FILTER (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0) AS BIGINT)
+    AS rows_changed,
+  CAST(sum(CASE WHEN o_orderkey % 10 <> 0
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+    AS v1_cents,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v2_cents
+FROM orders
+"""
+
+
+@register("etl_time_travel", oracle=_TIME_TRAVEL_ORACLE, tier="T1")
+def etl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-snapshot time travel without a table format: two
+    snapshot versions of orders are written under version= partitions
+    (v1 missing the 10% late-arriving keys, v2 complete with 1-in-7
+    statuses amended), and BOTH "as of" reads go through the partition
+    column so Spark prunes to one snapshot per read — the poor-man's
+    Delta/Iceberg time travel, and the layout a migration lands on
+    before adopting a real table format.  The returned single-row audit
+    (row counts, added/changed keys, money totals per version) is
+    computed from the READ-BACK snapshots, so the oracle hash proves
+    the versioned roundtrip is lossless, not just that the rules were
+    applied.  The version diff is one left-anti + one equi-join on the
+    snapshot key."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v1 = o.filter(F.col("o_orderkey") % 10 != 0).withColumn("version", F.lit(1))
+    v2 = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("U")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).withColumn("version", F.lit(2))
+    out = tempfile.mkdtemp(prefix="udps_timetravel_")
+    v1.unionByName(v2).write.mode("overwrite").partitionBy("version").parquet(out)
+    back = spark.read.parquet(out)
+    asof1 = back.filter(F.col("version") == 1)
+    asof2 = back.filter(F.col("version") == 2)
+    m1 = asof1.agg(
+        F.count(F.lit(1)).alias("v1_rows"), F.sum("cents").alias("v1_cents")
+    )
+    m2 = asof2.agg(
+        F.count(F.lit(1)).alias("v2_rows"), F.sum("cents").alias("v2_cents")
+    )
+    added = asof2.join(
+        asof1.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("rows_added"))
+    changed = (
+        asof2.alias("b")
+        .join(asof1.alias("a"), "o_orderkey")
+        .filter(F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("rows_changed"))
+    )
+    return (
+        m1.crossJoin(m2)
+        .crossJoin(added)
+        .crossJoin(changed)
+        .select(
+            "v1_rows", "v2_rows", "rows_added", "rows_changed",
+            "v1_cents", "v2_cents",
+        )
+    )
+
+
+_GDPR_ORACLE = """
+WITH forget AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+)
+SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS n_before,
+       CAST((SELECT count(*) FROM forget) AS BIGINT) AS n_forget_users,
+       CAST((SELECT count(*) FROM events WHERE user_id % 97 = 0) AS BIGINT)
+         AS n_rows_deleted,
+       CAST((SELECT count(*) FROM events WHERE user_id % 97 <> 0) AS BIGINT)
+         AS n_after,
+       CAST(0 AS BIGINT) AS n_remaining_for_forgotten
+"""
+
+
+@register("etl_gdpr_delete", oracle=_GDPR_ORACLE, tier="T1")
+def etl_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten scrub: a deterministic forget-set of users
+    (user_id % 97) is anti-joined out of events, the scrubbed table is
+    REWRITTEN to parquet, and the audit row is computed from the
+    READ-BACK files — n_remaining_for_forgotten counts forget-set rows
+    that survived the rewrite, and the oracle pins it to zero, so the
+    hash proves physical deletion, not just a filtered view.  The
+    deletion itself is one left-anti join on the user key (broadcast
+    when the forget-set is small, shuffle otherwise — Catalyst's
+    call); at 100 TB the same plan applies per partition, and a
+    user-bucketed layout (sink_bucketed_write) turns it into a
+    shuffle-free per-bucket rewrite."""
+    e = load_table(spark, sf_dir, "events")
+    forget = e.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    scrubbed = e.join(forget, "user_id", "left_anti")
+    out = tempfile.mkdtemp(prefix="udps_gdpr_")
+    scrubbed.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    remaining = back.join(forget, "user_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_remaining_for_forgotten")
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_before"))
+        .crossJoin(forget.agg(F.count(F.lit(1)).alias("n_forget_users")))
+        .crossJoin(
+            e.filter(F.col("user_id") % 97 == 0).agg(
+                F.count(F.lit(1)).alias("n_rows_deleted")
+            )
+        )
+        .crossJoin(back.agg(F.count(F.lit(1)).alias("n_after")))
+        .crossJoin(remaining)
+    )

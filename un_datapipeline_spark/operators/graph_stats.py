@@ -1,0 +1,118 @@
+"""Graph analytics over the order network: the customer↔supplier
+bipartite graph induced by lineitem ⋈ orders (an edge wherever a
+customer's order contained a supplier's line).
+
+Two tiers, deliberately paired: ``graph_degree_stats`` is exact SQL —
+hash-verified — while ``graph_pagerank`` is the iterative fixed-point
+(rank sums are float accumulations whose ulps depend on partition
+merge order, so it ships rows-only with conservation/stability
+invariants in pytest — the llm_kmeans_cluster contract).
+
+Scale posture: edges are deduplicated pairs (bounded by customers ×
+suppliers, far below line items); the static edge+degree relation is
+cached once and every PageRank iteration is ONE shuffle of (dst,
+contribution) pairs — rank state lives in a DataFrame partitioned by
+node, never on the driver.  localCheckpoint truncates the 10-iteration
+lineage so the plan stays flat (the iterative-algorithm pattern shared
+with llm_kmeans_cluster / llm_dedup_cluster)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer↔supplier edges, one row per direction."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+_DEGREE_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), bi AS (
+  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS degree FROM bi GROUP BY src
+)
+SELECT substr(node, 1, 1) AS node_type, degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1, 2
+"""
+
+
+@register("graph_degree_stats", oracle=_DEGREE_ORACLE, tier="T2")
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer↔supplier graph, split by node
+    side: for each degree value, how many customers / suppliers have
+    exactly that many distinct counterparties.  The first question asked
+    of any graph (skew tells you whether PageRank-style propagation will
+    have hot keys), and a pure two-shuffle SQL plan: distinct edges,
+    count by node, count by (side, degree)."""
+    deg = (
+        _bipartite_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy(
+        F.substring("src", 1, 1).alias("node_type"), "degree"
+    ).agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register("graph_pagerank", oracle=None, tier="T3")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 10 fixed iterations) over the undirected
+    customer↔supplier graph — the canonical iterative-fixpoint workload,
+    here expressed as pure DataFrame ops: the static edge⋈out-degree
+    relation is cached once, each iteration shuffles (dst, rank/degree)
+    contributions and folds them with one groupBy, and ranks never
+    leave the cluster (contrast a driver-side adjacency walk, which
+    dies at the first graph that outgrows one machine).  Both directions
+    are materialized so no node dangles and total rank mass stays at
+    n_nodes (Σpr = 0.15·n + 0.85·Σpr ⇒ Σpr = n, the pytest-asserted
+    conservation invariant).  Rows-only: per-node sums are float
+    accumulations whose last ulp depends on partition merge order.
+    Returns the 20 highest-ranked nodes with their degrees."""
+    edges = _bipartite_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    static = edges.join(deg, "src").persist()
+    try:
+        ranks = deg.select("src", F.lit(1.0).alias("rank"))
+        for _ in range(10):
+            contribs = (
+                static.join(ranks, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") / F.col("degree")).alias("mass"))
+            )
+            ranks = contribs.select(
+                F.col("dst").alias("src"),
+                (0.15 + 0.85 * F.col("mass")).alias("rank"),
+            ).localCheckpoint(eager=False)
+        out = (
+            ranks.join(deg, "src")
+            .select(
+                F.col("src").alias("node"),
+                F.round("rank", 6).alias("rank"),
+                "degree",
+            )
+            .orderBy(F.desc("rank"), "node")
+            .limit(20)
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        static.unpersist()
+    return out

@@ -1,0 +1,599 @@
+"""Robust / diagnostic statistics: MAD outlier detection, Theil–Sen
+trend, autocorrelation, Benford first-digit audit, and Pareto ABC
+classification.
+
+Scale posture: every operator reduces to a bounded grain before the
+statistical step — daily series (days × types), digit tables (9 ×
+groups), part-level revenue (dimension-bounded) — and keeps the float
+discipline of ROUND_NOTES.md: exact integer sums, ONE division, round
+both engines.  Median-based statistics use Spark ``percentile`` ≡
+DuckDB ``quantile_cont`` (both exact linear interpolation, the
+agg_percentile_exact precedent)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.tables import load_table
+
+
+def _cents() -> F.Column:
+    return F.round(F.col("value") * 100).cast("long")
+
+
+_MAD_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med FROM base GROUP BY event_type
+), dev AS (
+  SELECT b.event_type, b.cents, m.med, abs(b.cents - m.med) AS adev
+  FROM base b JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad_raw
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       ROUND(any_value(d.med) / 100.0, 6) AS median_val,
+       ROUND(any_value(m.mad_raw) / 100.0, 6) AS mad_val,
+       CAST(count(*) FILTER (d.adev > 3 * 1.4826 * m.mad_raw) AS BIGINT)
+         AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@register("agg_mad_outliers", oracle=_MAD_ORACLE, tier="T2")
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: median and MAD (median
+    absolute deviation) of the value series, and the count of points
+    beyond the modified z-score fence |x−med| > 3·1.4826·MAD — the
+    estimator that, unlike mean/stddev fences (agg_iqr_outliers' cousin),
+    has a 50% breakdown point and so survives the very outliers it
+    hunts.  Two grouped exact-percentile passes over integer cents; the
+    per-type medians are a types-cardinality intermediate joined back
+    broadcast-style, so the plan is two shuffles by event_type at any
+    scale."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_type", _cents().alias("cents"))
+    med = base.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    dev = base.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.any_value("med") / 100.0, 6).alias("median_val"),
+        F.percentile("adev", F.lit(0.5)).alias("mad_raw"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fenced = dev.join(mad.select("event_type", "mad_raw"), "event_type")
+    outl = fenced.groupBy("event_type").agg(
+        F.sum(
+            (F.col("adev") > 3 * 1.4826 * F.col("mad_raw")).cast("long")
+        ).alias("n_outliers")
+    )
+    return mad.join(outl, "event_type").select(
+        "event_type",
+        "median_val",
+        F.round(F.col("mad_raw") / 100.0, 6).alias("mad_val"),
+        "n_outliers",
+        "n",
+    )
+
+
+_THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, c,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+  FROM daily
+), pairs AS (
+  SELECT a.event_type, (b.c - a.c) * 1.0 / (b.i - a.i) AS slope
+  FROM idx a JOIN idx b ON a.event_type = b.event_type AND a.i < b.i
+), days AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM idx GROUP BY event_type
+)
+SELECT p.event_type, d.n_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont(slope, 0.5) / 100.0, 6) AS sen_slope
+FROM pairs p JOIN days d USING (event_type)
+GROUP BY p.event_type, d.n_days
+"""
+
+
+@register("ts_theil_sen_slope", oracle=_THEILSEN_ORACLE, tier="T2")
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen trend estimate per event_type: the median of all
+    pairwise slopes of the DAILY total series — robust to 29% arbitrary
+    corruption where least-squares breaks on one bad day.  The pairwise
+    self-join is quadratic ONLY in days-per-type (the aggregated grain:
+    365 days → 66k pairs), never in events, which is what makes the
+    estimator feasible at 100 TB — aggregate first, then go quadratic
+    on the bounded intermediate.  Each slope is one division of exact
+    integers, so both engines median identical doubles."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(_cents()).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "c", F.row_number().over(w).cast("long").alias("i")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.i") < F.col("b.i")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.c") - F.col("a.c")) * 1.0 / (F.col("b.i") - F.col("a.i"))
+        ).alias("slope"),
+    )
+    days = idx.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    sen = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile("slope", F.lit(0.5)) / 100.0, 6).alias("sen_slope"),
+    )
+    return days.join(sen, "event_type").select(
+        "event_type", "n_days", "n_pairs", "sen_slope"
+    )
+
+
+_ACF_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+  FROM daily GROUP BY event_type
+), d AS (
+  SELECT daily.event_type, daily.day, daily.c - t.m AS d
+  FROM daily JOIN tot t USING (event_type)
+), led AS (
+  SELECT event_type, d,
+         lead(d, 1) OVER (PARTITION BY event_type ORDER BY day) AS d1,
+         lead(d, 2) OVER (PARTITION BY event_type ORDER BY day) AS d2,
+         lead(d, 3) OVER (PARTITION BY event_type ORDER BY day) AS d3
+  FROM d
+), agg AS (
+  SELECT event_type,
+         CAST(sum(d * d) AS BIGINT) AS den,
+         CAST(sum(CASE WHEN d1 IS NOT NULL THEN d * d1 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN d2 IS NOT NULL THEN d * d2 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN d3 IS NOT NULL THEN d * d3 END) AS BIGINT) AS n3
+  FROM led GROUP BY event_type
+)
+SELECT event_type, lag, ROUND(num * 1.0 / den, 6) AS acf
+FROM (
+  SELECT event_type, 1 AS lag, n1 AS num, den FROM agg
+  UNION ALL SELECT event_type, 2, n2, den FROM agg
+  UNION ALL SELECT event_type, 3, n3, den FROM agg
+)
+"""
+
+
+@register("ts_autocorrelation", oracle=_ACF_ORACLE, tier="T2")
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily total series at lags 1-3 per
+    event_type — the seasonality/memory diagnostic that decides window
+    sizes for the forecasting ops (ts_ewma_smooth, ts_seasonal_decompose).
+    Deviations are taken from the FLOORED integer mean (total DIV n) so
+    numerator and denominator are exact BIGINT sums of integer products
+    — one final division per lag, no float accumulation anywhere.  The
+    lag shift is a window ``lead`` over the daily grain, not a
+    self-join."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(_cents()).alias("c")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.expr("sum(c) DIV count(*)").alias("m")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.join(tot, "event_type").select(
+        "event_type", "day", (F.col("c") - F.col("m")).alias("d")
+    )
+    led = d.select(
+        "event_type",
+        "d",
+        F.lead("d", 1).over(w.orderBy("day")).alias("d1"),
+        F.lead("d", 2).over(w.orderBy("day")).alias("d2"),
+        F.lead("d", 3).over(w.orderBy("day")).alias("d3"),
+    )
+    agg = led.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).alias("den"),
+        F.sum(F.when(F.col("d1").isNotNull(), F.col("d") * F.col("d1"))).alias("n1"),
+        F.sum(F.when(F.col("d2").isNotNull(), F.col("d") * F.col("d2"))).alias("n2"),
+        F.sum(F.when(F.col("d3").isNotNull(), F.col("d") * F.col("d3"))).alias("n3"),
+    )
+    out = None
+    for k in (1, 2, 3):
+        part = agg.select(
+            "event_type",
+            F.lit(k).alias("lag"),
+            F.round(F.col(f"n{k}") * 1.0 / F.col("den"), 6).alias("acf"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT o_orderpriority,
+         CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders
+), obs AS (
+  SELECT o_orderpriority, digit, CAST(count(*) AS BIGINT) AS observed
+  FROM digits GROUP BY 1, 2
+), tot AS (
+  SELECT o_orderpriority, CAST(sum(observed) AS BIGINT) AS n FROM obs GROUP BY 1
+)
+SELECT o.o_orderpriority, o.digit, o.observed,
+       ROUND(t.n * ln(1.0 + 1.0 / o.digit) / ln(10.0), 6) AS expected,
+       ROUND(o.observed / (t.n * ln(1.0 + 1.0 / o.digit) / ln(10.0)), 6)
+         AS obs_over_exp
+FROM obs o JOIN tot t USING (o_orderpriority)
+"""
+
+
+@register("agg_benford_digits", oracle=_BENFORD_ORACLE, tier="T2")
+def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals per priority class:
+    observed leading-digit counts against the log₁₀(1+1/d) expectation —
+    the standard fraud/synthetic-data screen for financial columns (a
+    generator that draws totals uniformly fails it loudly, which is
+    itself informative on synthetic benchmarks).  The digit table is 9
+    rows per group; expected counts use the same literal float formula
+    on both engines so the doubles agree bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.select(
+        "o_orderpriority",
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit"),
+    )
+    obs = digits.groupBy("o_orderpriority", "digit").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    tot = obs.groupBy("o_orderpriority").agg(F.sum("observed").alias("n"))
+    exp = F.col("n") * F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return obs.join(tot, "o_orderpriority").select(
+        "o_orderpriority",
+        "digit",
+        "observed",
+        F.round(exp, 6).alias("expected"),
+        F.round(F.col("observed") / exp, 6).alias("obs_over_exp"),
+    )
+
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, cents,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(cents) OVER () AS BIGINT) AS total
+  FROM rev
+)
+SELECT l_partkey, cents / 100.0 AS revenue,
+       ROUND(cum * 1.0 / total, 6) AS cum_share,
+       CASE WHEN cum * 1.0 / total <= 0.80 THEN 'A'
+            WHEN cum * 1.0 / total <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@register("win_pareto_abc", oracle=_PARETO_ORACLE, tier="T2")
+def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    cumulative revenue share, and the classic A (top 80% of revenue) /
+    B (next 15%) / C (tail) bands — the rollup behind every "20% of
+    SKUs drive 80% of revenue" decision.  Revenue aggregates lineitem
+    to the part grain first (dimension-bounded, the only fact-table
+    scan), so the global cumulative window runs over parts, not line
+    items; at extreme part cardinality the same result falls out of a
+    two-pass prefix sum (range-partition by revenue, broadcast per-
+    partition totals) — the grain, not the window, is the scale story.
+    cum_share is a per-row division of two exact BIGINTs; the unique
+    (cents DESC, partkey) order makes every prefix deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        (F.col("cents") / 100.0).alias("revenue"),
+        (F.sum("cents").over(w) * 1.0 / F.sum("cents").over(wt)).alias("share"),
+    )
+    return ranked.select(
+        "l_partkey",
+        "revenue",
+        F.round("share", 6).alias("cum_share"),
+        F.when(F.col("share") <= 0.80, "A")
+        .when(F.col("share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+_MWU_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(user_id % 2 = 0 AS INT) AS is_a
+  FROM events
+), vals AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(is_a) AS BIGINT) AS cnt_a
+  FROM base GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, v, cnt, cnt_a,
+         CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cnt_less
+  FROM vals
+), agg AS (
+  SELECT event_type,
+         CAST(sum(cnt_a) AS BIGINT) AS n1,
+         CAST(sum(cnt - cnt_a) AS BIGINT) AS n2,
+         CAST(sum(cnt_a * (2 * cnt_less + cnt + 1)) AS BIGINT) AS r1_2,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n1, n2,
+       ROUND((r1_2 - n1 * (n1 + 1)) / 2.0, 1) AS u_a,
+       ROUND(((r1_2 - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                    - tie_sum * 1.0 / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z,
+       ROUND(1.0 - 2.0 * ((r1_2 - n1 * (n1 + 1)) / 2.0) / (n1 * n2), 6)
+         AS rank_biserial
+FROM agg
+"""
+
+
+@register("agg_mann_whitney", oracle=_MWU_ORACLE, tier="T2")
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test per event_type (A/B = user_id parity, the
+    agg_ab_ttest split): the nonparametric alternative for value
+    distributions too skewed for the t-test.  The rank machinery never
+    materializes per-row ranks — values collapse to a (type, value)
+    frequency table, average ranks come from a running count over that
+    table, and DOUBLED rank sums (2·cnt_less + cnt + 1) keep everything
+    in exact BIGINTs: U, the tie-correction Σ(t³−t), and the
+    rank-biserial effect size all derive from integer sums with a
+    handful of final literal-formula float ops, identical on both
+    engines.  Shuffle grain is distinct values per type, not rows."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        _cents().alias("v"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("is_a"),
+    )
+    vals = base.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is_a").alias("cnt_a")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = vals.withColumn(
+        "cnt_less", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("cnt_a").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).alias("n2"),
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("cnt_less") + F.col("cnt") + 1)
+        ).alias("r1_2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_sum"),
+    )
+    u_a = (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)) / 2.0
+    n = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        F.col("n1") * F.col("n2") / 12.0
+        * ((n + 1) - F.col("tie_sum") * 1.0 / (n * (n - 1.0)))
+    )
+    return agg.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round(u_a, 1).alias("u_a"),
+        F.round((u_a - F.col("n1") * F.col("n2") / 2.0) / sigma, 6).alias("z"),
+        F.round(
+            1.0 - 2.0 * u_a / (F.col("n1") * F.col("n2")), 6
+        ).alias("rank_biserial"),
+    )
+
+
+_KS_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(user_id % 2 = 0 AS INT) AS is_a
+  FROM events
+), vals AS (
+  SELECT event_type, v, CAST(sum(is_a) AS BIGINT) AS cnt_a,
+         CAST(count(*) - sum(is_a) AS BIGINT) AS cnt_b
+  FROM base GROUP BY 1, 2
+), cums AS (
+  SELECT event_type,
+         CAST(sum(cnt_a) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+         CAST(sum(cnt_b) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+  FROM vals
+), tot AS (
+  SELECT event_type, CAST(sum(cnt_a) AS BIGINT) AS n1,
+         CAST(sum(cnt_b) AS BIGINT) AS n2
+  FROM vals GROUP BY event_type
+)
+SELECT c.event_type, t.n1, t.n2,
+       ROUND(max(abs(c.ca * t.n2 - c.cb * t.n1)) * 1.0 / (t.n1 * t.n2), 6) AS d,
+       ROUND(max(abs(c.ca * t.n2 - c.cb * t.n1)) * 1.0 / (t.n1 * t.n2)
+             * sqrt(t.n1 * 1.0 * t.n2 / (t.n1 + t.n2)), 6) AS ks_stat
+FROM cums c JOIN tot t USING (event_type)
+GROUP BY c.event_type, t.n1, t.n2
+"""
+
+
+@register("agg_ks_test", oracle=_KS_ORACLE, tier="T2")
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test per event_type (A/B =
+    user_id parity): the supremum gap between the two empirical CDFs,
+    the distribution-shape complement to agg_mann_whitney's location
+    shift.  The sup runs over the (type, value) frequency table with
+    running counts, and the gap is maximized in SCALED integers
+    |ca·n2 − cb·n1| — exact BIGINT throughout, one division for D and
+    one literal-formula normalization for the KS statistic.  Same
+    value-collapsed grain as the U test: distinct cents per type, not
+    rows."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        _cents().alias("v"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("is_a"),
+    )
+    vals = base.groupBy("event_type", "v").agg(
+        F.sum("is_a").alias("cnt_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).alias("cnt_b"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = vals.select(
+        "event_type",
+        F.sum("cnt_a").over(w).alias("ca"),
+        F.sum("cnt_b").over(w).alias("cb"),
+    )
+    tot = vals.groupBy("event_type").agg(
+        F.sum("cnt_a").alias("n1"), F.sum("cnt_b").alias("n2")
+    )
+    gap = F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1"))
+    return (
+        cums.join(tot, "event_type")
+        .groupBy("event_type", "n1", "n2")
+        .agg(F.max(gap).alias("max_gap"))
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            F.round(F.col("max_gap") * 1.0 / (F.col("n1") * F.col("n2")), 6).alias("d"),
+            F.round(
+                F.col("max_gap") * 1.0 / (F.col("n1") * F.col("n2"))
+                * F.sqrt(
+                    F.col("n1") * 1.0 * F.col("n2") / (F.col("n1") + F.col("n2"))
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+_CHISQ_ORACLE = """
+WITH obs AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2
+), tots AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT pri) AS BIGINT) AS n_r,
+         CAST(count(DISTINCT st) AS BIGINT) AS n_c
+  FROM obs
+), rt AS (SELECT pri, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY pri),
+ct AS (SELECT st, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY st),
+cells AS (
+  SELECT obs.pri, obs.st,
+         pow(obs.o - rt.r * ct.c * 1.0 / t.n, 2) / (rt.r * ct.c * 1.0 / t.n)
+           AS contrib
+  FROM obs JOIN rt USING (pri) JOIN ct USING (st) CROSS JOIN tots t
+)
+SELECT t.n, t.n_r, t.n_c, (t.n_r - 1) * (t.n_c - 1) AS dof,
+       ROUND(list_reduce(list_transform(
+               list_sort(list(struct_pack(pri := cells.pri, st := cells.st,
+                                          contrib := cells.contrib))),
+               x -> x.contrib), (a, x) -> a + x), 6) AS chi2
+FROM cells CROSS JOIN tots t
+GROUP BY t.n, t.n_r, t.n_c
+"""
+
+
+@register("agg_chisq_independence", oracle=_CHISQ_ORACLE, tier="T2")
+def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for order priority × status: the
+    contingency-table screen for "does this categorical depend on that
+    one".  Observed and marginal totals are exact BIGINTs; each cell's
+    expected count and contribution is a literal float formula; and the
+    χ² sum — the one float accumulation — folds LEFT-TO-RIGHT over
+    cells sorted by their (priority, status) key on both engines (the
+    agg_entropy_gini discipline), so the total is bit-identical.  The
+    cell table is categorical-cardinality-bounded; all shuffles are on
+    the tiny marginals."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tots = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("pri").alias("n_r"),
+        F.countDistinct("st").alias("n_c"),
+    )
+    rt = obs.groupBy("pri").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("st").agg(F.sum("o").alias("c"))
+    exp = F.col("r") * F.col("c") * 1.0 / F.col("n")
+    cells = (
+        obs.join(rt, "pri")
+        .join(ct, "st")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "pri",
+            "st",
+            "n",
+            "n_r",
+            "n_c",
+            (F.pow(F.col("o") - exp, 2) / exp).alias("contrib"),
+        )
+    )
+    return (
+        cells.groupBy("n", "n_r", "n_c")
+        .agg(
+            F.round(
+                F.expr(
+                    "aggregate(transform(sort_array(collect_list("
+                    "struct(pri, st, contrib))), x -> x.contrib),"
+                    " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+                ),
+                6,
+            ).alias("chi2")
+        )
+        .select(
+            "n",
+            "n_r",
+            "n_c",
+            ((F.col("n_r") - 1) * (F.col("n_c") - 1)).alias("dof"),
+            "chi2",
+        )
+    )

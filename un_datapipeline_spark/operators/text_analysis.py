@@ -281,3 +281,72 @@ def llm_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(doc_ttr), 6).alias("min_doc_ttr"),
         F.round(F.max(doc_ttr), 6).alias("max_doc_ttr"),
     )
+
+
+_WATERMARK_ORACLE = """
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN substr(text, 1, 10) || chr(8203) || substr(text, 11, 10)
+                   || chr(8203) || substr(text, 21)
+              ELSE text END AS wm_text
+  FROM documents
+), audit AS (
+  SELECT source,
+         CAST(wm_text LIKE '%' || chr(8203) || '%' AS INT) AS has_wm,
+         length(wm_text) - length(replace(wm_text, chr(8203), '')) AS n_marks,
+         CAST(replace(wm_text, chr(8203), '')
+              LIKE '%' || chr(8203) || '%' AS INT) AS still_marked
+  FROM planted
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(has_wm) AS BIGINT) AS n_watermarked,
+       CAST(sum(n_marks) AS BIGINT) AS n_marks_removed,
+       CAST(sum(still_marked) AS BIGINT) AS n_still_marked
+FROM audit GROUP BY source
+"""
+
+
+@register("llm_watermark_strip", oracle=_WATERMARK_ORACLE, tier="T2")
+def llm_watermark_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-width-character watermark detection and stripping: one in
+    five documents gets two U+200B marks planted at fixed offsets, then
+    the audit counts marked docs, removes the marks, and proves removal
+    left none behind — the invisible-character hygiene pass any LLM
+    training corpus needs (zero-width marks survive copy-paste,
+    tokenize into garbage, and are a known provenance-tagging channel).
+    Pure string expressions per row (narrow map, no shuffle until the
+    per-source rollup); the oracle plants the identical marks so the
+    strip accounting is hash-verified end to end."""
+    zwsp = "\u200b"
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.substring("text", 1, 10),
+                F.lit(zwsp),
+                F.substring("text", 11, 10),
+                F.lit(zwsp),
+                F.expr("substr(text, 21)"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("wm_text"),
+    )
+    stripped = F.regexp_replace("wm_text", zwsp, "")
+    audit = planted.select(
+        "source",
+        F.col("wm_text").contains(zwsp).cast("int").alias("has_wm"),
+        (F.length("wm_text") - F.length(stripped)).alias("n_marks"),
+        stripped.contains(zwsp).cast("int").alias("still_marked"),
+    )
+    return audit.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("has_wm").alias("n_watermarked"),
+        F.sum("n_marks").alias("n_marks_removed"),
+        F.sum("still_marked").alias("n_still_marked"),
+    )

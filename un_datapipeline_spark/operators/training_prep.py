@@ -419,3 +419,90 @@ def etl_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("tok_start") / 512).alias("seq_first"),
         F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / 512).alias("seq_last"),
     )
+
+
+@register("llm_bpe_train", oracle=None, tier="T3")
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge training (5 merge steps) over the documents
+    corpus — the missing sibling of llm_bpe_pair_counts, which only
+    scored the FIRST merge.  Each step counts adjacent symbol pairs
+    distributed (array-slice zip + explode, one shuffle on the pair
+    key), picks the argmax pair with a lexicographic tie-break (a
+    single driver-side row, the kmeans-centroid pattern), and applies
+    the merge corpus-wide with a lookaround regexp_replace — leftmost
+    non-overlapping, so every engine applies the textbook BPE merge
+    semantics deterministically.  State stays a DataFrame throughout;
+    the driver only ever holds the current best pair.  Rows-only by the
+    iterative-algorithm contract (the oracle would need 5 recursive
+    corpus rewrites); invariants pinned in pytest: one vocab symbol per
+    step, corpus token count strictly decreasing, merged pair count
+    positive and non-increasing in later steps' candidates.
+
+    At 100 TB this shape holds: pair counting is vocabulary-bounded,
+    the rewrite is a narrow map, and each step materializes via
+    persist() so lineage stays flat."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.substring("text", 1, 120)), "[^a-z ]", ""
+        ).alias("t"),
+    )
+    # word-boundary symbol '_', then one space between every symbol
+    state = norm.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), " +", "_"), "(.)", "$1 "
+            )
+        ).alias("toks"),
+    ).persist()
+    steps = []
+    try:
+        for step in range(1, 6):
+            arr = F.split("toks", " ")
+            pairs = state.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(split(toks, ' '), 1,"
+                        " size(split(toks, ' ')) - 1),"
+                        " (x, i) -> concat(x, ' ', element_at(split(toks, ' '), i + 2)))"
+                    )
+                ).alias("pair")
+            )
+            top = (
+                pairs.groupBy("pair")
+                .count()
+                .orderBy(F.desc("count"), "pair")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, cnt = top[0]["pair"], top[0]["count"]
+            merged = pair.replace(" ", "")
+            new_state = state.select(
+                "doc_id",
+                F.regexp_replace(
+                    "toks", f"(?<=^| ){pair}(?= |$)", merged
+                ).alias("toks"),
+            ).persist()
+            stats = new_state.select(
+                F.sum(F.size(arr)).alias("n_syms")
+            ).collect()[0]
+            vocab = (
+                new_state.select(F.explode(F.split("toks", " ")).alias("s"))
+                .filter(F.col("s") != "")
+                .distinct()
+                .count()
+            )
+            state.unpersist()
+            state = new_state
+            steps.append((step, pair, merged, int(cnt), int(stats["n_syms"]), int(vocab)))
+    finally:
+        state.unpersist()
+    return spark.createDataFrame(
+        steps,
+        "step int, pair string, merged string, pair_count long,"
+        " corpus_syms long, vocab_size long",
+    )
