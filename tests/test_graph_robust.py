@@ -195,3 +195,44 @@ def test_geo_radius_plan_is_equi_join(spark, sf_smoke):
     # the cell-bucketing must keep Catalyst on a hash/merge equi-join;
     # a raw distance predicate degrades to BroadcastNestedLoopJoin
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lorenz_gini_bounds(spark, sf_smoke):
+    from un_datapipeline_spark.operators.robust_stats import agg_lorenz_gini
+
+    rows = agg_lorenz_gini(spark, sf_smoke).collect()
+    assert len(rows) == 25, "one Lorenz curve per nation"
+    for r in rows:
+        assert -1e-9 <= r.gini <= 1.0
+        assert r.n_customers > 0
+
+
+def test_holt_forecast_linear_in_horizon(spark, sf_smoke):
+    from un_datapipeline_spark.operators.time_series import ts_holt_forecast
+
+    rows = sorted(
+        ts_holt_forecast(spark, sf_smoke).collect(),
+        key=lambda r: (r.event_type, r.horizon),
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        assert [r.horizon for r in series] == list(range(1, 8))
+        # y(h) = level + h*trend: consecutive differences are constant
+        # up to the 2dp rounding of each forecast
+        diffs = [b.forecast - a.forecast for a, b in zip(series, series[1:])]
+        assert max(diffs) - min(diffs) <= 0.021
+
+
+def test_tokenizer_apply_shrinks_stream(spark, sf_smoke):
+    from un_datapipeline_spark.operators.training_prep import (
+        llm_tokenizer_apply,
+    )
+
+    rows = llm_tokenizer_apply(spark, sf_smoke).collect()
+    assert rows
+    assert all(r.n_after <= r.n_before for r in rows)
+    assert any(r.n_after < r.n_before for r in rows), "merges must fire"
+    # no merged symbol may still contain a mergeable pair (3 passes)
+    assert all(" t h " not in " " + r.preview + " " for r in rows)

@@ -597,3 +597,69 @@ def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+_LORENZ_ORACLE = """
+WITH rev AS (
+  SELECT c.c_custkey, n.n_name,
+         CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+              AS BIGINT) AS cents
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, n.n_name
+), ranked AS (
+  SELECT n_name, cents,
+         CAST(row_number() OVER (PARTITION BY n_name
+                                 ORDER BY cents, c_custkey) AS BIGINT) AS i
+  FROM rev
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS total_rev,
+       ROUND((2 * sum(i * cents) - (count(*) + 1) * sum(cents)) * 1.0
+             / (count(*) * sum(cents)), 6) AS gini
+FROM ranked GROUP BY n_name
+"""
+
+
+@register("agg_lorenz_gini", oracle=_LORENZ_ORACLE, tier="T2")
+def agg_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration per nation —
+    the Lorenz-curve inequality measure behind "how concentrated is our
+    revenue" (agg_entropy_gini's Gini is impurity over categories; this
+    is the economics one over a continuous distribution).  Zero-order
+    customers are kept via the left join so the curve starts at the
+    true origin.  The G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) identity needs
+    only the rank-weighted integer-cents sum, so everything is exact
+    BIGINT with ONE final division; ranking is per-nation (windows
+    partition by the 25 nations, never a global sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                F.lit(0),
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "c_custkey")
+    ranked = rev.select(
+        "n_name", "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    cnt = F.count(F.lit(1))
+    return ranked.groupBy("n_name").agg(
+        cnt.alias("n_customers"),
+        (F.sum("cents") / 100.0).alias("total_rev"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("cents")) - (cnt + 1) * F.sum("cents"))
+            * 1.0
+            / (cnt * F.sum("cents")),
+            6,
+        ).alias("gini"),
+    )

@@ -201,3 +201,46 @@ def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_over_1m"),
     )
+
+
+@register("ts_holt_forecast", oracle=None, tier="T3")
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) 7-day forecast per event_type:
+    level/trend recursion l_t = α·y_t + (1−α)(l+b), b_t = β(l_t−l) +
+    (1−β)b over the daily totals, then ŷ(h) = l + h·b.  The recursion
+    is inherently sequential per series, so it runs as applyInPandas
+    over the DAILY grain — each group is one bounded series (days per
+    type), the exact shape where the grouped-map escape hatch is the
+    right tool (udf_grouped_map's contract), while the heavy reduction
+    from events to days stays in JVM aggregates.  Rows-only: the
+    recursion has no closed SQL form; pytest pins linearity in h and
+    7 horizons per type."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("y")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        y = pdf["y"].to_numpy()
+        alpha, beta = 0.5, 0.3
+        level, trend = float(y[0]), float(y[1] - y[0]) if len(y) > 1 else 0.0
+        for t in range(1, len(y)):
+            prev = level
+            level = alpha * float(y[t]) + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+        rows = [
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "horizon": h,
+                "forecast": round(level + h * trend, 2),
+            }
+            for h in range(1, 8)
+        ]
+        return pd.DataFrame(rows)
+
+    return daily.groupBy("event_type").applyInPandas(
+        holt, "event_type string, horizon int, forecast double"
+    )

@@ -506,3 +506,78 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step int, pair string, merged string, pair_count long,"
         " corpus_syms long, vocab_size long",
     )
+
+
+_APPLY_MERGES = (("t h", "th"), ("th e", "the"), ("i n", "in"),
+                 ("e r", "er"), ("o n", "on"))
+
+
+def _apply_merges_duck() -> str:
+    expr = "' ' || toks || ' '"
+    for pat, rep in _APPLY_MERGES:
+        for _ in range(3):
+            expr = f"replace({expr}, ' {pat} ', ' {rep} ')"
+    return f"trim({expr})"
+
+
+_TOKAPPLY_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(substr(text, 1, 120)), '[^a-z ]', '', 'g') AS t
+  FROM documents
+), sym AS (
+  SELECT doc_id,
+         trim(regexp_replace(replace(t, ' ', '_'), '(.)', '\\1 ', 'g')) AS toks
+  FROM norm
+), merged AS (
+  SELECT doc_id, toks, {_apply_merges_duck()} AS merged_toks FROM sym
+)
+SELECT doc_id,
+       CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_before,
+       CAST(len(string_split(merged_toks, ' ')) AS BIGINT) AS n_after,
+       substr(merged_toks, 1, 60) AS preview
+FROM merged
+"""
+
+
+@register("llm_tokenizer_apply", oracle=_TOKAPPLY_ORACLE, tier="T2")
+def llm_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a FIXED BPE merge table (llm_bpe_train's output format) to
+    tokenize the corpus: documents are char-split with '_' word
+    boundaries, then each merge rewrites the symbol stream with literal
+    space-padded replaces — three passes per merge, because a single
+    left-to-right replace pass shares boundary spaces between adjacent
+    occurrences (probed: both engines continue scanning AFTER the
+    replacement, so ' t h t h ' needs a second pass; a fixed pass count
+    keeps the two engines in lockstep wherever the scan lands).  The
+    merge table being literal is what makes this oracle-able where the
+    training loop is not: the oracle replays the identical replace
+    chain.  Narrow per-row string maps, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.substring("text", 1, 120)), "[^a-z ]", ""
+        ).alias("t"),
+    )
+    sym = norm.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), " ", "_"), "(.)", "$1 "
+            )
+        ).alias("toks"),
+    )
+    merged_col = F.concat(F.lit(" "), F.col("toks"), F.lit(" "))
+    for pat, rep in _APPLY_MERGES:
+        for _ in range(3):
+            merged_col = F.replace(
+                merged_col, F.lit(f" {pat} "), F.lit(f" {rep} ")
+            )
+    merged = sym.select("doc_id", "toks", F.trim(merged_col).alias("merged_toks"))
+    return merged.select(
+        "doc_id",
+        F.size(F.split("toks", " ")).cast("long").alias("n_before"),
+        F.size(F.split("merged_toks", " ")).cast("long").alias("n_after"),
+        F.substring("merged_toks", 1, 60).alias("preview"),
+    )
