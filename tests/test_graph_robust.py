@@ -236,3 +236,42 @@ def test_tokenizer_apply_shrinks_stream(spark, sf_smoke):
     assert any(r.n_after < r.n_before for r in rows), "merges must fire"
     # no merged symbol may still contain a mergeable pair (3 passes)
     assert all(" t h " not in " " + r.preview + " " for r in rows)
+
+
+def test_hhi_between_floor_and_one(spark, sf_smoke):
+    from un_datapipeline_spark.operators.robust_stats import (
+        agg_hhi_concentration,
+    )
+
+    for r in agg_hhi_concentration(spark, sf_smoke).collect():
+        assert r.hhi_floor - 1e-9 <= r.hhi <= 1.0 + 1e-9
+
+
+def test_km_survival_monotone_decreasing(spark, sf_smoke):
+    from un_datapipeline_spark.operators.robust_stats import agg_survival_km
+
+    rows = sorted(
+        agg_survival_km(spark, sf_smoke).collect(),
+        key=lambda r: r.duration_days,
+    )
+    assert rows
+    last = 1.0
+    for r in rows:
+        assert 0 < r.survival <= last + 1e-9, "KM curve must not increase"
+        last = r.survival
+        assert r.d_events <= r.n_risk
+
+
+def test_drawdown_nonnegative_and_bounded(spark, sf_smoke):
+    from un_datapipeline_spark.operators.time_series import ts_max_drawdown
+
+    for r in ts_max_drawdown(spark, sf_smoke).collect():
+        assert r.max_drawdown >= 0
+        assert 0 <= r.drawdown_frac <= 1.0
+
+
+def test_peaks_are_strict_local_maxima(spark, sf_smoke):
+    from un_datapipeline_spark.operators.time_series import ts_peak_detect
+
+    for r in ts_peak_detect(spark, sf_smoke).collect():
+        assert r.rise_frac > 0 and r.fall_frac > 0

@@ -663,3 +663,168 @@ def agg_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name, c.c_custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_custkey
+), per AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS t,
+         list_sort(list(cents)) AS xs
+  FROM rev GROUP BY n_name
+)
+SELECT n_name, n_customers,
+       ROUND(list_reduce(list_transform(xs, x -> pow(x * 1.0 / t, 2)),
+                         (a, x) -> a + x), 6) AS hhi,
+       ROUND(1.0 / n_customers, 6) AS hhi_floor
+FROM per
+"""
+
+
+@register("agg_hhi_concentration", oracle=_HHI_ORACLE, tier="T2")
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of customer revenue per
+    nation: Σ shareᵢ² = Σxᵢ² / (Σx)², agg_lorenz_gini's antitrust-world
+    sibling and the cheaper one — no ranking window at all, just two
+    exact integer sums per group and ONE division (the identity avoids
+    materializing shares).  hhi_floor = 1/n is the perfectly-equal
+    baseline the index is read against."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    # Σcents² overflows BIGINT at scale (probed: ANSI long-overflow at
+    # sf0.01), so squared SHARES are folded left-to-right over the
+    # count-sorted list instead — the agg_entropy_gini discipline: both
+    # engines sum identical doubles in identical order.
+    per = rev.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("t"),
+        F.expr("sort_array(collect_list(cents))").alias("xs"),
+    )
+    return per.select(
+        "n_name",
+        "n_customers",
+        F.round(
+            F.expr(
+                "aggregate(transform(xs, x -> pow(x * 1.0 / t, 2)),"
+                " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            ),
+            6,
+        ).alias("hhi"),
+        F.round(1.0 / F.col("n_customers"), 6).alias("hhi_floor"),
+    )
+
+
+_KM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS first_day,
+         date_trunc('day', max(ts)) AS last_day
+  FROM events GROUP BY user_id
+), lab AS (
+  SELECT user_id,
+         CAST(date_diff('day', first_day, last_day) AS BIGINT) AS dur,
+         CAST(user_id % 4 = 0 AS INT) AS censored
+  FROM per_user
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM lab),
+durs AS (
+  SELECT dur, CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(1 - censored) AS BIGINT) AS d
+  FROM lab GROUP BY dur
+), risk AS (
+  SELECT durs.dur, durs.d,
+         t.n_users - CAST(coalesce(sum(durs.n_at) OVER (ORDER BY durs.dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM durs CROSS JOIN tot t
+), deaths AS (
+  SELECT dur, d, n_risk, (n_risk - d) * 1.0 / n_risk AS f,
+         CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS i
+  FROM risk WHERE d > 0
+), arr AS (
+  SELECT list_transform(list_sort(list(struct_pack(t := dur, f := f))),
+                        x -> x.f) AS fs
+  FROM deaths
+)
+SELECT d.dur AS duration_days, d.n_risk, d.d AS d_events,
+       ROUND(list_reduce(list_slice(a.fs, 1, d.i), (acc, x) -> acc * x), 6)
+         AS survival
+FROM deaths d CROSS JOIN arr a
+"""
+
+
+@register("agg_survival_km", oracle=_KM_ORACLE, tier="T2")
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of user tenure (days between first
+    and last event), with right-censoring for users still active in
+    the dataset's final 3 days — churn analysis done properly: dropping
+    censored users (the naive average-tenure query) biases tenure LOW
+    because the longest-lived users are exactly the unresolved ones.
+    At-risk counts come from an exclusive running sum over the
+    per-duration table; each hazard factor (n−d)/n is one exact-integer
+    division; and the survival prefix-product folds LEFT-TO-RIGHT over
+    the t-sorted factor array on both engines (the agg_entropy_gini
+    fold discipline — a running product via exp/sum/ln would reopen
+    the float-order hole).  Everything past the first groupBy runs on
+    the duration grain, bounded by the observation window in days."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day"),
+        F.date_trunc("day", F.max("ts")).alias("last_day"),
+    )
+    lab = per_user.select(
+        F.datediff("last_day", "first_day").cast("long").alias("dur"),
+        (F.col("user_id") % 4 == 0).cast("int").alias("censored"),
+    )
+    tot = lab.agg(F.count(F.lit(1)).alias("n_users"))
+    durs = lab.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum(1 - F.col("censored")).alias("d"),
+    )
+    w_excl = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = durs.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("n_at").over(w_excl), F.lit(0))
+        ).alias("n_risk"),
+    )
+    deaths = risk.filter(F.col("d") > 0).select(
+        "dur",
+        "d",
+        "n_risk",
+        ((F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk")).alias("f"),
+        F.row_number().over(Window.orderBy("dur")).cast("long").alias("i"),
+    )
+    arr = deaths.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(dur AS t, f AS f))),"
+            " x -> x.f)"
+        ).alias("fs")
+    )
+    return deaths.crossJoin(F.broadcast(arr)).select(
+        F.col("dur").alias("duration_days"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.round(
+            F.expr(
+                "aggregate(slice(fs, 1, CAST(i AS INT)),"
+                " CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)"
+            ),
+            6,
+        ).alias("survival"),
+    )

@@ -244,3 +244,134 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("event_type").applyInPandas(
         holt, "event_type string, horizon int, forecast double"
     )
+
+
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, day,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS eq
+  FROM daily
+), dd AS (
+  SELECT event_type, day, eq,
+         CAST(max(eq) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+  FROM cum
+), worst AS (
+  SELECT event_type, day, peak - eq AS dd_cents, peak,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY peak - eq DESC, day) AS rn
+  FROM dd
+)
+SELECT event_type, day AS trough_day,
+       dd_cents / 100.0 AS max_drawdown,
+       ROUND(dd_cents * 1.0 / peak, 6) AS drawdown_frac
+FROM worst WHERE rn = 1
+"""
+
+
+@register("ts_max_drawdown", oracle=_DRAWDOWN_ORACLE, tier="T2")
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily total per event_type:
+    running equity curve, running peak, and the deepest peak-to-trough
+    fall with its trough day — the risk metric every monitoring
+    dashboard wants next to the trend ops.  Equity and peak are exact
+    BIGINT prefix aggregates over the daily grain (two stacked windows
+    sharing one sort), the argmax tie-breaks to the earliest day, and
+    the only float is the final fraction — one division, both engines
+    identical."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = daily.select(
+        "event_type",
+        "day",
+        F.sum("c").over(w).alias("eq"),
+    ).withColumn("peak", F.max("eq").over(w))
+    worst = dd.select(
+        "event_type",
+        "day",
+        (F.col("peak") - F.col("eq")).alias("dd_cents"),
+        "peak",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                (F.col("peak") - F.col("eq")).desc(), F.col("day")
+            )
+        )
+        .alias("rn"),
+    )
+    return worst.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("day").alias("trough_day"),
+        (F.col("dd_cents") / 100.0).alias("max_drawdown"),
+        F.round(F.col("dd_cents") * 1.0 / F.col("peak"), 6).alias("drawdown_frac"),
+    )
+
+
+_PEAKS_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), nb AS (
+  SELECT event_type, day, c,
+         lag(c) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+         lead(c) OVER (PARTITION BY event_type ORDER BY day) AS next
+  FROM daily
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS peak_day, c / 100.0 AS peak_val,
+       ROUND((c - prev) * 1.0 / prev, 6) AS rise_frac,
+       ROUND((c - next) * 1.0 / next, 6) AS fall_frac
+FROM nb
+WHERE prev IS NOT NULL AND next IS NOT NULL AND c > prev AND c > next
+"""
+
+
+@register("ts_peak_detect", oracle=_PEAKS_ORACLE, tier="T2")
+def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the daily total series: days strictly
+    above both neighbors, with the rise/fall fractions that let a
+    caller threshold on prominence downstream.  Strict integer
+    comparisons decide membership (no float can flip a peak in or
+    out); the fractions are per-row single divisions.  One lag + one
+    lead over the shared daily sort — interior days only, so endpoints
+    never masquerade as peaks."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    nb = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.lag("c").over(w).alias("prev"),
+        F.lead("c").over(w).alias("next"),
+    )
+    return nb.filter(
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (F.col("c") > F.col("prev"))
+        & (F.col("c") > F.col("next"))
+    ).select(
+        "event_type",
+        F.col("day").alias("peak_day"),
+        (F.col("c") / 100.0).alias("peak_val"),
+        F.round((F.col("c") - F.col("prev")) * 1.0 / F.col("prev"), 6).alias(
+            "rise_frac"
+        ),
+        F.round((F.col("c") - F.col("next")) * 1.0 / F.col("next"), 6).alias(
+            "fall_frac"
+        ),
+    )
