@@ -134,3 +134,66 @@ def test_cusum_one_changepoint_per_type(spark, sf_smoke):
     for r in rows:
         assert r.cusum_score >= 0
         assert r.n_days >= 1
+
+
+def test_collation_counts_nest(spark, sf_smoke):
+    from un_datapipeline_spark.operators.analytics_extras import (
+        fn_collation_compare,
+    )
+
+    r = fn_collation_compare(spark, sf_smoke).collect()[0]
+    # case-insensitive distinct can never exceed binary distinct
+    assert r.distinct_lcase <= r.distinct_binary <= r.n_rows
+    # the mangling creates real case variants, so collation must matter
+    assert r.distinct_lcase < r.distinct_binary
+
+
+def test_rolling_regression_full_frames_only(spark, sf_smoke):
+    from un_datapipeline_spark.operators.analytics_extras import (
+        win_rolling_regression,
+    )
+
+    rows = win_rolling_regression(spark, sf_smoke).collect()
+    assert rows
+    by_type: dict[str, int] = {}
+    for r in rows:
+        by_type[r.event_type] = by_type.get(r.event_type, 0) + 1
+        assert r.beta_per_day is not None
+    # n_days - 6 full frames per series
+    assert len(set(by_type.values())) == 1
+
+
+def test_quantile_bands_partition_orders(spark, sf_smoke):
+    from un_datapipeline_spark.operators.analytics_extras import (
+        agg_quantile_bands,
+    )
+
+    rows = sorted(agg_quantile_bands(spark, sf_smoke).collect(),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert max(r.n for r in rows) - min(r.n for r in rows) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.band_max <= b.band_min, "bands must not overlap"
+
+
+def test_time_to_convert_ordered_percentiles(spark, sf_smoke):
+    from un_datapipeline_spark.operators.analytics_extras import (
+        agg_time_to_convert,
+    )
+
+    r = agg_time_to_convert(spark, sf_smoke).collect()[0]
+    assert r.n_converted > 0
+    assert 0 <= r.p25_hours <= r.p50_hours <= r.p90_hours
+
+
+def test_k_anonymity_accounting(spark, sf_smoke):
+    from un_datapipeline_spark.operators.analytics_extras import (
+        etl_k_anonymity,
+    )
+
+    r = etl_k_anonymity(spark, sf_smoke).collect()[0]
+    assert r.n_groups_below_k <= r.n_groups
+    assert r.k == 10
+    if r.n_groups_below_k > 0:
+        assert r.n_rows_suppressed > 0
+    assert r.n_rows_suppressed + r.n_rows_published > 0

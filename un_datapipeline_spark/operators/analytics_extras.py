@@ -556,3 +556,283 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.round(F.col("s_abs") / (F.col("n") * 100.0), 6).alias("cusum_score"),
     )
+
+
+_COLLATION_ORACLE = """
+WITH mixed AS (
+  SELECT c_custkey,
+         CASE c_custkey % 2 WHEN 0
+              THEN upper('Customer#' || CAST(c_custkey // 2 AS VARCHAR))
+              ELSE lower('Customer#' || CAST(c_custkey // 2 AS VARCHAR)) END
+           AS name
+  FROM customer
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT name) AS BIGINT) AS distinct_binary,
+       CAST(count(DISTINCT lower(name)) AS BIGINT) AS distinct_lcase,
+       CAST(count(*) FILTER (name = lower(name)) AS BIGINT) AS n_all_lower
+FROM mixed
+"""
+
+
+@register("fn_collation_compare", oracle=_COLLATION_ORACLE, tier="T1")
+def fn_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive semantics through Spark 4 COLLATION: customer
+    keys are paired onto shared base names in opposite casings, then
+    counted distinct under UTF8_BINARY versus UTF8_LCASE — the
+    collated column makes DISTINCT, GROUP BY and '=' case-insensitive
+    ENGINE-SIDE, where the pre-collation idiom smears lower() over every
+    expression.  The oracle pins the lcase distinct count to
+    count(DISTINCT lower(name)), proving the collation path computes
+    exactly the fold-then-compare semantics.  Collation is metadata on
+    the comparison, not a rewrite — the plan stays whole-stage
+    codegen."""
+    c = load_table(spark, sf_dir, "customer")
+    # adjacent key pairs share a base name in opposite casings, so the
+    # two collations MUST disagree: binary sees both variants, lcase
+    # folds each pair (customer names are otherwise unique, so mangling
+    # c_name alone would never collide)
+    mixed = c.selectExpr(
+        "c_custkey",
+        "CASE CAST(c_custkey % 2 AS INT) WHEN 0"
+        " THEN upper(concat('Customer#', CAST(c_custkey DIV 2 AS STRING)))"
+        " ELSE lower(concat('Customer#', CAST(c_custkey DIV 2 AS STRING)))"
+        " END AS name",
+    )
+    return mixed.selectExpr(
+        "name",
+        "collate(name, 'UTF8_LCASE') AS name_ci",
+        "CAST(name = lower(name) AS INT) AS all_lower",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("name").alias("distinct_binary"),
+        F.countDistinct("name_ci").alias("distinct_lcase"),
+        F.sum("all_lower").alias("n_all_lower"),
+    )
+
+
+_ROLLREG_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, day, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS x
+  FROM daily
+), win AS (
+  SELECT event_type, day,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS sx,
+         CAST(sum(y) OVER w AS BIGINT) AS sy,
+         CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+  FROM idx
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       ROUND((n * sxy - sx * sy) * 1.0 / ((n * sxx - sx * sx) * 100.0), 6)
+         AS beta_per_day
+FROM win WHERE n = 7
+"""
+
+
+@register("win_rolling_regression", oracle=_ROLLREG_ORACLE, tier="T2")
+def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS slope of the daily total per event_type — the
+    windowed trend detector (win_rolling_corr's regression sibling).
+    All five window moments (n, Σx, Σy, Σxy, Σx²) are exact BIGINTs
+    over the daily grain with x the dense day index, so the slope
+    β = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is ONE double division per row —
+    no float accumulates across the frame.  Emitted only for full
+    7-day frames; one sort serves all five moments."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(_cents()).alias("y")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.row_number().over(wo).cast("long").alias("x"),
+    )
+    w = wo.rowsBetween(-6, 0)
+    win = idx.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    return win.filter(F.col("n") == 7).select(
+        "event_type",
+        "day",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * 1.0
+            / ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * 100.0),
+            6,
+        ).alias("beta_per_day"),
+    )
+
+
+_DECILE_ORACLE = """
+WITH cents AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), banded AS (
+  SELECT c, ntile(10) OVER (ORDER BY c, o_orderkey) AS decile FROM cents
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n,
+       min(c) / 100.0 AS band_min,
+       max(c) / 100.0 AS band_max,
+       CAST(sum(c) AS BIGINT) / 100.0 AS band_total
+FROM banded GROUP BY decile
+"""
+
+
+@register("agg_quantile_bands", oracle=_DECILE_ORACLE, tier="T2")
+def agg_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding of order totals: ntile(10) over the unique
+    (cents, orderkey) order, then per-band count/min/max/total — the
+    equal-population histogram behind pricing tiers and score-band
+    reports, where agg_histogram's equal-WIDTH bins leave tail bands
+    empty.  The unique tie-break makes every band boundary
+    deterministic; band stats are integer selections and sums.  The
+    global ntile is a single-partition window over orders (the
+    topk_global caveat) — at extreme scale the same bands fall out of
+    approx_percentile split points + one scan, traded for exactness at
+    the boundaries."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    banded = cents.select(
+        "c",
+        F.ntile(10).over(Window.orderBy("c", "o_orderkey")).alias("decile"),
+    )
+    return banded.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.min("c") / 100.0).alias("band_min"),
+        (F.max("c") / 100.0).alias("band_max"),
+        (F.sum("c") / 100.0).alias("band_total"),
+    )
+
+
+_TTC_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT CAST((epoch_us(t_purchase) - epoch_us(t_signup)) // 60000000
+              AS BIGINT) AS mins
+  FROM firsts
+  WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_purchase >= t_signup
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(mins, 0.25) / 60.0, 6) AS p25_hours,
+       ROUND(quantile_cont(mins, 0.50) / 60.0, 6) AS p50_hours,
+       ROUND(quantile_cont(mins, 0.90) / 60.0, 6) AS p90_hours
+FROM conv
+"""
+
+
+@register("agg_time_to_convert", oracle=_TTC_ORACLE, tier="T2")
+def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency: per user the FIRST signup
+    and FIRST subsequent purchase, then exact p25/p50/p90 of the gap —
+    the funnel-latency metric (win_funnel_attribution counts who
+    converts; this measures how fast).  First-touch extraction is one
+    conditional-min aggregate per user (no window, partial-aggregable);
+    gaps are integer minutes so the percentile interpolation runs on
+    exact values; one division to hours at the end."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select(
+        F.expr(
+            "CAST((CAST(t_purchase AS LONG) - CAST(t_signup AS LONG))"
+            " DIV 60 AS LONG)"
+        ).alias("mins")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("mins", F.lit(0.25)) / 60.0, 6).alias("p25_hours"),
+        F.round(F.percentile("mins", F.lit(0.50)) / 60.0, 6).alias("p50_hours"),
+        F.round(F.percentile("mins", F.lit(0.90)) / 60.0, 6).alias("p90_hours"),
+    )
+
+
+_KANON_ORACLE = """
+WITH qi AS (
+  SELECT n.n_name, date_trunc('month', o.o_orderdate) AS order_month,
+         CAST(count(*) AS BIGINT) AS grp_n
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (grp_n < 10) AS BIGINT) AS n_groups_below_k,
+       CAST(coalesce(sum(grp_n) FILTER (grp_n < 10), 0) AS BIGINT)
+         AS n_rows_suppressed,
+       CAST(coalesce(sum(grp_n) FILTER (grp_n >= 10), 0) AS BIGINT)
+         AS n_rows_published,
+       CAST(min(grp_n) AS BIGINT) AS min_group,
+       CAST(10 AS BIGINT) AS k
+FROM qi
+"""
+
+
+@register("etl_k_anonymity", oracle=_KANON_ORACLE, tier="T1")
+def etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=10) over the quasi-identifier pair
+    (customer nation, order month): group sizes for every QI
+    combination, how many groups fall below k, and the row counts a
+    release would suppress versus publish — the governance gate that
+    runs BEFORE any aggregate export (etl_gdpr_delete removes named
+    subjects; this catches the re-identification risk of small
+    groups).  One aggregation to the QI grain then a single-row
+    rollup; exact integers throughout."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    qi = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+    )
+    below = F.col("grp_n") < 10
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(below.cast("long")).alias("n_groups_below_k"),
+        F.coalesce(F.sum(F.when(below, F.col("grp_n"))), F.lit(0)).alias(
+            "n_rows_suppressed"
+        ),
+        F.coalesce(F.sum(F.when(~below, F.col("grp_n"))), F.lit(0)).alias(
+            "n_rows_published"
+        ),
+        F.min("grp_n").alias("min_group"),
+        F.lit(10).cast("long").alias("k"),
+    )
