@@ -104,3 +104,28 @@ def test_clustered_write_files_cover_disjoint_ranges(spark, sf_smoke):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         # ranges may touch at a boundary value, never interleave past it
         assert hi1 <= lo2, f"file ranges interleave: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_observe_metrics_single_pass_consistency(spark, sf_smoke):
+    from un_datapipeline_spark.operators.sources import src_observe_metrics
+
+    r = src_observe_metrics(spark, sf_smoke).collect()[0]
+    assert 0 < r.rows_kept <= r.rows_scanned
+    assert 0 < r.cents_kept <= r.cents_scanned
+
+
+def test_python_datasource_partition_coverage(spark, sf_smoke):
+    from un_datapipeline_spark.operators.sources import src_python_datasource
+
+    rows = src_python_datasource(spark, sf_smoke).collect()
+    assert {r.label for r in rows} == {"row%d" % i for i in range(7)}
+    assert sum(r.n for r in rows) == 1000, "all 4 partitions read exactly once"
+
+
+def test_transpose_roundtrip_shape(spark, sf_smoke):
+    from un_datapipeline_spark.operators.reshape import reshape_transpose
+
+    rows = reshape_transpose(spark, sf_smoke).collect()
+    assert {r.key for r in rows} == {"sum_qty", "sum_price", "n_rows"}
+    df = reshape_transpose(spark, sf_smoke)
+    assert set(df.columns) == {"key", "A", "N", "R"}

@@ -92,3 +92,57 @@ def fn_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.select(
         "vec_id", F.posexplode("embedding").alias("pos", "raw")
     ).select("vec_id", "pos", F.round(F.col("raw").cast("double"), 6).alias("el"))
+
+
+_TRANSPOSE_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag AS f,
+         ROUND(sum(l_quantity), 4) AS sum_qty,
+         ROUND(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 4)
+           AS sum_price,
+         CAST(count(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT 'sum_qty' AS key,
+       max(CASE WHEN f = 'A' THEN sum_qty END) AS a,
+       max(CASE WHEN f = 'N' THEN sum_qty END) AS n,
+       max(CASE WHEN f = 'R' THEN sum_qty END) AS r
+FROM s
+UNION ALL
+SELECT 'sum_price',
+       max(CASE WHEN f = 'A' THEN sum_price END),
+       max(CASE WHEN f = 'N' THEN sum_price END),
+       max(CASE WHEN f = 'R' THEN sum_price END)
+FROM s
+UNION ALL
+SELECT 'n_rows',
+       max(CASE WHEN f = 'A' THEN n_rows END),
+       max(CASE WHEN f = 'N' THEN n_rows END),
+       max(CASE WHEN f = 'R' THEN n_rows END)
+FROM s
+"""
+
+
+@register("reshape_transpose", oracle=_TRANSPOSE_ORACLE, tier="T1")
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix transpose of a metrics-by-returnflag summary via the
+    Spark 4 ``DataFrame.transpose`` API: rows become the metric names,
+    columns become the flag values — the report-rendering flip that
+    previously took a pivot + unpivot round-trip (reshape_pivot /
+    reshape_unpivot cover those primitives; this is the one-call
+    composite).  Transpose is only sane on a SUMMARY frame: the input
+    here is the 3-row returnflag rollup, never a fact table — the
+    column count equals the row count of the input, so transposing
+    anything unaggregated explodes the schema.  All metrics are cast
+    to double first because transpose requires one common value type;
+    money goes through exact cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy(F.col("l_returnflag").alias("f")).agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0,
+            4,
+        ).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return s.transpose("f")

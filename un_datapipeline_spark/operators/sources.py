@@ -549,3 +549,110 @@ def src_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+_OBSERVE_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS rows_scanned,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_scanned,
+       CAST(count(*) FILTER (year(l_shipdate) >= 1999) AS BIGINT) AS rows_kept,
+       CAST(sum(CASE WHEN year(l_shipdate) >= 1999
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+            AS BIGINT) AS cents_kept
+FROM lineitem
+"""
+
+
+@register("src_observe_metrics", oracle=_OBSERVE_ORACLE, tier="T1")
+def src_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-time data-quality counters via the Observation API: metrics
+    are attached BEFORE the filter with ``df.observe`` and collected as
+    a side effect of the one real action, so the audit (rows/money
+    scanned) and the business result (rows/money kept) come from a
+    SINGLE pass — at 100 TB a separate audit scan doubles the most
+    expensive step of the job, which is why observe/
+    CollectMetricsExec exists.  The oracle recomputes both layers from
+    the source table, hash-pinning that the observed pre-filter totals
+    match an independent full-scan ground truth."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    obs = Observation("scan_audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum("cents").alias("cents_scanned"),
+    )
+    kept = observed.filter(F.year("l_shipdate") >= 1999).agg(
+        F.count(F.lit(1)).alias("rows_kept"), F.sum("cents").alias("cents_kept")
+    )
+    row = kept.collect()[0]
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["rows_scanned"]),
+                int(m["cents_scanned"]),
+                int(row["rows_kept"]),
+                int(row["cents_kept"]),
+            )
+        ],
+        "rows_scanned long, cents_scanned long, rows_kept long, cents_kept long",
+    )
+
+
+_PYDS_ORACLE = """
+SELECT 'row' || CAST(i % 7 AS VARCHAR) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(i * i) AS BIGINT) AS sum_sq
+FROM range(0, 1000) t(i)
+GROUP BY label
+"""
+
+
+@register("src_python_datasource", oracle=_PYDS_ORACLE, tier="T1")
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom batch connector through the Spark 4 Python Data Source
+    API: a DataSource subclass declares its schema and a partitioned
+    reader (4 InputPartitions × 250 rows, generated deterministically),
+    gets registered under a format name, and is consumed with plain
+    ``spark.read.format(...)`` — the extension point for reading a
+    system Spark has no built-in connector for WITHOUT leaving Python
+    or giving up partition parallelism (each partition's generator runs
+    in its own task).  The oracle rebuilds the synthetic rows from a
+    range table, hash-pinning that all partitions arrived exactly
+    once."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "udps_synth"
+
+        def schema(self) -> str:
+            return "id long, sq long, label string"
+
+        def reader(self, schema):
+            return SynthReader()
+
+    class SynthReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(4)]
+
+        def read(self, partition):
+            base = partition.value * 250
+            for i in range(base, base + 250):
+                yield (i, i * i, "row%d" % (i % 7))
+
+    spark.dataSource.register(SynthSource)
+    df = spark.read.format("udps_synth").load()
+    return df.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("id") * F.col("id")).alias("sum_sq")
+    )
