@@ -47,3 +47,23 @@ def test_bucketed_join_is_shuffle_free(spark, sf_smoke):
         "bucketed join must not re-shuffle inputs:\n" + plan
     )
     assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_lateral_topn_group_bound(spark, sf_smoke):
+    from un_datapipeline_spark.operators.joins import join_lateral_topn
+
+    rows = join_lateral_topn(spark, sf_smoke).collect()
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r.c_custkey, []).append(r.o_totalprice)
+    assert per
+    for prices in per.values():
+        assert len(prices) <= 3
+    # decorrelated plan, not a per-row re-execution: no nested loop
+    plan = (
+        join_lateral_topn(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -496,3 +496,47 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_LATERAL_ORACLE = """
+SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) l
+"""
+
+
+@register("join_lateral_topn", oracle=_LATERAL_ORACLE, tier="T2")
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each
+    customer's top-3 orders by value, written exactly the way a SQL
+    user migrating from a lateral-join dialect writes it.  Semantically
+    identical to win_topk_per_group's rank-filter formulation — that op
+    is the explicit plan, this one proves the SQL surface parses and
+    optimizes (Catalyst decorrelates the lateral into a join +
+    per-group limit rather than re-executing the subquery per outer
+    row).  Customers with no orders drop out, per inner-join lateral
+    semantics; the (price DESC, orderkey) order makes the top-3 set
+    unique."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("lat_customer")
+    o.createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3
+        ) l
+        """
+    )

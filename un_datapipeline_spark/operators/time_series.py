@@ -267,7 +267,7 @@ WITH daily AS (
                             ORDER BY peak - eq DESC, day) AS rn
   FROM dd
 )
-SELECT event_type, day AS trough_day,
+SELECT event_type, CAST(day AS TIMESTAMP) AS trough_day,
        dd_cents / 100.0 AS max_drawdown,
        ROUND(dd_cents * 1.0 / peak, 6) AS drawdown_frac
 FROM worst WHERE rn = 1
