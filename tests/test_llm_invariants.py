@@ -256,3 +256,15 @@ def test_pq_deterministic_and_compresses(spark, sf_t2):
     assert all(0 <= e <= 1.5 for e in errs)
     mean_err = sum(errs) / len(errs)
     assert mean_err < 0.9, f"PQ reconstruction too lossy: {mean_err}"
+
+
+def test_rouge_overlap_metric_bounds(spark, sf_smoke):
+    from un_datapipeline_spark.operators.llm_text import llm_rouge_overlap
+
+    rows = llm_rouge_overlap(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_b == r.doc_a + 1
+        assert 0 < r.n_common <= min(r.n_a, r.n_b)
+        assert 0 < r.p <= 1.0 and 0 < r.r <= 1.0
+        assert min(r.p, r.r) - 1e-9 <= r.f1 <= max(r.p, r.r) + 1e-9

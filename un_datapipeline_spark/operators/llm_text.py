@@ -298,3 +298,82 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     candidates = lsh_candidate_pairs(minhash_signatures(d))
     return verify_candidates_jaccard(d, candidates).orderBy("a", "b")
+
+
+_ROUGE_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, lower(w) AS w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[A-Za-z]+$')
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(DISTINCT a.w) AS BIGINT) AS n_common
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1 AND a.w = b.w
+  WHERE a.doc_id % 2 = 0
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id
+)
+SELECT p.doc_a, p.doc_b, sa.n AS n_a, sb.n AS n_b, p.n_common,
+       ROUND(p.n_common * 1.0 / sb.n, 6) AS p,
+       ROUND(p.n_common * 1.0 / sa.n, 6) AS r,
+       ROUND(2.0 * p.n_common / (sa.n + sb.n), 6) AS f1
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
+@register("llm_rouge_overlap", oracle=_ROUGE_ORACLE, tier="T2")
+def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1-style unique-unigram overlap between fixed document
+    pairs (each even doc_id against its successor — the
+    reference/candidate pairing an eval harness supplies): precision,
+    recall, and F1 over distinct lowercase alpha tokens.  The eval-
+    metric family the dedup ladder doesn't cover — dedup asks "same
+    document?", ROUGE asks "how much of the reference does the
+    candidate cover".  Set-F1 = 2·|A∩B|/(|A|+|B|) keeps every metric
+    ONE division of exact counts (the pairwise-F1 identity avoids
+    composing P·R/(P+R) from already-divided floats).  The pair join
+    is key-adjacent (doc_id+1), so candidates are an equi-join on
+    (token, pair) — no all-pairs blowup; an N×M eval grid would reuse
+    the MinHash banding prefilter."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike("^[A-Za-z]+$"))
+        .select("doc_id", F.lower("w").alias("w"))
+        .distinct()
+    )
+    a = toks.filter(F.col("doc_id") % 2 == 0).alias("a")
+    b = toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.w") == F.col("b.w")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.countDistinct("a.w").alias("n_common"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+            "n_common",
+            F.round(F.col("n_common") * 1.0 / F.col("sb.n"), 6).alias("p"),
+            F.round(F.col("n_common") * 1.0 / F.col("sa.n"), 6).alias("r"),
+            F.round(
+                2.0 * F.col("n_common") / (F.col("sa.n") + F.col("sb.n")), 6
+            ).alias("f1"),
+        )
+    )
