@@ -62,3 +62,31 @@ def test_unverified_ops_fill_driver_slots():
     # new-this-round ops (group 1) must all precede greens (group 2)
     groups = [0 if n not in priority.DRIVER_GREEN else 1 for n in tail]
     assert groups == sorted(groups), "a green op sorts before a new unverified op"
+
+
+def test_regen_priority_tool_matches_checked_in_lists():
+    """tools/regen_priority.py applied to the same correctness files must
+    reproduce priority.py's green set — guards both against tool bugs
+    and against hand edits drifting from the generated procedure."""
+    import importlib.util
+    import io
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import regen_priority
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        regen_priority.main(
+            [str(REPO / f"CORRECTNESS_r0{i}.json") for i in (1, 2, 3)]
+        )
+    spec = importlib.util.spec_from_loader("pr_gen", loader=None)
+    mod = importlib.util.module_from_spec(spec)
+    exec(buf.getvalue(), mod.__dict__)
+
+    from un_datapipeline_spark import priority
+
+    assert set(mod.DRIVER_GREEN) == set(priority.DRIVER_GREEN)
+    # every currently-listed never-verified name must not be green
+    assert not (set(priority.NEVER_VERIFIED) & set(mod.DRIVER_GREEN))
