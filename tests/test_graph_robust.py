@@ -275,3 +275,22 @@ def test_peaks_are_strict_local_maxima(spark, sf_smoke):
 
     for r in ts_peak_detect(spark, sf_smoke).collect():
         assert r.rise_frac > 0 and r.fall_frac > 0
+
+
+def test_ols_r2_bounds_and_slope_sign(spark, sf_smoke):
+    from un_datapipeline_spark.operators.robust_stats import (
+        agg_linear_regression,
+    )
+
+    for r in agg_linear_regression(spark, sf_smoke).collect():
+        assert 0 <= r.r2 <= 1.0 + 1e-9
+        assert r.n >= 2
+
+
+def test_dynamic_udtf_schema_from_spec(spark, sf_smoke):
+    from un_datapipeline_spark.operators.udfs import udtf_dynamic_schema
+
+    df = udtf_dynamic_schema(spark, sf_smoke)
+    assert df.columns == ["o_orderkey", "status", "priority", "odate"]
+    r = df.orderBy("o_orderkey").first()
+    assert r.status in {"O", "F", "P"} and len(r.odate) == 10

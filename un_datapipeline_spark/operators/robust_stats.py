@@ -828,3 +828,78 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     )
+
+
+_OLS_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS x
+  FROM daily
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM idx GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((n * sxy - sx * sy) * 1.0 / ((n * sxx - sx * sx) * 100.0), 6)
+         AS slope,
+       ROUND((sy * sxx - sx * sxy) * 1.0 / ((n * sxx - sx * sx) * 100.0), 6)
+         AS intercept,
+       ROUND((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6) AS r2
+FROM m
+"""
+
+
+@register("agg_linear_regression", oracle=_OLS_ORACLE, tier="T2")
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-series OLS fit of the daily total per event_type: slope,
+    intercept, and r² from the five closed-form moment sums —
+    win_rolling_regression's global sibling and the least-squares
+    counterpart the robust Theil–Sen estimator is judged against.  All
+    moments are exact BIGINTs over the daily grain (y² ≈ 10¹³·days,
+    comfortably inside int64 where per-event sums would not be); each
+    reported statistic is a literal-formula division of those integers,
+    so both engines emit bit-identical doubles.  One aggregation after
+    the daily rollup — no window over the fact table, partial-
+    aggregable everywhere."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(_cents()).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "y", F.row_number().over(w).cast("long").alias("x")
+    )
+    m = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    return m.select(
+        "event_type",
+        "n",
+        F.round(num * 1.0 / (den * 100.0), 6).alias("slope"),
+        F.round((sy * sxx - sx * sxy) * 1.0 / (den * 100.0), 6).alias(
+            "intercept"
+        ),
+        F.round(num * 1.0 * num / (den * 1.0 * (n * syy - sy * sy)), 6).alias(
+            "r2"
+        ),
+    )

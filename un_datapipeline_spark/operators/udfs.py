@@ -207,3 +207,62 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lang_counts"),
         F.array_join(F.sort_array(F.map_keys(m)), "|").alias("langs"),
     )
+
+
+_DYNUDTF_ORACLE = """
+SELECT o_orderkey,
+       o_orderstatus AS status,
+       o_orderpriority AS priority,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate
+FROM orders
+"""
+
+
+@register("udtf_dynamic_schema", oracle=_DYNUDTF_ORACLE, tier="T2")
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze`` API): the output
+    schema is computed AT ANALYSIS TIME from the literal column-spec
+    argument — one output column per spec field — so the same UDTF
+    unpacks any delimited payload without a per-layout registration
+    (udtf_split_words is the fixed-schema baseline; this is the
+    schema-on-read version a log-parsing pipeline needs).  The packed
+    string is rebuilt from orders columns, the UDTF splits it back, and
+    the oracle takes the fields straight from the source — the hash
+    proves the analyze/eval pair is lossless.  Per-row Python, so this
+    is §2.J boundary surface, not a hot-path recommendation."""
+    from pyspark.sql.functions import udtf as udtf_deco
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf_deco
+    class UnpackCols:
+        @staticmethod
+        def analyze(
+            spec: AnalyzeArgument, row: AnalyzeArgument
+        ) -> AnalyzeResult:
+            names = spec.value.split(",")
+            return AnalyzeResult(
+                StructType([StructField(n, StringType()) for n in names])
+            )
+
+        def eval(self, spec: str, row: str):
+            yield tuple(row.split("|"))
+
+    spark.udtf.register("udps_unpack_cols", UnpackCols)
+    o = load_table(spark, sf_dir, "orders")
+    o.select(
+        "o_orderkey",
+        F.concat_ws(
+            "|",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ).alias("packed"),
+    ).createOrReplaceTempView("udps_packed_orders")
+    return spark.sql(
+        """
+        SELECT t.o_orderkey, s.*
+        FROM udps_packed_orders t,
+        LATERAL udps_unpack_cols('status,priority,odate', t.packed) s
+        """
+    )
