@@ -294,3 +294,11 @@ def test_dynamic_udtf_schema_from_spec(spark, sf_smoke):
     assert df.columns == ["o_orderkey", "status", "priority", "odate"]
     r = df.orderBy("o_orderkey").first()
     assert r.status in {"O", "F", "P"} and len(r.odate) == 10
+
+
+def test_burst_detect_above_mean(spark, sf_smoke):
+    from un_datapipeline_spark.operators.time_series import ts_burst_detect
+
+    for r in ts_burst_detect(spark, sf_smoke).collect():
+        assert r.zscore > 3.0 - 1e-6
+        assert r.n_events > r.mean_events

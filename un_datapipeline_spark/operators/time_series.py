@@ -375,3 +375,58 @@ def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fall_frac"
         ),
     )
+
+
+_BURST_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS tot, CAST(sum(c * c) AS BIGINT) AS sq
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, CAST(h.hour AS TIMESTAMP) AS hour, h.c AS n_events,
+       ROUND(m.tot * 1.0 / m.n, 6) AS mean_events,
+       ROUND((m.n * h.c - m.tot) * 1.0
+             / sqrt(m.n * 1.0 * (m.n * m.sq - m.tot * m.tot) / (m.n - 1)), 6)
+         AS zscore
+FROM hourly h JOIN m USING (event_type)
+WHERE (m.n - 1) * (m.n * h.c - m.tot) * (m.n * h.c - m.tot)
+      > 9 * m.n * (m.n * m.sq - m.tot * m.tot)
+  AND h.c * m.n > m.tot
+"""
+
+
+@register("ts_burst_detect", oracle=_BURST_ORACLE, tier="T2")
+def ts_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection on hourly event counts: hours whose count sits
+    more than 3 population-scaled standard deviations ABOVE the
+    per-type mean.  The membership test never touches a float — the
+    z > 3 criterion is algebraically rescaled to the exact-BIGINT
+    comparison (n−1)·(n·c − T)² > 9·n·(n·Σc² − T²) with a sign guard,
+    so the burst SET is bit-deterministic and only the reported z-score
+    takes a (literal-formula) square root.  Counts aggregate to the
+    hourly grain first; the moment row per type is a broadcast-sized
+    join side."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    j = hourly.join(F.broadcast(m), "event_type")
+    n, tot, sq, c = F.col("n"), F.col("tot"), F.col("sq"), F.col("c")
+    dev = n * c - tot
+    var_n = n * sq - tot * tot
+    return j.filter(((n - 1) * dev * dev > 9 * n * var_n) & (c * n > tot)).select(
+        "event_type",
+        "hour",
+        c.alias("n_events"),
+        F.round(tot * 1.0 / n, 6).alias("mean_events"),
+        F.round(dev * 1.0 / F.sqrt(n * 1.0 * var_n / (n - 1)), 6).alias("zscore"),
+    )
