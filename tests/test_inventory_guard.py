@@ -25,15 +25,22 @@ def test_operators_md_matches_registry():
     )
 
 
+def _correctness_files() -> list[Path]:
+    """Every driver correctness file present, in round order — the
+    regeneration basis tracks the current round automatically instead of
+    hardcoding r01–r03 (which went stale when round 4 landed)."""
+    return sorted(REPO.glob("CORRECTNESS_r*.json"))
+
+
 def test_priority_lists_match_correctness_union():
-    """DRIVER_GREEN must equal the set of ops with a green verdict in
-    CORRECTNESS_r01 ∪ r02 ∪ r03 (the round-4 regeneration basis), and the
-    two literal lists must be disjoint with no typos."""
+    """DRIVER_GREEN must equal the set of ops with a green verdict in the
+    union of all CORRECTNESS_r*.json files, and the two literal lists must
+    be disjoint with no typos."""
     import json
 
     union: set[str] = set()
-    for rnd in ("r01", "r02", "r03"):
-        data = json.loads((REPO / f"CORRECTNESS_{rnd}.json").read_text())
+    for path in _correctness_files():
+        data = json.loads(path.read_text())
         for name, res in data.items():
             # green = hash-match or contracted rows-only (no_oracle), and
             # never an error/failure on the latest verdict
@@ -78,9 +85,7 @@ def test_regen_priority_tool_matches_checked_in_lists():
 
     buf = io.StringIO()
     with redirect_stdout(buf):
-        regen_priority.main(
-            [str(REPO / f"CORRECTNESS_r0{i}.json") for i in (1, 2, 3)]
-        )
+        regen_priority.main([str(p) for p in _correctness_files()])
     spec = importlib.util.spec_from_loader("pr_gen", loader=None)
     mod = importlib.util.module_from_spec(spec)
     exec(buf.getvalue(), mod.__dict__)
