@@ -112,7 +112,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("rank"), "node")
             .limit(20)
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # Freeze the 20-row result before unpersisting `static`: a lazy
+        # plan would recompute the whole 10-iteration lineage against the
+        # now-uncached relation when the caller finally acts on it.
+        # localCheckpoint materializes the partitions cluster-side (no
+        # driver round-trip, unlike createDataFrame(collect())).
+        out = out.localCheckpoint(eager=True)
     finally:
         static.unpersist()
     return out
