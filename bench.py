@@ -280,7 +280,7 @@ def main() -> None:
     # the default (or larger) is correct; this is test-scale sizing.
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     # Full warm pass first (codegen, file listing, broadcasts, JIT), then
-    # best-of-5 timed passes — every timed execution runs in a fully
+    # best-of-7 timed passes — every timed execution runs in a fully
     # warmed JVM.  BASELINE.md used best-of-3 for DuckDB; both estimate
     # the same quantity (the warm minimum), extra reps only harden the
     # estimate against ambient VM load (observed ±30% run-to-run drift).
@@ -291,7 +291,7 @@ def main() -> None:
     for fn in QUERIES.values():
         fn(spark, SF_DIR).collect()
     times: dict[str, float] = {name: float("inf") for name in QUERIES}
-    for _ in range(5):
+    for _ in range(7):
         for name, fn in QUERIES.items():
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
