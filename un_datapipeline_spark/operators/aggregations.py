@@ -721,3 +721,80 @@ def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_welch"),
     )
+
+
+_APPROX_TOPK_ORACLE = """
+SELECT event_type AS item, count(*) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY cnt DESC, item
+LIMIT 3
+"""
+
+
+@register("agg_approx_topk", oracle=_APPROX_TOPK_ORACLE, tier="T2")
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via ``approx_top_k`` (Spark 4's sketch-backed
+    frequent-items aggregate): one pass, bounded sketch state per
+    partition, mergeable partials — at 100 TB this replaces the full
+    groupBy+sort when only the top handful of keys matter (the sketch is
+    KB-sized regardless of key cardinality).  On the 5-key event_type
+    column the sketch is exact and the count boundaries are untied at
+    every shipped scale factor (probed: sf0.001 201 vs 199, sf0.01 2006
+    vs 1982, sf0.1 19941 vs 19863), so the exact GROUP BY oracle
+    hash-matches; the explode is re-sorted (cnt DESC, item) because
+    within-sketch tie order is not contractual."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+        .select(F.explode("tk").alias("x"))
+        .select(
+            F.col("x.item").alias("item"),
+            F.col("x.count").cast("long").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), "item")
+    )
+
+
+_DECIMAL_EXACT_ORACLE = """
+SELECT l_returnflag,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l_discount AS DECIMAL(12,6))), 2) AS DOUBLE)
+         AS revenue_exact,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_decimal_exact", oracle=_DECIMAL_EXACT_ORACLE, tier="T1")
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money math on the exact DECIMAL path: each factor is cast to a
+    fixed-point decimal BEFORE multiplying, so products and the group
+    sums are exact integers-with-scale — no accumulation-order ulps, no
+    float drift, the same value on any partitioning (the property float
+    revenue aggregates only approximate).  Result precision stays well
+    under Spark's 38-digit cap (18,4 × 12,6 → 31,10), so no silent
+    scale truncation; the final round(…, 2)→DOUBLE is applied AFTER the
+    exact sum in both engines and is therefore bit-identical.  This is
+    the ledger-grade aggregation surface: at 100 TB the plan is still
+    one partial+final hash agg (decimal sums are mergeable), just with
+    128-bit accumulators instead of doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (1 - F.col("l_discount")).cast("decimal(12,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue_exact"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -121,3 +121,79 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         static.unpersist()
     return out
+
+
+_JACCARD_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS (SELECT supp, count(*) AS d FROM e GROUP BY supp),
+common AS (
+  SELECT a.supp AS s1, b.supp AS s2, count(*) AS c
+  FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY a.supp, b.supp
+)
+SELECT s1, s2, c AS n_common,
+       ROUND(c * 1.0 / (d1.d + d2.d - c), 6) AS jaccard
+FROM common
+JOIN deg d1 ON d1.supp = s1
+JOIN deg d2 ON d2.supp = s2
+ORDER BY jaccard DESC, s1, s2
+LIMIT 20
+"""
+
+
+@register("graph_jaccard_neighbors", oracle=_JACCARD_ORACLE, tier="T3")
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node similarity by neighborhood overlap: for every supplier pair,
+    Jaccard of their customer sets (shared customers / union), top-20.
+
+    Pair generation is the per-customer self-join — fan-out per customer
+    is (suppliers-of-customer)², which is safe HERE because the supplier
+    axis is a bounded dimension (every customer buys from at most
+    |supplier| vendors), and that bound is what makes the exact oracle
+    feasible.  On an unbounded graph (doc↔shingle, user↔item) the same
+    statement must go through the capped/bucketed machinery instead:
+    llm_dedup_ngram_jaccard's MAX_GRAM_DF hub cap, or MinHash
+    (llm_dedup_near_minhash) when even capped exact counting is too
+    wide — this operator is the exact-small-graph end of that ladder.
+    One shuffle for distinct edges, one for the pair counts, broadcast
+    degree join, deterministic (jaccard DESC, s1, s2) order; the
+    division is a single float op on exact integers, so it hash-matches
+    bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = e.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    a = e.alias("a")
+    b = e.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.supp") < F.col("b.supp")),
+        )
+        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    d1 = deg.select(F.col("supp").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("supp").alias("s2"), F.col("d").alias("d2"))
+    return (
+        common.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("d1") + F.col("d2") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "s1", "s2")
+        .limit(20)
+    )

@@ -540,3 +540,146 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+_ASOF_BUCKETED_ORACLE = """
+SELECT e.event_id, o.o_orderdate AS asof_date
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+"""
+
+
+@register("join_asof_bucketed", oracle=_ASOF_BUCKETED_ORACLE, tier="T2")
+def join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed as-of join — the fact×fact scale path that
+    ``join_asof`` (equi-join + full range residual) cannot take at 100×
+    (SCALING.md noted this as the open item; VERDICT.md round 4 flagged
+    it).
+
+    The plain formulation joins every event to EVERY past order of the
+    same user before aggregating — per-event fan-out grows with order
+    history, unbounded.  Bucketing by calendar month caps it: a
+    candidate for event e at time ts is either (a) an order in e's own
+    month at or before ts, or (b) the latest order of any strictly
+    earlier month.  (a) joins on (user, month) — fan-out ≤ orders per
+    user-month; (b) joins the pre-aggregated per-(user, month) max-date
+    relation — fan-out ≤ active months per user, calendar-bounded.
+    Both are plain shuffle equi-joins; the union aggregates with one
+    hash agg per event.  The oracle is DuckDB's native ASOF LEFT JOIN,
+    so the hash-match proves the decomposition exact, including events
+    with no prior order (NULL)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", F.date_trunc("month", "ts").alias("e_month")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.date_trunc("month", "o_orderdate").alias("o_month"),
+    )
+    # (a) same-month candidates, exact residual on the timestamp
+    same = (
+        e.join(
+            o,
+            (e.user_id == o.o_custkey)
+            & (e.e_month == o.o_month)
+            & (o.o_orderdate <= e.ts),
+        )
+        .groupBy("event_id")
+        .agg(F.max("o_orderdate").alias("cand"))
+    )
+    # (b) latest order per (user, earlier month) — pre-aggregated, so the
+    # join fan-out is bounded by the calendar, not by order volume
+    per_um = o.groupBy("o_custkey", "o_month").agg(
+        F.max("o_orderdate").alias("mmax")
+    )
+    prior = (
+        e.join(
+            per_um,
+            (e.user_id == per_um.o_custkey) & (per_um.o_month < e.e_month),
+        )
+        .groupBy("event_id")
+        .agg(F.max("mmax").alias("cand"))
+    )
+    best = same.unionByName(prior).groupBy("event_id").agg(
+        F.max("cand").alias("asof_date")
+    )
+    return e.select("event_id").join(best, "event_id", "left").select(
+        "event_id", "asof_date"
+    )
+
+
+_RUNTIME_BLOOM_ORACLE = """
+SELECT l.l_returnflag, count(*) AS n,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@register("join_runtime_bloom", oracle=_RUNTIME_BLOOM_ORACLE, tier="T2")
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join accelerated by Catalyst's runtime Bloom-filter
+    injection (InjectRuntimeFilter): the selective build side
+    (urgent-priority orders) publishes a `bloom_filter_agg` of its join
+    keys, and the probe-side lineitem scan applies `might_contain`
+    BEFORE the shuffle — ~4/5 of probe rows never cross the wire.  This
+    is the 100 TB play for selective fact⋈fact joins where neither side
+    broadcasts.  Bloom false positives cost nothing: survivors still
+    pass the exact hash join, so the result is identical to the plain
+    join (the oracle).  The filter only exists under the runtime-filter
+    confs, which are plan-time state — the joined aggregate (≤3 rows) is
+    frozen via eager localCheckpoint while they are set, then the
+    session confs are restored (a lazily-collected plan would otherwise
+    optimize AFTER the finally block, silently dropping the bloom path —
+    the same leak ``join_sort_merge`` avoids with a plan-local hint).
+    tests/test_plan_shapes.py asserts bloom_filter_agg appears in the
+    executed plan."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        # Force the shuffle-join regime the filter exists for (at test
+        # scale Catalyst would otherwise just broadcast the build side),
+        # and drop the size gates that assume cluster-sized inputs.
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+        )
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("revenue"),
+            )
+            .orderBy("l_returnflag")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    return out

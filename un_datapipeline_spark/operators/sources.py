@@ -656,3 +656,71 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.col("id") * F.col("id")).alias("sum_sq")
     )
+
+
+_BINARY_FILES_ORACLE = """
+SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS digest
+FROM documents
+WHERE doc_id < 20
+ORDER BY doc_id
+"""
+
+
+def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the first 20 documents as standalone .bin files (one
+    UTF-8 payload per file) under a per-sf tmp dir, once per process.
+
+    This is the FIXTURE WRITER, not the operator: the testdata ships no
+    loose binary files, so the ingest path under test fabricates its own
+    corpus deterministically from the documents table (20 rows collected
+    — bounded by the literal, not by data volume)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"udp_binfiles_{tag}")
+    done = os.path.join(out, "_FIXTURE_OK")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 20)
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(out, f"doc_{r.doc_id:05d}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        with open(done, "w") as f:
+            f.write(str(len(rows)))
+    return out
+
+
+@register("src_binary_files", oracle=_BINARY_FILES_ORACLE, tier="T2")
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingest via the `binaryFile` datasource — the entry
+    point for image/audio/video corpora (mm_* operators consume binary
+    columns; this is how those columns get INTO a DataFrame from a bucket
+    of raw files).  Each file becomes one row (path, modificationTime,
+    length, content) with the payload read lazily per task — at 100 TB
+    the listing distributes and each executor reads only its own files;
+    `pathGlobFilter` prunes non-matching objects at listing time, before
+    any byte is fetched.  The identity columns (doc_id parsed from the
+    file name, byte length, md5 of the payload) hash-match the documents
+    rows the fixture was written from, proving byte-exact round-trip
+    through the binary pipeline."""
+    path = _binary_fixture_dir(spark, sf_dir)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("digest"),
+        )
+        .orderBy("doc_id")
+    )

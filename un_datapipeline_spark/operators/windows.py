@@ -383,3 +383,68 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") % 29 == 0)
         .orderBy("user_id", "event_id")
     )
+
+
+_IGNORE_NULLS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       last_value(urgent_price IGNORE NULLS) OVER w AS last_urgent_price,
+       lag(urgent_price IGNORE NULLS) OVER w       AS prev_urgent_price,
+       first_value(urgent_price IGNORE NULLS) OVER w AS first_urgent_price
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END
+           AS urgent_price
+  FROM orders
+  WHERE o_custkey < 300
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("win_ignore_nulls", oracle=_IGNORE_NULLS_ORACLE, tier="T2")
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS analytic semantics — carry-forward over a sparse
+    column without materializing a gap-filled table: per customer
+    (ordered by orderdate, orderkey for a total order), each row sees
+    the most recent / previous / first URGENT-priority order price even
+    when the current row is not urgent.  This is the sparse-sensor
+    pattern (nulls vastly outnumber observations) where RESPECT NULLS
+    first/last are useless.  Same one-shuffle cost as any window: state
+    per partition is one value per function, streaming over the sorted
+    run — scale comes from the o_custkey partitioning, identical to
+    win_running_sum.  lag(… IGNORE NULLS) skips BACK past null rows (a
+    frame-less scan Spark evaluates with the same offset-window
+    machinery); the frame for first/last pins UNBOUNDED
+    PRECEDING..CURRENT ROW in both engines because DuckDB's last_value
+    default frame differs from Spark's."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).alias(
+            "urgent_price"
+        ),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.select(
+            "o_custkey",
+            "o_orderkey",
+            F.last("urgent_price", ignorenulls=True).over(w).alias("last_urgent_price"),
+            # F.lag exposes no ignorenulls kwarg (only first/last do) —
+            # the SQL form is the public surface for offset functions.
+            F.expr(
+                "lag(urgent_price) IGNORE NULLS OVER "
+                "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+            ).alias("prev_urgent_price"),
+            F.first("urgent_price", ignorenulls=True).over(w).alias("first_urgent_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
