@@ -121,3 +121,66 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_smoke):
     reaches the partitioned fact read at execution time."""
     plan = plan_of(spark, "join_dpp_partitioned", sf_smoke)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_injected(spark, sf_smoke):
+    """join_runtime_bloom's docstring contract: under the runtime-filter
+    confs it sets, Catalyst must inject a bloom_filter_agg on the
+    selective build side and a might_contain probe-side filter.  The
+    registered op freezes its result via eager localCheckpoint (so the
+    returned plan is a cache scan); this test rebuilds the same join
+    under the same confs and inspects the pre-checkpoint plan."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_returnflag")
+        o = (
+            load_table(spark, sf_smoke, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        opt = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom_filter_agg" in opt, "runtime bloom filter not injected"
+        assert "might_contain" in opt, "probe side missing might_contain"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    # and the registered op still returns the frozen, conf-independent rows
+    rows = OPS["join_runtime_bloom"].fn(spark, sf_smoke).collect()
+    assert len(rows) == 3
+
+
+def test_asof_bucketed_plan_is_equi_join(spark, sf_smoke):
+    """The whole point of join_asof_bucketed is replacing the range
+    residual's unbounded fan-out with bounded equi-joins: the physical
+    plan must contain no nested-loop or cartesian join."""
+    plan = plan_of(spark, "join_asof_bucketed", sf_smoke)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_binary_files_fixture_idempotent(spark, sf_smoke):
+    """The fixture writer must reuse files across calls (same digests),
+    and the binaryFile scan must re-read them bit-exactly."""
+    a = {r.doc_id: r.digest for r in OPS["src_binary_files"].fn(spark, sf_smoke).collect()}
+    b = {r.doc_id: r.digest for r in OPS["src_binary_files"].fn(spark, sf_smoke).collect()}
+    assert a == b and len(a) == 20
