@@ -59,16 +59,25 @@ def test_priority_lists_match_correctness_union():
 
 
 def test_unverified_ops_fill_driver_slots():
-    """The driver checks the first 50 queries() entries; the never-verified
-    streaming trio must hold slots 1-3, followed by any round-4 additions,
-    with every already-green op behind them."""
+    """The driver checks the first 50 queries() entries; never-verified /
+    non-green ops must lead, then new-this-round ops, then the greens,
+    with deliberately DEFERRED ops parked at the very end (they must
+    never displace the round's verification plan)."""
     order = list(all_operators())
     nv = list(priority.NEVER_VERIFIED)
     assert order[: len(nv)] == nv
     tail = order[len(nv) :]
-    # new-this-round ops (group 1) must all precede greens (group 2)
-    groups = [0 if n not in priority.DRIVER_GREEN else 1 for n in tail]
-    assert groups == sorted(groups), "a green op sorts before a new unverified op"
+    deferred = set(priority.DEFERRED)
+
+    def grp(n: str) -> int:
+        if n in deferred:
+            return 2
+        return 1 if n in priority.DRIVER_GREEN else 0
+
+    groups = [grp(n) for n in tail]
+    assert groups == sorted(groups), (
+        "ordering violated: new-unverified < green < deferred expected"
+    )
 
 
 def test_regen_priority_tool_matches_checked_in_lists():
