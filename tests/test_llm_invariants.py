@@ -326,3 +326,52 @@ def test_rouge_overlap_metric_bounds(spark, sf_smoke):
         assert 0 < r.n_common <= min(r.n_a, r.n_b)
         assert 0 < r.p <= 1.0 and 0 < r.r <= 1.0
         assert min(r.p, r.r) - 1e-9 <= r.f1 <= max(r.p, r.r) + 1e-9
+
+
+def test_semdedup_invariants(spark, sf_t2):
+    """SemDeDup contract: deterministic; every pruned doc certifies a KEPT
+    duplicate in its own cluster with cosine ≥ τ; kept docs are pairwise
+    below τ within each cluster (the greedy guarantee)."""
+    import numpy as np
+
+    from un_datapipeline_spark.operators.training_prep import SEMDEDUP_TAU
+    from un_datapipeline_spark.registry import all_operators
+
+    fn = all_operators()["llm_semdedup"].fn
+    a = {r.vec_id: (r.cluster_id, r.keep, r.dup_of) for r in fn(spark, sf_t2).collect()}
+    b = {r.vec_id: (r.cluster_id, r.keep, r.dup_of) for r in fn(spark, sf_t2).collect()}
+    assert a == b, "SemDeDup must be deterministic run-to-run"
+    assert len(a) == 500 and any(not v[1] for v in a.values()), "expected some pruning"
+
+    em = load_table(spark, sf_t2, "embeddings").select("vec_id", "embedding").collect()
+    vec = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in em}
+    nrm = {k: v / np.linalg.norm(v) for k, v in vec.items()}
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (cid, keep, dup_of) in a.items():
+        if keep:
+            by_cluster.setdefault(cid, []).append(vid)
+        else:
+            kc, kk, _ = a[dup_of]
+            assert kk, f"dup_of {dup_of} of {vid} is not kept"
+            assert kc == cid, "duplicate points at a kept doc in another cluster"
+            assert nrm[vid] @ nrm[dup_of] >= SEMDEDUP_TAU - 1e-9
+    for cid, kept in by_cluster.items():
+        m = np.stack([nrm[v] for v in kept])
+        sims = m @ m.T
+        np.fill_diagonal(sims, -1.0)
+        assert sims.max() < SEMDEDUP_TAU + 1e-9, f"kept pair ≥ τ in cluster {cid}"
+
+
+def test_dsir_weights_separate_target_language(spark, sf_t2):
+    """The property DSIR importance resampling relies on: documents drawn
+    from the target distribution ('en') must score a higher mean
+    normalized ratio than off-target documents."""
+    from un_datapipeline_spark.registry import all_operators
+
+    rows = all_operators()["llm_dsir_ngram_weights"].fn(spark, sf_t2).collect()
+    en = [r.avg_ratio for r in rows if r.lang == "en"]
+    other = [r.avg_ratio for r in rows if r.lang != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other), (
+        "target-language docs should out-score off-target docs"
+    )

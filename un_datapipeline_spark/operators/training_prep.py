@@ -581,3 +581,237 @@ def llm_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("merged_toks", " ")).cast("long").alias("n_after"),
         F.substring("merged_toks", 1, 60).alias("preview"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (k-means + within-cluster cosine prune)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.25  # real text embeddings use ~0.95; random 64-d vectors
+# concentrate near cosine 0 (σ≈1/8), so the demo threshold sits where the
+# synthetic corpus actually has prunable neighbors.
+SEMDEDUP_K = 8
+
+
+@register("llm_semdedup", oracle=None, tier="T3")
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering the embedding corpus, then
+    pruning near-duplicate pairs WITHIN each cluster — the published
+    recipe that makes O(n²) cosine dedup tractable at web scale by
+    paying the quadratic cost only inside bounded clusters.
+
+    Pipeline: deterministic k-means (same init/iteration scheme as
+    llm_kmeans_cluster — k smallest vec_ids, 3 Lloyd rounds, broadcast
+    centroids, one Arrow-batched scan per round), then per-cluster
+    greedy prune via applyInPandas: scanning members by ASCENDING
+    similarity to their centroid (the paper's keep-the-outliers order;
+    vec_id tiebreak), a member is kept iff its max cosine to the
+    already-kept set is < τ, else marked duplicate of its most similar
+    kept doc.  Kept docs are therefore pairwise < τ within a cluster
+    and every removed doc certifies a kept neighbor ≥ τ — both
+    pytest-asserted, plus determinism (tests/test_llm_invariants.py).
+
+    Scale shape: the cluster count is the knob — the paper runs ~100k
+    clusters so cluster size (the quadratic unit) stays bounded;
+    repartition by cluster_id spreads clusters across executors and
+    each pandas group holds one cluster's vectors only.  Rows-only by
+    nature (iterative k-means): same contract as llm_kmeans_cluster."""
+    import numpy as np
+    import pandas as pd
+
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = SEMDEDUP_K
+    init = em.orderBy("vec_id").limit(k).collect()  # k rows — bounded
+    centroids = np.array([r.embedding for r in init], dtype=np.float64)
+
+    def make_assign(cents):
+        def assign(batches):
+            for pdf in batches:
+                mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+                d2 = (
+                    (mat * mat).sum(axis=1, keepdims=True)
+                    - 2.0 * mat @ cents.T
+                    + (cents * cents).sum(axis=1)
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "embedding": pdf["embedding"],
+                        "cluster_id": d2.argmin(axis=1).astype("int32"),
+                    }
+                )
+
+        return assign
+
+    schema = "vec_id long, embedding array<float>, cluster_id int"
+    assigned = None
+    for _ in range(3):
+        assigned = em.mapInPandas(make_assign(centroids), schema)
+        upd = (
+            assigned.select("cluster_id", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()  # k×dim rows — constant-size driver traffic
+        )
+        new_c = centroids.copy()
+        for r in upd:
+            new_c[r.cluster_id][r.dim] = r.m
+        centroids = new_c
+
+    final_cents = centroids
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["cluster_id"].iloc[0])
+        x = np.array(list(pdf["embedding"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        c = final_cents[cid]
+        sim_c = xn @ (c / np.linalg.norm(c))
+        # paper order: ascending centroid similarity (outliers first);
+        # vec_id tiebreak pins the scan order bit-deterministically
+        order = np.lexsort((ids, sim_c))
+        kept: list[int] = []
+        keep = np.zeros(len(ids), dtype=bool)
+        dup_of = np.full(len(ids), -1, dtype=np.int64)
+        for pos in order:
+            if kept:
+                sims = xn[pos] @ xn[kept].T
+                j = int(np.argmax(sims))
+                if sims[j] >= SEMDEDUP_TAU:
+                    dup_of[pos] = ids[kept[j]]
+                    continue
+            keep[pos] = True
+            kept.append(pos)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": np.full(len(ids), cid, dtype=np.int32),
+                "keep": keep,
+                "dup_of": dup_of,
+            }
+        )
+
+    return (
+        assigned.repartition("cluster_id")
+        .groupBy("cluster_id")
+        .applyInPandas(prune, "vec_id long, cluster_id int, keep boolean, dup_of long")
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (hashed n-gram weights)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_SCALE = 10_000
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), feat AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM toks
+), src AS (
+  SELECT b, count(*) AS cs FROM feat GROUP BY b
+), tgt AS (
+  SELECT b, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY b
+), tot AS (
+  SELECT (SELECT count(*) FROM feat) AS s_total,
+         (SELECT count(*) FROM feat WHERE lang = 'en') AS t_total
+), ratio AS (
+  SELECT src.b,
+         ((COALESCE(ct, 0) + 1) * (s_total + {DSIR_BUCKETS}) * {DSIR_SCALE})
+           // ((cs + 1) * (t_total + {DSIR_BUCKETS})) AS r_scaled
+  FROM src LEFT JOIN tgt ON src.b = tgt.b CROSS JOIN tot
+), doc_feat AS (
+  SELECT doc_id, lang, b, count(*) AS c FROM feat GROUP BY doc_id, lang, b
+)
+SELECT doc_id, lang,
+       CAST(sum(c * r_scaled) AS BIGINT) AS weight_scaled,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       ROUND(sum(c * r_scaled) * 1.0 / (sum(c) * {DSIR_SCALE}), 6) AS avg_ratio
+FROM doc_feat JOIN ratio USING (b)
+GROUP BY doc_id, lang
+ORDER BY doc_id
+"""
+
+
+@register("llm_dsir_ngram_weights", oracle=_DSIR_ORACLE, tier="T3")
+def llm_dsir_ngram_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score each document by how much its hashed-unigram profile looks like
+    the TARGET distribution (here: the 'en' slice — the quality-proxy
+    role the paper gives Wikipedia) relative to the full-corpus SOURCE
+    distribution.  Docs with high weight are what importance resampling
+    keeps when curating pretraining data.
+
+    Engine-exact formulation: the paper's per-feature log-likelihood
+    ratio is replaced by the scaled integer ratio
+    ``((ct+1)(S+B)·SCALE) // ((cs+1)(T+B))`` (Laplace-smoothed target
+    over source probability) so every per-doc total is a BIGINT sum —
+    bit-identical on any partitioning and hash-matchable, where a sum of
+    float logs would expose accumulation order.  Feature hashing uses
+    md5 prefixes (engine-portable, unlike Spark's Murmur `hash`).  The
+    en>non-en separation property the paper relies on is additionally
+    pytest-asserted.
+
+    Scale shape: one explode→count shuffle keyed by (doc, bucket), one
+    bucket-table join (B=4096 rows — broadcast), one final hash agg per
+    doc.  The bucket table is the entire model state: training cost is
+    O(corpus scan), model size is O(B) — the property that lets DSIR
+    curate trillion-token corpora."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    src = feat.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        feat.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = feat.agg(
+        F.count(F.lit(1)).alias("s_total"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_total"),
+    )
+    ratio = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))  # 1-row totals spine
+        .select(
+            "b",
+            (
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                * (F.col("s_total") + DSIR_BUCKETS)
+                * DSIR_SCALE
+            ).cast("long")
+            .__div__((F.col("cs") + 1) * (F.col("t_total") + DSIR_BUCKETS))
+            .cast("long")
+            .alias("r_scaled"),
+        )
+    )
+    doc_feat = feat.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        doc_feat.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("c") * F.col("r_scaled")).alias("weight_scaled"),
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.col("r_scaled"))
+                / (F.sum("c") * float(DSIR_SCALE)),
+                6,
+            ).alias("avg_ratio"),
+        )
+        .orderBy("doc_id")
+    )
