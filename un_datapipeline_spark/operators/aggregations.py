@@ -798,3 +798,86 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_FILTER_CLAUSE_ORACLE = """
+SELECT o_orderstatus,
+       count(*)                                                  AS n_all,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT')      AS n_urgent,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW')         AS n_low,
+       CAST(COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS BIGINT)
+                                                                 AS urgent_cents,
+       count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+                                                                 AS big_spenders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("agg_filter_clause", oracle=_FILTER_CLAUSE_ORACLE, tier="T1")
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation via the ANSI FILTER clause — several
+    differently-predicated aggregates (plain, filtered counts, filtered
+    exact-cent sum, filtered distinct) from ONE scan and one hash agg,
+    the idiom that replaces N self-joins or a pivot when each metric has
+    its own WHERE.  Catalyst plans all five aggregates in a single
+    partial+final pass, so at 100 TB this costs exactly one shuffle
+    keyed by the group — adding another FILTER metric is free.  The
+    filtered sum rides the integer-cent lane and coalesces to 0 for
+    groups with no urgent orders (SQL FILTER yields NULL on an empty
+    set, in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(F.when(urgent, 1)).alias("n_urgent"),
+            F.count(F.when(F.col("o_orderpriority") == "5-LOW", 1)).alias("n_low"),
+            F.coalesce(F.sum(F.when(urgent, cents)), F.lit(0))
+            .cast("long")
+            .alias("urgent_cents"),
+            F.count_distinct(
+                F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
+            ).alias("big_spenders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_BOOL_LOGIC_ORACLE = """
+SELECT l_returnflag,
+       bool_and(l_quantity >= 1)   AS all_qty_pos,
+       bool_or(l_discount = 0)     AS any_zero_disc,
+       bool_and(l_tax < 0.09)      AS all_low_tax,
+       bool_or(l_quantity > 49)    AS any_qty_max,
+       count(*)                    AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_bool_logic", oracle=_BOOL_LOGIC_ORACLE, tier="T1")
+def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-logic aggregates (bool_and / bool_or, the ANSI EVERY/ANY):
+    data-quality style assertions evaluated as aggregates — "does every
+    row satisfy P, does any row satisfy Q" per group — in one hash agg.
+    These short-circuit in the partial phase (a partition that has seen
+    a false for bool_and contributes a constant), so the shuffle carries
+    one boolean per group per metric regardless of row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_quantity") >= 1).alias("all_qty_pos"),
+            F.bool_or(F.col("l_discount") == 0).alias("any_zero_disc"),
+            F.bool_and(F.col("l_tax") < 0.09).alias("all_low_tax"),
+            F.bool_or(F.col("l_quantity") > 49).alias("any_qty_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -661,3 +661,70 @@ def etl_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(back.agg(F.count(F.lit(1)).alias("n_after")))
         .crossJoin(remaining)
     )
+
+
+_DATE_SPINE_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
+  FROM orders
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds
+), daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT s.d,
+       CAST(isodow(s.d) AS INT)                            AS iso_dow,
+       CAST(CASE WHEN isodow(s.d) >= 6 THEN 1 ELSE 0 END AS INT) AS is_weekend,
+       CAST(year(s.d) AS INT)                              AS yr,
+       CAST(quarter(s.d) AS INT)                           AS qtr,
+       CAST(month(s.d) AS INT)                             AS mth,
+       CAST(COALESCE(n_orders, 0) AS BIGINT)               AS n_orders,
+       CAST(COALESCE(cents, 0) AS BIGINT)                  AS cents
+FROM spine s LEFT JOIN daily USING (d)
+ORDER BY s.d
+"""
+
+
+@register("etl_date_spine", oracle=_DATE_SPINE_ORACLE, tier="T1")
+def etl_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar date-spine generation — the date-dimension ETL primitive:
+    a dense day grid over the fact table's date range with calendar
+    attributes (ISO weekday, weekend flag, year/quarter/month), left-
+    joined to daily order rollups so ZERO-activity days exist as rows
+    (the precondition for correct day-over-day, gap, and seasonality
+    math downstream; ts_resample_ffill applies the same spine idea to
+    per-series hourly grids).  Spark's dayofweek is Sunday=1 while
+    DuckDB's isodow is Monday=1 — mapped via (dow + 5) % 7 + 1 (the
+    probed translation advanced.py:1111 uses).  Scale: the spine is
+    calendar-sized (years × 365 rows) generated from a 1-row bounds
+    aggregate — broadcast side of the join; the daily rollup is one
+    partial+final hash agg on the facts."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum(cents).alias("cents")
+    )
+    iso_dow = ((F.dayofweek("d") + 5) % 7 + 1).cast("int")
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            "d",
+            iso_dow.alias("iso_dow"),
+            F.when(iso_dow >= 6, 1).otherwise(0).cast("int").alias("is_weekend"),
+            F.year("d").cast("int").alias("yr"),
+            F.quarter("d").cast("int").alias("qtr"),
+            F.month("d").cast("int").alias("mth"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("cents", F.lit(0)).cast("long").alias("cents"),
+        )
+        .orderBy("d")
+    )

@@ -642,3 +642,48 @@ def fn_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+_UUID_ORACLE = """
+WITH h AS (
+  SELECT o_orderkey, md5('order:' || o_orderkey) AS hx FROM orders
+)
+SELECT o_orderkey,
+       substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-' ||
+       substr(hx, 13, 4) || '-' || substr(hx, 17, 4) || '-' ||
+       substr(hx, 21, 12) AS surrogate_uuid
+FROM h
+ORDER BY o_orderkey
+LIMIT 500
+"""
+
+
+@register("fn_uuid_deterministic", oracle=_UUID_ORACLE, tier="T1")
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key minting: UUID-shaped identifiers
+    derived from the natural key via a namespaced md5 (the UUIDv3/v5
+    construction, minus the RFC variant bits, which would make the
+    string engine-specific to patch in).  The property that matters at
+    100 TB: UNLIKE uuid() or monotonically_increasing_id(), the minted
+    key is a pure function of the row — re-running the pipeline, or
+    running it on a different partitioning, yields the SAME ids, so
+    incremental loads and cross-run joins stay stable.  Pure
+    column-expression plan (scan → project), no shuffle at all; the
+    LIMIT here just bounds the verified sample."""
+    o = load_table(spark, sf_dir, "orders")
+    hx = F.md5(F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")))
+    return (
+        o.select(
+            "o_orderkey",
+            F.concat_ws(
+                "-",
+                F.substring(hx, 1, 8),
+                F.substring(hx, 9, 4),
+                F.substring(hx, 13, 4),
+                F.substring(hx, 17, 4),
+                F.substring(hx, 21, 12),
+            ).alias("surrogate_uuid"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )

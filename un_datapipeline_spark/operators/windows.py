@@ -448,3 +448,44 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+_RANGE_INTERVAL_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS cents_7d
+FROM orders
+WHERE o_custkey < 500
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("win_range_interval", oracle=_RANGE_INTERVAL_ORACLE, tier="T2")
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-typed RANGE frame: per customer, order count and exact
+    cent volume over the trailing 7 DAYS — the frame measured in TIME,
+    directly on the timestamp ordering (contrast win_sliding_range,
+    which pre-casts to epoch integers).  RANGE frames include all peers
+    of the current date, so no tiebreaker is needed for determinism;
+    the money sum rides the integer-cent lane because DuckDB evaluates
+    window sums with segment trees (different accumulation order).
+    Interval frames are what calendar SLAs actually mean — "7 days" ≠
+    "604800 seconds" once DST or date-typed data is involved.  Scale:
+    one shuffle on o_custkey, in-partition time-ordered streaming
+    state, same as every window here."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    o.createOrReplaceTempView("win_ri_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               count(*) OVER w AS n_7d,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS cents_7d
+        FROM win_ri_orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
