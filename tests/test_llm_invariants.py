@@ -375,3 +375,32 @@ def test_dsir_weights_separate_target_language(spark, sf_t2):
     assert sum(en) / len(en) > sum(other) / len(other), (
         "target-language docs should out-score off-target docs"
     )
+
+
+def test_neardup_cluster_end_to_end_clone_recall(spark, sf_smoke):
+    """The composed minhash→verify→CC flow must place exact clones in the
+    same cluster with the original as the canonical member (min id)."""
+    import tempfile
+
+    OFFSET = 1_000_000
+    base = load_table(spark, sf_smoke, "documents")
+    clones = base.withColumn("doc_id", F.col("doc_id") + OFFSET)
+    tmp = tempfile.mkdtemp(prefix="ndc_inv_")
+    base.unionByName(clones).write.mode("overwrite").parquet(
+        f"{tmp}/documents.parquet"
+    )
+    from un_datapipeline_spark.registry import all_operators
+
+    rows = all_operators()["llm_neardup_cluster"].fn(spark, tmp).collect()
+    n = base.count()
+    # Every doc has at least the clone edge, so all 2n nodes are labeled;
+    # clusters may merge beyond clone pairs (near-dup relations chain),
+    # but each cluster must contain BOTH halves: its min (an original,
+    # the canonical) and at least one clone (jaccard-1.0 edges cannot be
+    # dropped, so a clone always rides with its original).
+    assert sum(r.n_members for r in rows) == 2 * n
+    for r in rows:
+        assert r.cluster_rep < OFFSET, "clone-only cluster is impossible"
+        assert r.canonical_doc == r.cluster_rep
+        assert r.max_doc >= OFFSET, f"cluster {r.cluster_rep} lost its clone"
+        assert r.n_members >= 2

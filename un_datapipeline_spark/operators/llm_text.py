@@ -377,3 +377,39 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1"),
         )
     )
+
+
+@register("llm_neardup_cluster", oracle=None, tier="T3")
+def llm_neardup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dedup flow end-to-end: MinHash signatures →
+    banded LSH candidates → exact Jaccard verification → connected
+    components → one canonical doc per near-dup cluster.  Composes the
+    pieces this package verifies separately (llm_dedup_near_minhash's
+    sub-quadratic candidate path, llm_dedup_cluster's min-label CC) into
+    the pass a 100 TB corpus actually runs: pairs alone can't dedup —
+    near-dup relations chain (A~B~C with A≁C must still collapse), and
+    the keep-decision needs a cluster-wide canonical pick (min doc_id
+    here; llm_canonical_select shows the quality-ranked variant).
+
+    Scale posture inherited from the parts: signatures are one
+    constant-width groupBy per doc; the candidate self-join is keyed by
+    (band, bucket), never corpus×corpus; verification touches only
+    candidates; CC iterates on the dup-edge subgraph (a tiny fraction
+    of the corpus).  Rows-only (engine-specific xxhash64 in the
+    signatures); the clone-clustering recall invariant is
+    pytest-asserted like the other minhash ops."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = lsh_candidate_pairs(minhash_signatures(d))
+    edges = verify_candidates_jaccard(d, cands).select("a", "b")
+    from un_datapipeline_spark.operators.advanced import connected_components
+
+    labels = connected_components(edges)
+    return (
+        labels.groupBy(F.col("label").alias("cluster_rep"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("canonical_doc"),
+            F.max("node").alias("max_doc"),
+        )
+        .orderBy("cluster_rep")
+    )
