@@ -815,3 +815,99 @@ def llm_dsir_ngram_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard write — the final stage of the corpus pipeline
+# ---------------------------------------------------------------------------
+
+SHARD_TOKENS = 65_536
+
+_SHARD_WRITE_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM toked
+)
+SELECT CAST(tok_start // {SHARD_TOKENS} AS BIGINT) AS shard_id,
+       count(*)                                    AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)               AS shard_tokens,
+       min(doc_id)                                 AS first_doc,
+       max(doc_id)                                 AS last_doc
+FROM packed
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("llm_training_shard_write", oracle=_SHARD_WRITE_ORACLE, tier="T2")
+def llm_training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard materialization — the pipeline's LAST stage: docs
+    are laid out in doc_id order, cut into ~64k-token shards by the
+    running token offset, physically WRITTEN as one partition directory
+    per shard (partitionBy("shard_id") parquet), then the audit manifest
+    is computed FROM THE WRITTEN FILES — so the hash-matched result
+    proves the on-disk shards, not just the plan, carry exactly the
+    expected docs and token counts (the sink_zorder_write /
+    etl_gdpr_delete read-back-audit discipline).
+
+    The running offset reuses etl_pack_sequences' distributed two-phase
+    prefix sum (block-local window + broadcast block offsets — no
+    single-partition global sort).  At 100 TB, shard directories are
+    what the training job's data loader consumes; a shard is the unit
+    of shuffling, checkpoint resume, and epoch bookkeeping, and the
+    manifest this emits is the loader's index file."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    ).withColumn("block", (F.col("doc_id") / 100).cast("long"))
+    w_local = (
+        Window.partitionBy("block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = toked.withColumn(
+        "local_start", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    block_totals = toked.groupBy("block").agg(F.sum("n_tokens").alias("block_total"))
+    w_blocks = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    block_offsets = block_totals.select(
+        "block",
+        F.coalesce(F.sum("block_total").over(w_blocks), F.lit(0)).alias("block_offset"),
+    )
+    sharded = local.join(F.broadcast(block_offsets), "block").select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("block_offset") + F.col("local_start")) / SHARD_TOKENS)
+        .cast("long")
+        .alias("shard_id"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"udp_shards_{tag}")
+    sharded.write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            "n_docs",
+            "shard_tokens",
+            "first_doc",
+            "last_doc",
+        )
+        .orderBy("shard_id")
+    )
