@@ -430,3 +430,72 @@ def ts_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tot * 1.0 / n, 6).alias("mean_events"),
         F.round(dev * 1.0 / F.sqrt(n * 1.0 * var_n / (n - 1)), 6).alias("zscore"),
     )
+
+
+_BACKTEST_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, d, cents,
+         lag(cents, 7) OVER (PARTITION BY event_type ORDER BY d) AS snaive,
+         lag(cents, 1) OVER (PARTITION BY event_type ORDER BY d) AS naive
+  FROM daily
+)
+SELECT event_type,
+       count(*)                                   AS n_origins,
+       CAST(sum(abs(cents - snaive)) AS BIGINT)   AS ae_snaive_cents,
+       CAST(sum(abs(cents - naive)) AS BIGINT)    AS ae_naive_cents,
+       ROUND(sum(abs(cents - snaive)) / (100.0 * count(*)), 6) AS mae_snaive,
+       ROUND(sum(abs(cents - naive))  / (100.0 * count(*)), 6) AS mae_naive,
+       CAST(CASE WHEN sum(abs(cents - snaive)) < sum(abs(cents - naive))
+            THEN 1 ELSE 0 END AS INT)             AS snaive_wins
+FROM lagged
+WHERE snaive IS NOT NULL AND naive IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("ts_backtest_snaive", oracle=_BACKTEST_ORACLE, tier="T2")
+def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest — the evaluation harness every
+    forecasting operator (ts_holt_forecast, ts_seasonal_decompose)
+    should be judged by: walk forward through the daily series, at each
+    origin "forecast" the day from what was known before it, and score
+    the absolute error.  Two standard baselines: seasonal-naive (value
+    from 7 days back — the bar any seasonal model must beat) and naive
+    (yesterday).  Origins where either forecast is undefined (the first
+    week) are excluded, exactly as a real backtest window would.
+
+    All arithmetic rides the integer-cent lane: daily totals, lags and
+    absolute errors are BIGINTs, the MAEs are one division at the end —
+    bit-identical across engines.  Scale: one partial+final hash agg to
+    daily grain (the only fact-sized shuffle), then windows over
+    calendar-bounded per-type series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "cents",
+        F.lag("cents", 7).over(w).alias("snaive"),
+        F.lag("cents", 1).over(w).alias("naive"),
+    ).filter(F.col("snaive").isNotNull() & F.col("naive").isNotNull())
+    ae_s = F.sum(F.abs(F.col("cents") - F.col("snaive")))
+    ae_n = F.sum(F.abs(F.col("cents") - F.col("naive")))
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_origins"),
+            ae_s.alias("ae_snaive_cents"),
+            ae_n.alias("ae_naive_cents"),
+            F.round(ae_s / (100.0 * F.count(F.lit(1))), 6).alias("mae_snaive"),
+            F.round(ae_n / (100.0 * F.count(F.lit(1))), 6).alias("mae_naive"),
+            F.when(ae_s < ae_n, 1).otherwise(0).cast("int").alias("snaive_wins"),
+        )
+        .orderBy("event_type")
+    )
