@@ -794,3 +794,94 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CCNET_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), tot AS (
+  SELECT count(*) AS n FROM toks
+), scored AS (
+  SELECT doc_id, lang,
+         count(*) AS n_tokens,
+         CAST(sum(n // c) AS BIGINT) AS rarity
+  FROM toks JOIN cnt USING (w) CROSS JOIN tot
+  GROUP BY doc_id, lang
+), bucketed AS (
+  SELECT lang, n_tokens, rarity,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY rarity * 1.0 / n_tokens, doc_id) AS b
+  FROM scored
+)
+SELECT lang,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       ROUND(sum(rarity) * 1.0 / sum(n_tokens), 6) AS mean_rarity
+FROM bucketed
+GROUP BY lang, b
+ORDER BY lang, min(b)
+"""
+
+
+@register("llm_ccnet_buckets", oracle=_CCNET_ORACLE, tier="T3")
+def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality tiering (Wenzek et al. 2020, arXiv:1911.00359):
+    per language, rank documents by a language-model quality proxy and
+    split them into head / middle / tail thirds — the bucketing CCNet
+    publishes so downstream consumers can train on the head and drop the
+    tail.  The LM proxy here is the exact-integer rarity score
+    Σ (corpus_tokens // token_count) — monotone with unigram surprisal
+    but BIGINT-exact, so the per-language ordering (mean rarity, doc_id)
+    that ntile consumes is bit-deterministic in both engines; a sum of
+    float ln() terms would make near-tied docs flip buckets on
+    accumulation-order ulps (llm_perplexity_filter carries the float
+    lane; this op needs exact ORDER semantics because a 1-ulp flip
+    changes bucket COUNTS, not 6th decimals).
+
+    Scale shape: vocabulary-bounded count shuffle, one equi-join per
+    token occurrence (broadcast the head of the vocabulary at 100 TB —
+    same skew note as the perplexity op), a per-language window over
+    doc-grain rows, and a 15-row rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        toks.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))  # 1-row total spine
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.floor(F.col("n") / F.col("c"))).cast("long").alias("rarity"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("rarity") * 1.0 / F.col("n_tokens"), "doc_id"
+    )
+    bucketed = scored.select(
+        "lang", "n_tokens", "rarity", F.ntile(3).over(w).alias("b")
+    )
+    return (
+        bucketed.groupBy("lang", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.round(F.sum("rarity") * 1.0 / F.sum("n_tokens"), 6).alias("mean_rarity"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "tokens",
+            "mean_rarity",
+            "b",
+        )
+        .orderBy("lang", "b")
+        .drop("b")
+    )

@@ -413,3 +413,57 @@ def llm_neardup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_rep")
     )
+
+
+_SOFTDEDUP_ORACLE = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), grp AS (
+  SELECT hx, count(*) AS dup_count FROM h GROUP BY hx
+)
+SELECT doc_id,
+       CAST(dup_count AS BIGINT) AS dup_count,
+       ROUND(1.0 / dup_count, 6) AS sample_weight,
+       n_tokens,
+       ROUND(n_tokens * 1.0 / dup_count, 6) AS effective_tokens
+FROM h JOIN grp USING (hx)
+ORDER BY doc_id
+"""
+
+
+@register("llm_softdedup_weights", oracle=_SOFTDEDUP_ORACLE, tier="T2")
+def llm_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DELETING duplicates (llm_dedup_exact
+    et al.), keep every copy but assign sampling weight 1/dup_count so a
+    duplicate GROUP contributes one document's worth of gradient — the
+    reweighting formulation (e.g. SoftDeDup, arXiv:2401.00396) that
+    preserves corpus mixture statistics hard removal distorts, and that
+    a sampling-based training loader can consume directly (the weight
+    column multiplies per-example sampling probability; effective_tokens
+    is what the token-budget accounting should count).
+
+    One md5 hash-groupBy (the same shuffle as exact dedup), joined back
+    on the hash key — no row is dropped, so the pass is trivially
+    revertible and composable with llm_dsir_ngram_weights (multiply the
+    weights) for combined quality × dedup sampling."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.md5("text").alias("hx"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    grp = h.groupBy("hx").agg(F.count(F.lit(1)).alias("dup_count"))
+    return (
+        h.join(grp, "hx")
+        .select(
+            "doc_id",
+            F.col("dup_count").cast("long").alias("dup_count"),
+            F.round(F.lit(1.0) / F.col("dup_count"), 6).alias("sample_weight"),
+            "n_tokens",
+            F.round(F.col("n_tokens") * 1.0 / F.col("dup_count"), 6).alias(
+                "effective_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )
