@@ -728,3 +728,69 @@ def etl_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+_VACUUM_ORACLE = """
+SELECT
+  CAST(3 AS BIGINT)                                   AS versions_before,
+  CAST(1 AS BIGINT)                                   AS versions_removed,
+  CAST(2 AS BIGINT)                                   AS versions_after,
+  CAST(count(*) FILTER (o_orderkey % 10 <> 0) AS BIGINT) AS oldest_removed_rows,
+  CAST(count(*) AS BIGINT)                            AS live_rows,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS live_cents
+FROM orders
+"""
+
+
+@register("etl_vacuum_retention", oracle=_VACUUM_ORACLE, tier="T1")
+def etl_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot VACUUM with a retention floor — the maintenance pass the
+    etl_time_travel layout needs to not grow forever: three version=
+    snapshots are written (v1 missing the late keys, v2 complete, v3 =
+    current), retention keeps the newest 2, and the expired v1
+    partition's files are PHYSICALLY deleted (directory removal audited
+    by re-listing, the etl_gdpr_delete discipline: the audit reads the
+    POST-vacuum table, so the hash proves both that v1 is gone and that
+    surviving versions are byte-intact).  Retention-respecting vacuum is
+    what makes time travel safe to run on a 100 TB table: expiry prunes
+    whole version= partition directories — O(versions removed) metadata
+    work, no data scan of the survivors."""
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v1 = o.filter(F.col("o_orderkey") % 10 != 0).withColumn("version", F.lit(1))
+    v2 = o.withColumn("version", F.lit(2))
+    v3 = o.withColumn("version", F.lit(3))
+    out = tempfile.mkdtemp(prefix="udps_vacuum_")
+    v1.unionByName(v2).unionByName(v3).write.mode("overwrite").partitionBy(
+        "version"
+    ).parquet(out)
+
+    def versions() -> list[int]:
+        return sorted(
+            int(r.version)
+            for r in spark.read.parquet(out).select("version").distinct().collect()
+        )  # ≤ version count rows — bounded by design
+
+    before = versions()
+    oldest_rows = (
+        spark.read.parquet(out).filter(F.col("version") == before[0]).count()
+    )
+    keep = 2
+    expired = before[:-keep] if len(before) > keep else []
+    for v in expired:
+        shutil.rmtree(f"{out}/version={v}")
+    after = versions()
+    live = spark.read.parquet(out).filter(F.col("version") == max(after))
+    return live.agg(
+        F.lit(len(before)).cast("long").alias("versions_before"),
+        F.lit(len(expired)).cast("long").alias("versions_removed"),
+        F.lit(len(after)).cast("long").alias("versions_after"),
+        F.lit(oldest_rows).cast("long").alias("oldest_removed_rows"),
+        F.count(F.lit(1)).alias("live_rows"),
+        F.sum("cents").alias("live_cents"),
+    )

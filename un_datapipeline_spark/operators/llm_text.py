@@ -467,3 +467,68 @@ def llm_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_PREFIX_SHARING_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         substr(text, 1, 16)  AS p16,
+         substr(text, 1, 64)  AS p64,
+         substr(text, 1, 256) AS p256
+  FROM documents
+)
+SELECT k AS prefix_len,
+       CAST(count(*) AS BIGINT)           AS n_docs,
+       CAST(count(DISTINCT pf) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT pf) AS BIGINT) AS n_shareable,
+       ROUND((count(*) - count(DISTINCT pf)) * 1.0 / count(*), 6) AS share_frac
+FROM (
+  SELECT doc_id, 16 AS k, p16 AS pf FROM p
+  UNION ALL SELECT doc_id, 64, p64 FROM p
+  UNION ALL SELECT doc_id, 256, p256 FROM p
+)
+GROUP BY k
+ORDER BY k
+"""
+
+
+@register("llm_prefix_sharing", oracle=_PREFIX_SHARING_ORACLE, tier="T2")
+def llm_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-sharing profile of the corpus: at prefix lengths 16/64/256
+    chars, how many documents share an already-seen prefix — the
+    statistic that sizes a serving-side prefix cache (every shared
+    prefix is a KV-cache hit) and flags template/boilerplate families a
+    crawler ingested (high share at 256 chars means thousands of docs
+    open identically — a dedup-policy input that pure whole-doc hashing
+    misses).  One unpivot + count-distinct per length: the shuffle is
+    keyed by the prefix value, so hot template prefixes are exactly the
+    skewed keys AQE's skew handling (or a count-distinct rewrite to
+    two-level agg) absorbs at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        F.substring("text", 1, 16).alias("p16"),
+        F.substring("text", 1, 64).alias("p64"),
+        F.substring("text", 1, 256).alias("p256"),
+    )
+    longform = (
+        p.select(F.lit(16).alias("prefix_len"), F.col("p16").alias("pf"))
+        .unionByName(p.select(F.lit(64).alias("prefix_len"), F.col("p64").alias("pf")))
+        .unionByName(
+            p.select(F.lit(256).alias("prefix_len"), F.col("p256").alias("pf"))
+        )
+    )
+    return (
+        longform.groupBy("prefix_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("pf").alias("n_unique"),
+            (F.count(F.lit(1)) - F.count_distinct("pf")).alias("n_shareable"),
+            F.round(
+                (F.count(F.lit(1)) - F.count_distinct("pf"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("share_frac"),
+        )
+        .orderBy("prefix_len")
+    )
