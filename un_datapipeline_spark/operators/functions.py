@@ -687,3 +687,95 @@ def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(500)
     )
+
+
+_SQL_SCRIPT_ORACLE = """
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+), tot AS (
+  SELECT count(*) AS n FROM cents
+), ks AS (
+  SELECT k, CAST(power(2, k) AS BIGINT) AS thr FROM generate_series(21, 40) t(k)
+), cov AS (
+  SELECT k, thr, (SELECT count(*) FROM cents WHERE c <= thr) AS n_below, n
+  FROM ks CROSS JOIN tot
+)
+SELECT CAST(thr AS BIGINT) AS threshold_cents,
+       CAST(n_below AS BIGINT) AS n_below,
+       CAST(n AS BIGINT) AS n_total,
+       ROUND(n_below * 1.0 / n, 6) AS coverage
+FROM cov
+WHERE n_below * 10 >= n * 9
+ORDER BY k LIMIT 1
+"""
+
+
+@register("fn_sql_scripting", oracle=_SQL_SCRIPT_ORACLE, tier="T2")
+def fn_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN…END with DECLARE / WHILE control
+    flow): an iterative threshold search — double a candidate price cap
+    until it covers ≥90% of orders (seeded at 2^20 cents so the loop
+    converges in a handful of rounds) — written as a multi-statement SQL
+    script the engine executes server-side, state held in script-local
+    variables (note: inside a script the assignment form is
+    ``SET x = …``; the standalone ``SET VAR`` form fails to parse —
+    probed).  Scripting moves driver-side orchestration loops INTO the
+    SQL surface; each loop iteration is still a distributed aggregate,
+    so the pattern scales exactly like the hand-rolled loop in
+    llm_kmeans_cluster but without any Python driver logic.  The oracle
+    replays the search closed-form (smallest power of two with 90%
+    coverage) over generate_series — proving the script's fixpoint, not
+    just its syntax."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("script_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 1048576;
+          DECLARE n_total BIGINT;
+          DECLARE n_below BIGINT DEFAULT 0;
+          SET n_total = (SELECT count(*) FROM script_orders);
+          WHILE n_below * 10 < n_total * 9 DO
+            SET thr = thr * 2;
+            SET n_below = (
+              SELECT count(*) FROM script_orders
+              WHERE CAST(round(o_totalprice * 100) AS BIGINT) <= thr
+            );
+          END WHILE;
+          SELECT thr AS threshold_cents,
+                 n_below,
+                 n_total,
+                 CAST(round(n_below * 1.0 / n_total, 6) AS DOUBLE) AS coverage;
+        END
+        """
+    )
+
+
+_SQL_VARS_ORACLE = """
+SELECT '1-URGENT' AS prio,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@register("fn_sql_variables", oracle=_SQL_VARS_ORACLE, tier="T2")
+def fn_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables + EXECUTE IMMEDIATE (Spark 4): a parameterized
+    query executed through the engine's own templating instead of Python
+    string interpolation — DECLARE VARIABLE holds the parameter, the
+    query text references it, EXECUTE IMMEDIATE … USING binds it.  This
+    is the SQL-injection-safe parameterization path for tools built on
+    the engine; the variable resolves at plan time, so predicates on it
+    still push down to the scan exactly like a literal."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("var_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE target_prio STRING")
+    spark.sql("SET VAR target_prio = '1-URGENT'")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT ? AS prio, count(*) AS n,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM var_orders WHERE o_orderpriority = ?'
+          USING target_prio, target_prio
+        """
+    )

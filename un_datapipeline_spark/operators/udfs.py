@@ -266,3 +266,55 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL udps_unpack_cols('status,priority,odate', t.packed) s
         """
     )
+
+
+_ARROW_GROUPED_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("udf_grouped_arrow", oracle=_ARROW_GROUPED_ORACLE, tier="T2")
+def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped map through the Spark 4 ``applyInArrow`` API — the zero-
+    pandas Python boundary: each group arrives as a ``pyarrow.Table``
+    and the kernel runs pyarrow.compute directly on Arrow buffers, so
+    there is no Arrow→pandas materialization on either side (the copy
+    ``applyInPandas`` pays twice per group, and the pitfall: output
+    arrays must be explicitly typed — ``pa.array(..., type=...)`` —
+    because an untyped Python-list array infers a schema that fails the
+    declared-schema check in the worker, probed).  The kernel computes
+    exact integer aggregates (cent sums via round-then-cast BIGINT), so
+    the DuckDB oracle hash-matches bit-for-bit.  Same scale contract as
+    every grouped map: one shuffle on the group key, per-group memory
+    bounded by the largest group — for unbounded groups, pre-aggregate
+    or use mapInArrow over partitions instead."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100)), pa.int64())
+        qty = pc.cast(t.column("l_quantity"), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": pa.array([t.column("l_returnflag")[0].as_py()], type=pa.string()),
+                "n": pa.array([t.num_rows], type=pa.int64()),
+                "cents": pa.array([pc.sum(cents).as_py()], type=pa.int64()),
+                "max_qty": pa.array([pc.max(qty).as_py()], type=pa.int64()),
+            }
+        )
+
+    return (
+        li.groupBy("l_returnflag")
+        .applyInArrow(kernel, "l_returnflag string, n long, cents long, max_qty long")
+        .orderBy("l_returnflag")
+    )
