@@ -881,3 +881,55 @@ def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_GROUPING_ID_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT)              AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT)              AS g_status,
+       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n
+FROM (SELECT l_returnflag,
+             CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE l_linestatus END
+               AS l_linestatus,
+             l_orderkey
+      FROM lineitem)
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("agg_grouping_id", oracle=_GROUPING_ID_ORACLE, tier="T2")
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/GROUPING_ID() over a CUBE whose input CONTAINS real
+    NULLs (1-in-11 statuses nulled): without the grouping indicators, a
+    subtotal row (status rolled up ⇒ NULL) is indistinguishable from the
+    group of genuinely-NULL statuses — the classic cube-consumption bug.
+    GROUPING(col)=1 marks "NULL because rolled up", 0 marks data; the
+    bit-packed GROUPING_ID keys the aggregation level for downstream
+    routing.  Same one-shuffle expanded-aggregate plan as agg_cube; the
+    indicator costs nothing (it rides the grouping-set expansion id
+    Spark already carries)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 11 == 0, None)
+        .otherwise(F.col("l_linestatus"))
+        .alias("l_linestatus"),
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "gid", "n"
+        )
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("l_returnflag"),
+            F.asc_nulls_first("l_linestatus"),
+        )
+    )

@@ -134,3 +134,56 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.select(F.col("o_custkey").alias("k"))
     b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
     return a.exceptAll(b)
+
+
+_UNION_BY_NAME_ORACLE = """
+WITH legacy AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+), extended AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+), unioned AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority FROM legacy
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM extended
+)
+SELECT COALESCE(o_orderpriority, '<missing>') AS prio,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM unioned
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("set_union_by_name", oracle=_UNION_BY_NAME_ORACLE, tier="T1")
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant union: `unionByName(allowMissingColumns=
+    True)` aligns columns BY NAME and null-fills columns one side lacks
+    — the union a pipeline needs when upstream added a column mid-stream
+    (positional UNION would silently misalign or reject).  Modeled here
+    as a legacy slice (no priority column) unioned with the extended
+    slice; the rollup proves null-filled rows survive with their money
+    intact.  This is the READ-side companion of src_schema_evolution's
+    mergeSchema: one handles drifted files, this handles drifted
+    DataFrames.  Plan is a pure unioned scan — no shuffle until the
+    final rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    legacy = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    extended = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    u = legacy.unionByName(extended, allowMissingColumns=True)
+    return (
+        u.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<missing>")).alias("prio")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("prio")
+    )
