@@ -794,3 +794,59 @@ def etl_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("live_rows"),
         F.sum("cents").alias("live_cents"),
     )
+
+
+_PIPELINE_COMPOSE_ORACLE = """
+WITH staged AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_quantity > 10
+)
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM staged
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("etl_pipeline_compose", oracle=_PIPELINE_COMPOSE_ORACLE, tier="T1")
+def etl_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative Pipeline API (un_datapipeline_spark.pipeline)
+    exercised end-to-end as a verified operator: source (canonical
+    table loader) → filter transform → exact-cent revenue rollup →
+    parquet sink, then the result is READ BACK from the sink for the
+    hash check — proving both the composition (stages stay ONE lazy
+    Catalyst plan: the late filter still pushes into the scan,
+    test_pipeline asserts the plan shape) and the materialized output.
+    This is the generic-ETL surface users of an orchestration-style
+    engine program against; every registered operator drops in as a
+    `transform` stage."""
+    from un_datapipeline_spark.pipeline import Pipeline
+
+    out = tempfile.mkdtemp(prefix="udps_pipeline_") + "/revenue"
+    (
+        Pipeline(spark, name="revenue_rollup")
+        .source_table(sf_dir, "lineitem")
+        .transform(lambda df: df.filter(F.col("l_quantity") > 10), "qty>10")
+        .transform(
+            lambda df: df.groupBy("l_returnflag", "l_linestatus").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                ).alias("revenue_cents"),
+            ),
+            "revenue_rollup",
+        )
+        .sink_parquet(out, mode="overwrite")
+        .run()
+    )
+    return (
+        spark.read.parquet(out)
+        .select("l_returnflag", "l_linestatus", "n", "revenue_cents")
+        .orderBy("l_returnflag", "l_linestatus")
+    )
