@@ -184,3 +184,30 @@ def test_binary_files_fixture_idempotent(spark, sf_smoke):
     a = {r.doc_id: r.digest for r in OPS["src_binary_files"].fn(spark, sf_smoke).collect()}
     b = {r.doc_id: r.digest for r in OPS["src_binary_files"].fn(spark, sf_smoke).collect()}
     assert a == b and len(a) == 20
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_smoke):
+    """llm_dsir_ngram_weights' bucket-ratio table (B=4096 rows) must join
+    the doc-feature stream as the BROADCAST side — a shuffle join there
+    would re-key the whole token stream by bucket a second time."""
+    plan = plan_of(spark, "llm_dsir_ngram_weights", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_neighbors_no_cartesian(spark, sf_smoke):
+    """Pair generation must be the cust-keyed equi self-join, never a
+    supplier×supplier cartesian."""
+    plan = plan_of(spark, "graph_jaccard_neighbors", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_prune_is_grouped_per_cluster(spark, sf_smoke):
+    """The quadratic prune unit must be the per-cluster pandas group
+    (FlatMapGroupsInPandas after a cluster_id exchange), not a corpus-
+    wide pairwise join."""
+    plan = plan_of(spark, "llm_semdedup", sf_smoke)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # no pairwise join anywhere — clustering + grouped prune only
