@@ -933,3 +933,45 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("l_linestatus"),
         )
     )
+
+
+_PCTL_DISC_ORACLE = """
+SELECT o_orderstatus,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+       percentile_disc(0.9)  WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("agg_percentile_disc", oracle=_PCTL_DISC_ORACLE, tier="T1")
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (percentile_disc WITHIN GROUP): unlike the
+    interpolating percentile_cont (agg_percentile_exact), _disc returns
+    an ACTUAL data value — the smallest value whose cumulative share
+    reaches p.  That's the right statistic whenever interpolated values
+    are meaningless (latency buckets, price points, ids) — and it is
+    float-parity-trivial: both engines return the same stored double,
+    no arithmetic to drift (probed identical unrounded).  Same
+    sort-aggregate cost profile as exact percentiles: per-group sort,
+    fine at bounded group width; at unbounded width switch to
+    approx_percentile's sketch."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("pctl_disc_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99,
+               count(*) AS n
+        FROM pctl_disc_orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )

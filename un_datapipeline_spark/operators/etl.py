@@ -850,3 +850,80 @@ def etl_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "l_linestatus", "n", "revenue_cents")
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+_INCR_WATERMARK_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       max(CAST(ts AS TIMESTAMP)) AS max_ts
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("etl_incremental_watermark", oracle=_INCR_WATERMARK_ORACLE, tier="T2")
+def etl_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark incremental batch processing — the orchestrator
+    pattern (Airflow/dbt incremental models) done inside the engine:
+    run 1 processes events up to a mid-stream cutoff and persists BOTH
+    the aggregate state and the watermark; run 2 reads the stored
+    watermark, processes ONLY rows after it, and MERGES the partial
+    aggregates (count/sum are mergeable; max re-maxes).  The final
+    merged state must equal the single-shot aggregate over everything —
+    the hash-matched proof that the incremental decomposition loses and
+    double-counts nothing, including rows exactly AT the cutoff (kept
+    in run 1, excluded by the strict > in run 2 — the off-by-one every
+    hand-rolled watermark job gets wrong once).
+
+    At 100 TB this is THE pattern that bounds daily cost: each run
+    scans only the new partition range (the watermark predicate prunes
+    at the scan when the table is date-partitioned), and state merge
+    is group-count-sized, not data-sized."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    state_dir = tempfile.mkdtemp(prefix="udps_incr_")
+    # --- run 1: everything up to the median-ish cutoff -------------------
+    cutoff = e.agg(
+        F.timestamp_micros(
+            (F.min(F.col("ts").cast("long")) + F.max(F.col("ts").cast("long")))
+            .cast("long")
+            * 500000
+        ).alias("w")
+    ).collect()[0].w  # 1 scalar — the watermark value itself
+    run1 = (
+        e.filter(F.col("ts") <= F.lit(cutoff))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("cents"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+    run1.write.mode("overwrite").parquet(f"{state_dir}/state")
+    # --- run 2: strictly after the stored watermark ----------------------
+    stored = spark.read.parquet(f"{state_dir}/state")
+    wm = stored.agg(F.max("max_ts").alias("w")).collect()[0].w  # 1 scalar
+    run2 = (
+        e.filter(F.col("ts") > F.lit(wm))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("cents"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+    merged = (
+        stored.unionByName(run2)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.max("max_ts").alias("max_ts"),
+        )
+    )
+    return merged.orderBy("event_type")

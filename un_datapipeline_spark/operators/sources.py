@@ -724,3 +724,64 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CSV_MULTILINE_ORACLE = """
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       digest
+FROM (
+  SELECT doc_id,
+         (len(string_split(text, ' ')) + 9) // 10 AS n_lines,
+         md5(doc_id || ':' || text) AS digest
+  FROM documents
+  WHERE doc_id < 50
+)
+ORDER BY doc_id
+"""
+
+
+@register("src_csv_multiline", oracle=_CSV_MULTILINE_ORACLE, tier="T2")
+def src_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted multi-line CSV ingest: fields containing EMBEDDED NEWLINES
+    (the layout that breaks naive line-splitting parsers) written with
+    Spark's CSV sink and read back with multiLine=true.  Fixture: the
+    first 50 documents re-wrapped at 10 words per line inside one quoted
+    field; the read-back digest md5(doc_id:text-with-newlines) matching
+    the oracle's reconstruction proves the embedded newlines survive the
+    round trip byte-exactly.  The cost multiLine charges at 100 TB:
+    files are NOT line-splittable (a record boundary can't be found
+    mid-file), so parallelism drops to one task per FILE — keep
+    multi-line CSVs small and many, or land them to parquet once and
+    never re-parse (which is exactly what this op's write-then-read
+    does)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            # re-wrap: newline every 10 words — embedded newlines in ONE field
+            F.regexp_replace(
+                "text", r"((?:\S+\s+){9}\S+)\s+", "$1\n"
+            ).alias("wrapped"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="udps_mlcsv_")
+    d.write.mode("overwrite").option("header", "true").csv(out)
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .schema("doc_id long, wrapped string")
+        .csv(out)
+    )
+    return back.select(
+        "doc_id",
+        (F.size(F.split("wrapped", "\n"))).cast("long").alias("n_lines"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.regexp_replace("wrapped", "\n", " "),
+            )
+        ).alias("digest"),
+    ).orderBy("doc_id")
