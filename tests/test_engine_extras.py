@@ -99,3 +99,38 @@ def test_prefilter_semi_uses_broadcasts(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dst_boundary_shift(spark):
+    """ts_local_day_dst's conversion at the actual 2024 US DST
+    boundaries: 2024-03-10 07:00 UTC is the spring-forward instant
+    (02:00 EST → 03:00 EDT) and 2024-11-03 06:00 UTC the fall-back
+    (02:00 EDT → 01:00 EST).  The shipped testdata is January-only, so
+    this synthesizes instants straddling both boundaries."""
+    import pyspark.sql.functions as F
+
+    rows = spark.createDataFrame(
+        [
+            ("2024-03-10 06:59:59",),  # 1 s before spring forward → EST (−5)
+            ("2024-03-10 07:00:00",),  # at boundary → EDT (−4)
+            ("2024-07-01 12:00:00",),  # deep summer → EDT
+            ("2024-11-03 05:59:59",),  # 1 s before fall back → EDT
+            ("2024-11-03 06:00:00",),  # at boundary → EST
+            ("2024-12-25 03:00:00",),  # winter → EST; local day rolls back
+        ],
+        "ts_s string",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    local = rows.select(
+        F.date_format(
+            F.from_utc_timestamp("ts", "America/New_York"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("l")
+    ).collect()
+    got = [r.l for r in local]
+    assert got == [
+        "2024-03-10 01:59:59",
+        "2024-03-10 03:00:00",  # 02:xx never exists on spring-forward day
+        "2024-07-01 08:00:00",
+        "2024-11-03 01:59:59",
+        "2024-11-03 01:00:00",  # the repeated hour
+        "2024-12-24 22:00:00",  # local day is the 24th — the off-by-one-day case
+    ]

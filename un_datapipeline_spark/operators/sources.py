@@ -785,3 +785,123 @@ def src_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("digest"),
     ).orderBy("doc_id")
+
+
+_RECURSIVE_LISTING_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id < 200
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("src_recursive_listing", oracle=_RECURSIVE_LISTING_ORACLE, tier="T2")
+def src_recursive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-directory ingest via recursiveFileLookup: the first 200
+    docs are written into a HAND-BUILT uneven tree (lang=<l>/shard=<s>/
+    part files at DIFFERENT depths) that deliberately is NOT a Hive
+    partition layout — the layout a crawler or vendor drop actually
+    lands — and read back with recursiveFileLookup=true, which walks
+    arbitrary nesting but (unlike partition discovery) yields NO
+    partition columns, so lang must survive as a DATA column to come
+    back.  The rollup matching the source table proves nothing was
+    missed at any depth.  At 100 TB, recursive listing over an object
+    store is itself a distributed job (Spark parallelizes it past
+    spark.sql.sources.parallelPartitionDiscovery.threshold); prefer
+    maxFilesPerTrigger-style batching or a manifest when the tree holds
+    millions of objects."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"udp_rectree_{tag}")
+    done = os.path.join(out, "_FIXTURE_OK")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "lang", "n_chars")
+    )
+    if not os.path.exists(done):
+        # uneven depths: en at depth 2 (two shards), others at depth 1
+        d.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/lang_en/shard_0")
+        d.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 1)).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/lang_en/shard_1")
+        d.filter(F.col("lang") != "en").write.mode("overwrite").parquet(
+            f"{out}/rest"
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_WHOLETEXT_ORACLE = """
+SELECT doc_id,
+       strlen(text) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+WHERE doc_id >= 20 AND doc_id < 40
+ORDER BY doc_id
+"""
+
+
+@register("src_text_wholetext", oracle=_WHOLETEXT_ORACLE, tier="T2")
+def src_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file text ingest (wholetext=true): each file becomes ONE row
+    regardless of embedded newlines — the right reader for
+    document-per-file corpora (src_text_lines' line-splitting would
+    shred a document into meaningless rows).  Fixture: docs 20-39
+    written one-per-file; identity is recovered from the file NAME via
+    input_file_name() because wholetext, unlike binaryFile, exposes no
+    path column.  Byte length + md5 hash-matching the source rows
+    proves the read is byte-exact (including any trailing structure).
+    Scale note: a whole file is one task and one row — bound file size
+    (docs, not tarballs), and for millions of small files prefer
+    binaryFile or a manifest-driven compaction first; listing, not
+    reading, becomes the bottleneck."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"udp_wholetext_{tag}")
+    done = os.path.join(out, "_FIXTURE_OK")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+            .select("doc_id", "text")
+            .collect()  # 20 rows — bounded by the literal
+        )
+        for r in rows:
+            with open(os.path.join(out, f"doc_{r.doc_id:05d}.txt"), "w", encoding="utf-8") as f:
+                f.write(r.text)
+        with open(done, "w") as f:
+            f.write(str(len(rows)))
+    return (
+        spark.read.option("wholetext", "true")
+        .text(f"{out}/*.txt")
+        .select(
+            F.regexp_extract(F.input_file_name(), r"doc_(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.octet_length("value").cast("long").alias("n_bytes"),
+            F.md5("value").alias("digest"),
+        )
+        .orderBy("doc_id")
+    )

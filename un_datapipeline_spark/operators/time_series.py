@@ -499,3 +499,58 @@ def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_LOCAL_DAY_DST_ORACLE = """
+WITH yrs AS (
+  SELECT DISTINCT year(CAST(ts AS TIMESTAMP)) AS y FROM events
+), bounds AS (
+  -- US DST: 2nd Sunday of March 07:00 UTC → 1st Sunday of November 06:00 UTC
+  SELECT y,
+         make_date(y, 3, 1)  + INTERVAL (((7 - isodow(make_date(y, 3, 1))) % 7) + 7) DAY AS dst_start_day,
+         make_date(y, 11, 1) + INTERVAL ((7 - isodow(make_date(y, 11, 1))) % 7) DAY     AS dst_end_day
+  FROM yrs
+), shifted AS (
+  SELECT e.ts,
+         CAST(e.ts AS TIMESTAMP)
+           - INTERVAL 5 HOUR
+           + CASE WHEN CAST(e.ts AS TIMESTAMP) >= CAST(b.dst_start_day AS TIMESTAMP) + INTERVAL 7 HOUR
+                   AND CAST(e.ts AS TIMESTAMP) <  CAST(b.dst_end_day   AS TIMESTAMP) + INTERVAL 6 HOUR
+                  THEN INTERVAL 1 HOUR ELSE INTERVAL 0 HOUR END AS local_ts
+  FROM events e JOIN bounds b ON year(CAST(e.ts AS TIMESTAMP)) = b.y
+)
+SELECT CAST(local_ts AS DATE) AS local_day,
+       CAST(count(*) AS BIGINT) AS n
+FROM shifted
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("ts_local_day_dst", oracle=_LOCAL_DAY_DST_ORACLE, tier="T2")
+def ts_local_day_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DST-correct local-calendar rollup: UTC event timestamps bucketed
+    into America/New_York LOCAL days via from_utc_timestamp — the
+    conversion that makes "daily active users" right for a US-market
+    dashboard, where a fixed −5h offset silently shifts every summer
+    event after 7pm ET into the wrong day.  Spark consults the IANA
+    tzdb; the oracle INDEPENDENTLY derives the US DST rule (second
+    Sunday of March 07:00 UTC → first Sunday of November 06:00 UTC,
+    computed for whatever years the data spans) — so the hash match is
+    two independent implementations of the conversion, not one tzdb
+    echoing itself.  The shipped testdata spans January only (no DST
+    boundary), so tests/test_engine_extras.py::test_dst_boundary_shift
+    replays the op's conversion over synthesized timestamps straddling
+    both 2024 boundaries and asserts the spring-forward/fall-back hour
+    shifts against the same rule.  Plan: pure column expression feeding
+    one hash agg; timezone math never causes a shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.to_date(
+                F.from_utc_timestamp("ts", "America/New_York")
+            ).alias("local_day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("local_day")
+    )
