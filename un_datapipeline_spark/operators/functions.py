@@ -779,3 +779,54 @@ def fn_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING target_prio, target_prio
         """
     )
+
+
+_JSON_INFER_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("fn_json_schema_infer", oracle=_JSON_INFER_ORACLE, tier="T2")
+def fn_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema INFERENCE for semi-structured columns: schema_of_json
+    samples one representative value to derive a struct schema, and the
+    whole column is then parsed with from_json against it — the
+    two-step that turns a string column into typed nested data without
+    hand-writing the schema (the batch analog of read.json inference).
+    The audit aggregates the PARSED fields and must match DuckDB's
+    independent JSON-path extraction — proving the inferred schema
+    parsed every row correctly, not just the sampled one.  Scale note:
+    inference costs one driver-side parse of ONE sampled value (bounded
+    collect by design); parsing is then a pure column expression.  The
+    trap this op documents: fields missing from the SAMPLED row are
+    dropped for every row — sample a MAXIMAL value (here via the
+    longest props string) or union-merge several samples in
+    production."""
+    e = load_table(spark, sf_dir, "events")
+    sample = (
+        e.select("props")
+        .orderBy(F.length("props").desc(), "props")
+        .limit(1)
+        .collect()[0][0]
+    )  # ONE maximal sample row — bounded by design
+    schema_str = spark.range(1).select(
+        F.schema_of_json(F.lit(sample)).alias("s")
+    ).collect()[0][0]
+    parsed = e.select(
+        "event_type", F.from_json("props", schema_str).alias("p")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+            F.max(F.col("p.k").cast("long")).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
