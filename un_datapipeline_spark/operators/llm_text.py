@@ -532,3 +532,81 @@ def llm_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix_len")
     )
+
+
+_JSONL_EXPORT_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(text)) AS BIGINT) AS payload_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents
+WHERE doc_id < 300
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("llm_jsonl_export", oracle=_JSONL_EXPORT_ORACLE, tier="T2")
+def llm_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning JSONL export — the hand-off format between a
+    corpus pipeline and a training stack: each doc becomes one JSON line
+    `{"meta": {"id", "lang"}, "messages": [{"role", "content"}, …]}`
+    (`to_json` over nested named structs), written as text files, then
+    READ BACK and re-parsed with an explicit schema; the audit
+    aggregates the parsed payload and must match the source table —
+    proving the export round-trips every document byte-exactly through
+    JSON encoding (quotes, newlines-in-text, unicode escapes — exactly
+    what hand-rolled JSON writers get wrong).  Scale: both directions
+    are pure column expressions around a distributed text sink/scan;
+    JSONL stays line-splittable, so unlike multiline CSV
+    (src_csv_multiline) parallelism survives."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    payload = d.select(
+        F.to_json(
+            F.struct(
+                F.struct(F.col("doc_id").alias("id"), F.col("lang").alias("lang")).alias(
+                    "meta"
+                ),
+                F.array(
+                    F.struct(
+                        F.lit("user").alias("role"),
+                        F.lit("Summarize the document.").alias("content"),
+                    ),
+                    F.struct(
+                        F.lit("assistant").alias("role"), F.col("text").alias("content")
+                    ),
+                ).alias("messages"),
+            )
+        ).alias("value")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"udp_jsonl_{tag}")
+    payload.write.mode("overwrite").text(out)
+    schema = (
+        "meta struct<id: long, lang: string>, "
+        "messages array<struct<role: string, content: string>>"
+    )
+    back = (
+        spark.read.text(out)
+        .select(F.from_json("value", schema).alias("r"))
+        .select(
+            F.col("r.meta.id").alias("doc_id"),
+            F.col("r.meta.lang").alias("lang"),
+            F.element_at("r.messages", 2).getField("content").alias("text"),
+        )
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).cast("long").alias("payload_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
