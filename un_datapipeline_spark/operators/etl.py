@@ -14,7 +14,7 @@ from __future__ import annotations
 import tempfile
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
@@ -927,3 +927,69 @@ def etl_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("event_type")
+
+
+_SCD3_ORACLE = """
+WITH keyed AS (
+  SELECT o_custkey, o_orderpriority,
+         CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) * 100000000
+           + o_orderkey AS k
+  FROM orders WHERE o_custkey < 500
+), current AS (
+  SELECT o_custkey, max_by(o_orderpriority, k) AS cur_prio, max(k) AS max_k
+  FROM keyed GROUP BY o_custkey
+), previous AS (
+  SELECT k.o_custkey, max_by(k.o_orderpriority, k.k) AS prev_prio
+  FROM keyed k JOIN current c
+    ON k.o_custkey = c.o_custkey AND k.k < c.max_k
+  GROUP BY k.o_custkey
+)
+SELECT c.o_custkey AS custkey, cur_prio, prev_prio,
+       CAST(CASE WHEN prev_prio IS NOT NULL AND prev_prio <> cur_prio
+            THEN 1 ELSE 0 END AS INT) AS changed
+FROM current c LEFT JOIN previous p ON c.o_custkey = p.o_custkey
+ORDER BY custkey
+"""
+
+
+@register("etl_scd3_prev_value", oracle=_SCD3_ORACLE, tier="T2")
+def etl_scd3_prev_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 3 — current + ONE previous value side by side (contrast
+    Type 2's full history rows, etl_scd2_*): per customer, the latest
+    order priority, the priority of the order just before it, and a
+    changed flag.  The warehouse pattern when consumers only ever ask
+    "what is it now and what was it last" — one row per key, no
+    validity-range joins.  Expressed as a single window pass (latest
+    and second-latest via ordered lag over (o_orderdate, o_orderkey) —
+    the unique total order the PARITY.md doctrine requires) feeding a
+    rank filter; no self-join.  The oracle derives both values
+    independently via max_by over a composite BIGINT key (epoch·10⁸ +
+    orderkey — DuckDB's max_by rejects struct keys, probed) — two
+    formulations agreeing pins the tie-handling."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    ranked = o.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderpriority",
+        F.row_number().over(w).alias("rn"),
+        F.lead("o_orderpriority").over(w).alias("prev_prio_cand"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "custkey",
+            F.col("o_orderpriority").alias("cur_prio"),
+            F.col("prev_prio_cand").alias("prev_prio"),
+            F.when(
+                F.col("prev_prio_cand").isNotNull()
+                & (F.col("prev_prio_cand") != F.col("o_orderpriority")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("changed"),
+        )
+        .orderBy("custkey")
+    )

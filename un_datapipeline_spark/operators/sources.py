@@ -905,3 +905,66 @@ def src_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_JSON_MALFORMED_ORACLE = """
+SELECT CAST(count(*) AS BIGINT)                              AS n_rows,
+       CAST(count(*) FILTER (c_custkey % 7 = 0) AS BIGINT)   AS n_bad,
+       CAST(count(*) FILTER (c_custkey % 7 <> 0) AS BIGINT)  AS n_good,
+       CAST(sum(CASE WHEN c_custkey % 7 <> 0 THEN c_custkey END) AS BIGINT)
+         AS good_key_sum
+FROM customer
+WHERE c_custkey < 500
+"""
+
+
+@register("src_json_malformed", oracle=_JSON_MALFORMED_ORACLE, tier="T1")
+def src_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-JSONL quarantine: a fixture stream where every 7th
+    record is corrupted (truncated mid-object — unclosed brace) is read
+    in PERMISSIVE mode with columnNameOfCorruptRecord; bad lines land
+    whole in the quarantine column with every data field NULL, good
+    lines parse normally, and NOTHING is dropped (count in == count
+    out) — the ingest contract for feeds you don't control.  Same
+    parser-laziness trap as the CSV twin (src_csv_malformed): the
+    corrupt column is only POPULATED if the plan actually references
+    it, so the audit touches it explicitly.  JSONL corruption is
+    per-line — one bad record never poisons neighbors, unlike multiline
+    formats."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"udp_badjsonl_{tag}")
+    done = os.path.join(out, "_FIXTURE_OK")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") < 500)
+            .select("c_custkey", "c_mktsegment")
+            .collect()
+        )
+        with open(os.path.join(out, "feed.jsonl"), "w") as f:
+            for r in rows:
+                line = f'{{"c_custkey": {r.c_custkey}, "c_mktsegment": "{r.c_mktsegment}"}}'
+                if r.c_custkey % 7 == 0:
+                    line = line[: len(line) // 2]  # truncate mid-object
+                f.write(line + "\n")
+        with open(done, "w") as f:
+            f.write(str(len(rows)))
+    back = (
+        spark.read.schema(
+            "c_custkey long, c_mktsegment string, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(f"{out}/feed.jsonl")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_bad").alias("n_bad"),
+        F.count("c_custkey").alias("n_good"),
+        F.sum("c_custkey").cast("long").alias("good_key_sum"),
+    )
