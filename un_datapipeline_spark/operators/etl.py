@@ -993,3 +993,64 @@ def etl_scd3_prev_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+_PROFILE_ORACLE = """
+SELECT col,
+       CAST(n_null AS BIGINT) AS n_null,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       ROUND(n_null * 1.0 / n, 6) AS null_frac
+FROM (
+  SELECT 'o_orderstatus' AS col, count(*) - count(o_orderstatus) AS n_null,
+         count(DISTINCT o_orderstatus) AS n_distinct, count(*) AS n FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority), count(*) FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*) - count(o_custkey),
+         count(DISTINCT o_custkey), count(*) FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', count(*) - count(o_orderdate),
+         count(DISTINCT o_orderdate), count(*) FROM orders
+)
+ORDER BY col
+"""
+
+
+@register("etl_data_profile", oracle=_PROFILE_ORACLE, tier="T1")
+def etl_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the first thing any data platform runs against
+    an unfamiliar table (null fraction, distinct cardinality per
+    column), here for four orders columns in ONE scan: all per-column
+    aggregates evaluate in a single partial+final pass and the frame is
+    unpivoted afterwards (contrast the naive one-query-per-column
+    profiler, which scans the table N times — the difference between
+    one 100 TB scan and N of them; etl_dq_validate applies the same
+    one-pass discipline to rule CHECKS, this op to open-ended
+    profiling).  count(DISTINCT …) across several columns in one agg
+    triggers Spark's expand-based rewrite — row count multiplies by the
+    distinct-column count, the known cost; switch to
+    approx_count_distinct per column when exactness isn't owed."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.count_distinct(c).alias(f"{c}__distinct"),
+            F.count(F.lit(1)).alias(f"{c}__n"),
+        ]
+    one = o.agg(*aggs)
+    parts = [
+        one.select(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__null").cast("long").alias("n_null"),
+            F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+            F.round(F.col(f"{c}__null") / F.col(f"{c}__n"), 6).alias("null_frac"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col")
