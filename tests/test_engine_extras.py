@@ -134,3 +134,15 @@ def test_dst_boundary_shift(spark):
         "2024-11-03 01:00:00",  # the repeated hour
         "2024-12-24 22:00:00",  # local day is the 24th — the off-by-one-day case
     ]
+
+
+def test_rolling_corr_tiny_data_no_div_by_zero(spark, sf_smoke):
+    """At sf0.001 some 7-day windows hold a constant daily count, making
+    the correlation denominator zero — must yield NULL (undefined
+    correlation), not an ANSI divide-by-zero error.  Full-registry tiny-
+    data sweep lives in tools/sweep_sf0001.py (runs every op at
+    sf0.001; too slow for the suite)."""
+    from un_datapipeline_spark.registry import all_operators
+
+    rows = all_operators()["win_rolling_corr"].fn(spark, sf_smoke).collect()
+    assert len(rows) > 0  # executes without raising

@@ -1347,7 +1347,8 @@ WITH daily AS (
 SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
        CAST(n AS BIGINT) AS n,
        ROUND((n * sxy - sx * 1.0 * sy)
-             / sqrt((n * sxx - sx * 1.0 * sx) * (n * syy - sy * 1.0 * sy)), 6)
+             / nullif(sqrt((n * sxx - sx * 1.0 * sx)
+                           * (n * syy - sy * 1.0 * sy)), 0), 6)
          AS roll_corr
 FROM mo
 WHERE n >= 3
@@ -1393,7 +1394,9 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.date_format("d", "yyyy-MM-dd").alias("day"),
             "n",
-            F.round(num / den, 6).alias("roll_corr"),
+            # zero-variance windows (constant series, seen at sf0.001)
+            # are undefined correlation → NULL, not an ANSI div-by-zero
+            F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("roll_corr"),
         )
         .orderBy("event_type", "day")
     )
