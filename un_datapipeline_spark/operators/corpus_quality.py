@@ -885,3 +885,68 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang", "b")
         .drop("b")
     )
+
+
+_VOCAB_GROWTH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id // 50 AS bucket, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), firsts AS (
+  SELECT w, min(bucket) AS first_bucket, count(*) AS occurrences
+  FROM toks WHERE w <> '' GROUP BY w
+), per_bucket AS (
+  SELECT first_bucket AS bucket, count(*) AS new_types
+  FROM firsts GROUP BY first_bucket
+), tok_per_bucket AS (
+  SELECT bucket, count(*) AS n_tokens FROM toks WHERE w <> '' GROUP BY bucket
+)
+SELECT t.bucket,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens,
+       CAST(COALESCE(p.new_types, 0) AS BIGINT) AS new_types,
+       CAST(sum(COALESCE(p.new_types, 0)) OVER (ORDER BY t.bucket) AS BIGINT)
+         AS cum_types
+FROM tok_per_bucket t LEFT JOIN per_bucket p ON t.bucket = p.bucket
+ORDER BY t.bucket
+"""
+
+
+@register("llm_vocab_growth", oracle=_VOCAB_GROWTH_ORACLE, tier="T2")
+def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: cumulative distinct word
+    types vs cumulative tokens as the corpus is consumed in doc_id
+    order (50-doc buckets) — the corpus-science statistic that tells
+    you whether more data still buys new vocabulary (sub-linear growth
+    flattening = diminishing lexical returns; an anomalous jump = a new
+    domain or a crawler language leak).  The distributed formulation
+    NEVER materializes "distinct so far" per prefix (that's quadratic):
+    each word reduces to (first_bucket = min bucket of occurrence) in
+    one vocabulary-keyed agg, new-types-per-bucket is a count over
+    that, and the cumulative curve is a window over the BUCKET-grain
+    frame (a few hundred rows).  Same pattern DuckDB replays exactly —
+    all counts, hash-matched."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") / 50).cast("long").alias("bucket"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    firsts = toks.groupBy("w").agg(F.min("bucket").alias("first_bucket"))
+    per_bucket = firsts.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    tok_per_bucket = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok_per_bucket.join(per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_types"),
+        )
+        .orderBy("bucket")
+    )
