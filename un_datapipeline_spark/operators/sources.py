@@ -1024,3 +1024,45 @@ def src_manifest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_XML_FILES_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@register("src_xml_files", oracle=_XML_FILES_ORACLE, tier="T2")
+def src_xml_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE XML file source (no spark-xml package): the
+    nation table round-trips through rowTag-delimited XML documents —
+    write with rootTag/rowTag, read back by tag with an explicit schema
+    (inference works but schema-pinning is the production posture; XML
+    attribute-vs-element ambiguity makes inferred types drift across
+    files).  The read-back hash-matching the source rows proves
+    element encoding (escaping, nulls, numeric round-trip) is lossless.
+    This closes the sources family's format matrix: columnar
+    (parquet/orc), delimited (csv ×3 dialects), semi-structured
+    (json ×3, XML), raw (text/wholetext/binary).  Scale: XML, like
+    multiline CSV, is only file-splittable at row boundaries the
+    reader can find — many medium files beat one giant document."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"udp_xml_{tag}")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).mode("overwrite").save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .load(out)
+        .orderBy("n_nationkey")
+    )
