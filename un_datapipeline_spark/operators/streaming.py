@@ -441,3 +441,65 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_DYN_SESSION_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+         CASE WHEN event_type = 'purchase' THEN 1800000000 ELSE 300000000 END
+           AS gap_us
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, t_us, gap_us,
+         CASE WHEN t_us >= max(t_us + gap_us) OVER (
+                PARTITION BY user_id ORDER BY t_us, gap_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR max(t_us + gap_us) OVER (
+                PARTITION BY user_id ORDER BY t_us, gap_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, gap_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_id
+  FROM flagged
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM sessions
+GROUP BY user_id, sess_id
+"""
+
+
+@register("stream_session_dynamic_gap", oracle=_DYN_SESSION_ORACLE, tier="T4")
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows whose gap DEPENDS ON THE EVENT (session_window
+    with a Column gap): purchases hold a session open 30 minutes,
+    everything else 5 — the e-commerce reality fixed-gap sessionization
+    flattens (stream_session_window is the fixed-gap twin).  Each event
+    contributes the interval [ts, ts+gap(event)); overlapping intervals
+    per user merge, the boundary being EXCLUSIVE (an event at exactly
+    the previous session's end starts a NEW session).  The batch oracle
+    derives the same islands from first principles: a session break is
+    `t ≥ running-max of previous (t + gap)` over µs-epoch integers —
+    running-MAX, not lag, because a long-gap event can outlast several
+    later short-gap ones.  Streaming state per key is one open session
+    (merged on arrival), evicted by the watermark — the same bounded-
+    state contract as the fixed-gap op."""
+    s = read_events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", "30 minutes").otherwise(
+        "5 minutes"
+    )
+    agg = (
+        s.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select("user_id", "n", "first_ts", "last_ts")
+    )
+    return run_to_memory(agg)
