@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.session import ensure_runtime_confs
+from un_datapipeline_spark.tables import load_table
 
 
 @contextlib.contextmanager
@@ -503,3 +504,71 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n", "first_ts", "last_ts")
     )
     return run_to_memory(agg)
+
+
+_CKPT_RESUME_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+"""
+
+
+@register("stream_checkpoint_resume", oracle=_CKPT_RESUME_ORACLE, tier="T4")
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once resume from a checkpoint — THE property that makes
+    Structured Streaming restartable: the event stream lands in two
+    installments (even event_ids, then odd), with a SEPARATE
+    availableNow run per installment sharing ONE checkpoint and ONE
+    append-mode parquet sink.  The second run must process ONLY the
+    files that arrived after the first (the checkpoint's file-source
+    log records what was committed) — if it reprocessed installment 1,
+    the sink would hold duplicates and every audit column would blow
+    past the batch oracle; count(DISTINCT event_id) == count(*) is the
+    explicit no-duplicates witness.  This is the crash-recovery /
+    daily-resume contract a production ingest job leans on; at 100 TB
+    the checkpoint log is what turns "reprocess the bucket" into
+    "process today's files"."""
+    import hashlib
+    import os
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"udp_ckptres_{tag}")
+    inbox, sink, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    done = f"{base}/_FIXTURE_OK"
+
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        schema = "event_id long, ts timestamp, cents long"
+
+        def run_installment(pred):
+            e.filter(pred).write.mode("append").parquet(inbox)
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(inbox)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        with stream_shuffle_partitions(spark):
+            run_installment(F.col("event_id") % 2 == 0)
+            run_installment(F.col("event_id") % 2 == 1)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    return spark.read.parquet(sink).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("event_id").alias("n_distinct"),
+        F.sum("cents").alias("cents"),
+    )
