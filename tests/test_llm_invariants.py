@@ -404,3 +404,69 @@ def test_neardup_cluster_end_to_end_clone_recall(spark, sf_smoke):
         assert r.canonical_doc == r.cluster_rep
         assert r.max_doc >= OFFSET, f"cluster {r.cluster_rep} lost its clone"
         assert r.n_members >= 2
+
+
+def test_minhash_ml_clone_recall(spark, sf_smoke):
+    """MLlib MinHashLSH path (llm_dedup_minhash_ml): identical texts have
+    identical feature vectors, so they collide in EVERY hash table and
+    approxSimilarityJoin reports their exact Jaccard distance as 0.0 —
+    clone recall is 1.0 by construction, any shingling/feature regression
+    breaks this immediately.  Candidate volume must also stay
+    sub-quadratic (word-trigram shingles keep unrelated-pair Jaccard ≈0)."""
+    from un_datapipeline_spark.operators.mllib_lsh import minhash_ml_pairs
+
+    OFFSET = 1_000_000
+    base = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+    )
+    clones = base.select((F.col("doc_id") + OFFSET).alias("doc_id"), "text")
+    d = base.unionByName(clones)
+    n = base.count()
+    got = {(r.doc_a, r.doc_b): r.jaccard_dist for r in minhash_ml_pairs(d).collect()}
+    expected = {(i, i + OFFSET) for i in range(n)}
+    missing = expected - set(got)
+    assert not missing, f"clone pairs missing: {sorted(missing)[:5]}"
+    for pair in expected:
+        assert got[pair] == 0.0, f"clone pair {pair} at nonzero distance {got[pair]}"
+    total_pairs = (2 * n) * (2 * n - 1) // 2
+    assert len(got) < 0.05 * total_pairs, (
+        f"LSH blocking too permissive: {len(got)}/{total_pairs} candidate pairs"
+    )
+
+
+def test_brp_lsh_recall(spark, sf_t2):
+    """BucketedRandomProjectionLSH ANN (llm_ann_brp_lsh) vs the exact
+    scan.  Unit-normalized embeddings make Euclidean and cosine rankings
+    identical (d² = 2 − 2·cos), so cosine_topk is the exact baseline.
+    Measured recall@1 is 1.0 and top-5 overlap 0.98–1.0 at sf0.01/sf0.1;
+    floors leave slack for hash-seed sensitivity."""
+    from un_datapipeline_spark.operators.llm_vectors import cosine_topk
+    from un_datapipeline_spark.operators.mllib_lsh import brp_topk
+
+    em = load_table(spark, sf_t2, "embeddings")
+    probes = em.filter(F.col("vec_id") < 10)
+    exact1 = {
+        r.a_id: r.nn_id
+        for r in cosine_topk(em, probes, k=1, exclude_self=True).collect()
+    }
+    rows1 = brp_topk(em, probes).collect()
+    rows2 = brp_topk(em, probes).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2)), (
+        "BRP-LSH result must be deterministic run-to-run"
+    )
+    brp1 = {r.probe_id: r.neighbor_id for r in rows1 if r.rank == 1}
+    assert len(brp1) == 10  # every probe answered
+    recall1 = sum(brp1.get(a) == nn for a, nn in exact1.items()) / len(exact1)
+    assert recall1 >= 0.7, f"BRP recall@1 too low: {recall1}"
+    exact5: dict[int, set] = {}
+    for r in cosine_topk(em, probes, k=5, exclude_self=True).collect():
+        exact5.setdefault(r.a_id, set()).add(r.nn_id)
+    top5: dict[int, set] = {}
+    for r in rows1:
+        top5.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    overlap = sum(len(top5.get(a, set()) & s) for a, s in exact5.items()) / sum(
+        len(s) for s in exact5.values()
+    )
+    assert overlap >= 0.7, f"BRP top-5 overlap too low: {overlap}"

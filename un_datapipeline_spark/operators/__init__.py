@@ -16,6 +16,7 @@ from un_datapipeline_spark.operators import (  # noqa: F401
     joins,
     llm_text,
     llm_vectors,
+    mllib_lsh,
     multimodal,
     relational,
     reshape,

@@ -830,3 +830,101 @@ def fn_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+# One SQL text, executed verbatim by BOTH engines: the recursion itself is
+# the oracle (DuckDB has supported WITH RECURSIVE for years; Spark gained
+# it in 4.0).  The hierarchy is the heap-shaped supplier tree
+# parent(k) = floor(k / 2), so depth grows as log2(n) and the recursive
+# join is a plain EQUI-join on the derived parent key — a hash join per
+# iteration, never a nested loop.
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT s_suppkey AS k, 0 AS depth,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+  FROM rc_supplier WHERE s_suppkey = 1
+  UNION ALL
+  SELECT s.s_suppkey AS k, c.depth + 1 AS depth,
+         CAST(round(s.s_acctbal * 100) AS BIGINT) AS cents
+  FROM rc_supplier s JOIN chain c
+    ON CAST(FLOOR(s.s_suppkey / 2) AS BIGINT) = c.k
+)
+SELECT CAST(depth AS BIGINT)      AS depth,
+       CAST(count(*) AS BIGINT)   AS n_nodes,
+       CAST(min(k) AS BIGINT)     AS min_key,
+       CAST(max(k) AS BIGINT)     AS max_key,
+       CAST(sum(cents) AS BIGINT) AS bal_cents
+FROM chain GROUP BY depth ORDER BY depth
+"""
+
+# Identical text; only the view name differs (driver pre-registers the
+# bare table names as DuckDB views).
+_RECURSIVE_CTE_ORACLE = _RECURSIVE_CTE_SQL.replace("rc_supplier", "supplier")
+
+
+@register("fn_recursive_cte", oracle=_RECURSIVE_CTE_ORACLE, tier="T2")
+def fn_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4): multi-hop
+    hierarchy traversal the single-pass relational algebra can't express
+    — here a heap-shaped supplier reporting tree (parent(k) = k DIV 2)
+    walked from the root, aggregating headcount and balance per depth.
+
+    The SAME SQL text runs on both engines (DuckDB's mature recursive
+    CTE is the oracle), so the hash match certifies Spark's recursion
+    semantics — seed row, iterated equi-join, union-all accumulation,
+    termination — not just this query's arithmetic.
+
+    Scale shape: each iteration is one distributed hash join of the
+    frontier against the (pruned, 2-column) node table; iteration count
+    is the hierarchy DEPTH (log2 n here, ~40 for a 1T-row heap), not the
+    node count.  The frontier never leaves the cluster — this is the
+    same loop shape as llm_dedup_cluster's connected components, but
+    expressed declaratively and terminated by the engine
+    (spark.sql.cteRecursionLevelLimit guards runaways, default 100)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("rc_supplier")
+    return spark.sql(_RECURSIVE_CTE_SQL)
+
+
+_PARAMS_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("fn_params_identifier", oracle=_PARAMS_ORACLE, tier="T2")
+def fn_params_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL + IDENTIFIER() dynamic object reference
+    (Spark 4): the query template binds the table NAME through
+    IDENTIFIER(:tbl) and the date window through :lo/:hi typed
+    parameters — the engine-native, injection-safe alternative to Python
+    f-string SQL assembly (complements fn_sql_variables, which covers
+    the EXECUTE IMMEDIATE ... USING path).  Parameters resolve at parse
+    time, so the date predicates still push down to the parquet scan
+    exactly like literals (same plan as the constant-folded oracle)."""
+    import datetime
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderdate >= :lo AND o_orderdate < :hi
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={
+            "tbl": "param_orders",
+            "lo": datetime.date(1995, 1, 1),
+            "hi": datetime.date(1996, 1, 1),
+        },
+    )

@@ -911,3 +911,73 @@ def llm_training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle
+# ---------------------------------------------------------------------------
+
+_EPOCH_SEED = "epoch-7"
+
+_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('{_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), sharded AS (
+  SELECT doc_id, h,
+         (ascii(substr(h, 1, 1)) * 31 + ascii(substr(h, 2, 1))) % 8 AS shard,
+         row_number() OVER (
+           PARTITION BY (ascii(substr(h, 1, 1)) * 31
+                         + ascii(substr(h, 2, 1))) % 8
+           ORDER BY h) AS pos
+  FROM keyed
+)
+SELECT CAST(shard AS BIGINT)                 AS shard,
+       CAST(count(*) AS BIGINT)              AS n_docs,
+       CAST(sum(doc_id * pos) AS BIGINT)     AS order_checksum,
+       CAST(min_by(doc_id, h) AS BIGINT)     AS first_doc,
+       CAST(max_by(doc_id, h) AS BIGINT)     AS last_doc
+FROM sharded GROUP BY shard ORDER BY shard
+"""
+
+
+@register("llm_shuffle_deterministic", oracle=_SHUFFLE_ORACLE, tier="T2")
+def llm_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded epoch shuffle: the reshuffle-per-epoch step of a training
+    data loader, made REPRODUCIBLE — every doc gets the key
+    md5(seed || doc_id), the key's leading bytes pick the shard, and the
+    within-shard read order is the key order.  Same seed ⇒ bit-identical
+    order on any cluster size; next epoch = next seed string, a full
+    cross-shard reshuffle with zero state.
+
+    Scale shape: this is `DISTRIBUTE BY hash SORT BY hash` — shard
+    assignment is a pure column expression and the sort is PER-SHARD
+    (row_number partitioned by shard), so there is no global sort and no
+    driver involvement; each shard sorts its own partition after one
+    hash shuffle.  The audit aggregates an order-SENSITIVE exact-integer
+    checksum Σ(doc_id · position) per shard, so the driver hash match
+    certifies the exact permutation, not just shard membership.
+
+    The per-epoch reshuffle complements llm_training_shard_write (static
+    balanced shards) and etl_sample_hash (stable subsampling) — together
+    they are the deterministic data-order toolkit a 100 TB training run
+    needs for exact resume-from-step reproducibility."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(_EPOCH_SEED + ":"), F.col("doc_id").cast("string")))
+    shard = (
+        F.ascii(F.substring("h", 1, 1)) * 31 + F.ascii(F.substring("h", 2, 1))
+    ) % 8
+    keyed = d.select("doc_id", h.alias("h")).withColumn("shard", shard)
+    pos = F.row_number().over(Window.partitionBy("shard").orderBy("h"))
+    sharded = keyed.withColumn("pos", pos)
+    return (
+        sharded.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("doc_id") * F.col("pos")).cast("long").alias("order_checksum"),
+            F.min_by("doc_id", "h").cast("long").alias("first_doc"),
+            F.max_by("doc_id", "h").cast("long").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
