@@ -950,3 +950,81 @@ def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear classifier inference (model-based filtering, exact-integer logit)
+# ---------------------------------------------------------------------------
+
+_CLF_STOPLIST = "'the','and','of','to','a','in','is','it'"
+
+_CLF_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              w -> list_contains([{_CLF_STOPLIST}], w))) AS BIGINT) AS n_stop,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              w -> regexp_matches(w, '^[0-9]+$'))) AS BIGINT) AS n_num
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_chars,
+         5 * n_stop + n_words - 4 * n_num AS logit
+  FROM feat
+)
+SELECT CASE WHEN logit >= 90 THEN 'keep'
+            WHEN logit >= 50 THEN 'review'
+            ELSE 'drop' END        AS band,
+       CAST(count(*) AS BIGINT)    AS n_docs,
+       CAST(sum(logit) AS BIGINT)  AS logit_sum,
+       CAST(min(logit) AS BIGINT)  AS logit_min,
+       CAST(max(logit) AS BIGINT)  AS logit_max,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM scored GROUP BY band ORDER BY band
+"""
+
+
+@register("llm_classifier_filter", oracle=_CLF_ORACLE, tier="T3")
+def llm_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering as BATCH INFERENCE: a linear
+    classifier (fixed integer weights over cheap lexical features —
+    stopword hits, word count, numeric-token count) scored inline over
+    the corpus and bucketed into keep/review/drop bands — the
+    FineWeb-Edu / quality-classifier pipeline stage, restricted to an
+    EXACT-INTEGER logit so the decision boundary is bit-deterministic
+    on both engines (no sigmoid needed: monotone, so thresholding the
+    logit IS thresholding the probability).
+
+    Scale shape: inference is pure column expressions (split + filter
+    higher-order fns + integer arithmetic) — whole-stage codegen, no
+    Python, no shuffle before the 3-row band aggregate.  Swapping in a
+    real model means replacing the expression with a pandas_udf batch
+    matmul (the udf_pandas_scalar lane); everything else is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    stoplist = F.array(*[F.lit(w) for w in
+                         ("the", "and", "of", "to", "a", "in", "is", "it")])
+    n_words = F.size(words).cast("long")
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stoplist, w))).cast(
+        "long"
+    )
+    n_num = F.size(F.filter(words, lambda w: w.rlike("^[0-9]+$"))).cast("long")
+    logit = (F.lit(5) * n_stop + n_words - F.lit(4) * n_num).alias("logit")
+    scored = d.select("doc_id", "n_chars", logit)
+    band = (
+        F.when(F.col("logit") >= 90, "keep")
+        .when(F.col("logit") >= 50, "review")
+        .otherwise("drop")
+        .alias("band")
+    )
+    return (
+        scored.groupBy(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("logit").cast("long").alias("logit_sum"),
+            F.min("logit").cast("long").alias("logit_min"),
+            F.max("logit").cast("long").alias("logit_max"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+        .orderBy("band")
+    )

@@ -634,3 +634,93 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup
+# ---------------------------------------------------------------------------
+
+# Synthetic-but-deterministic URL per doc (the testdata carries no URL
+# column): the same (source, doc_id % 50) page rendered in one of four
+# surface variants — bare, www + trailing slash, uppercase + tracking
+# params, fragment — chosen by doc_id % 4.  Both engines build the SAME
+# string, so canonicalization itself is what the hash match certifies.
+_URL_VARIANT_SQL = """
+CASE doc_id % 4
+  WHEN 0 THEN 'https://' || source || '.example.com/p/'
+              || CAST(doc_id % 50 AS STRING)
+  WHEN 1 THEN 'https://www.' || source || '.example.com/p/'
+              || CAST(doc_id % 50 AS STRING) || '/'
+  WHEN 2 THEN 'HTTP://' || upper(source) || '.EXAMPLE.COM/p/'
+              || CAST(doc_id % 50 AS STRING) || '?utm_source=feed&ref=rss'
+  ELSE        'https://' || source || '.example.com/p/'
+              || CAST(doc_id % 50 AS STRING) || '#section-2'
+END
+"""
+
+_URL_DEDUP_ORACLE = f"""
+WITH urls AS (
+  SELECT doc_id, {_URL_VARIANT_SQL} AS url FROM documents
+), canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '^https?://', ''),
+               '^www\\.', ''),
+             '[?#].*$', ''),
+           '/+$', '') AS canonical_url
+  FROM urls
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT)   AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM canon
+GROUP BY canonical_url
+HAVING count(*) > 1
+ORDER BY canonical_url
+"""
+
+
+@register("llm_dedup_url", oracle=_URL_DEDUP_ORACLE, tier="T3")
+def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the FIRST dedup stage of a web-crawl pipeline
+    (CommonCrawl-style), running before any text is even fetched: URLs
+    are canonicalized (lowercase; scheme, www., query/fragment and
+    trailing slashes stripped) and exact-grouped, keeping the minimum
+    doc_id per canonical page.  Four surface variants of the same page
+    (case, www, tracking params, fragments) must collapse to one key.
+
+    Scale shape: canonicalization is four chained regexp_replace column
+    expressions (anchored patterns — identical first-match semantics in
+    Java regex and RE2), and the dedup is one hash aggregate on the
+    canonical string — the cheapest dedup in the ladder, which is
+    exactly why crawls run it first: it prunes refetches before the
+    expensive content-level stages (exact md5 → MinHash → SemDeDup)."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.expr(_URL_VARIANT_SQL)
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "^https?://", ""),
+                "^www\\.",
+                "",
+            ),
+            "[?#].*$",
+            "",
+        ),
+        "/+$",
+        "",
+    )
+    return (
+        d.select(canon.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canonical_url")
+    )

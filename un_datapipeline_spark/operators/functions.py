@@ -928,3 +928,60 @@ def fn_params_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi": datetime.date(1996, 1, 1),
         },
     )
+
+
+_MONTH_ARITH_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT)                                   AS n,
+       CAST(sum(day(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE))) AS BIGINT)
+         AS sum_day_p1m,
+       CAST(sum(day(CAST(o_orderdate - INTERVAL 3 MONTH AS DATE))) AS BIGINT)
+         AS sum_day_m3m,
+       CAST(sum(day(last_day(o_orderdate))) AS BIGINT)            AS sum_day_eom,
+       CAST(count(DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE))
+            AS BIGINT)                                            AS n_months,
+       CAST(sum(day(last_day(o_orderdate)) - day(o_orderdate)) AS BIGINT)
+         AS sum_days_to_eom
+FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("fn_month_arithmetic", oracle=_MONTH_ARITH_ORACLE, tier="T2")
+def fn_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month arithmetic parity: add_months / last_day /
+    date_trunc('month') — the operations whose END-OF-MONTH CLAMPING
+    rules silently diverge across SQL dialects (Jan 31 + 1 month: both
+    engines clamp to Feb 29/28; some engines overflow to Mar 2).  The
+    oracle expresses the same arithmetic in DuckDB's interval dialect
+    (d + INTERVAL 1 MONTH, clamping), so the hash match pins the clamp
+    behavior over ~7 years of real order dates including leap years —
+    the aggregates sum DAY-OF-MONTH of every shifted date, which any
+    clamp divergence perturbs immediately.  All pure column expressions;
+    whole-stage codegen, no shuffle beyond the final group."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.dayofmonth(F.add_months("o_orderdate", 1)))
+            .cast("long")
+            .alias("sum_day_p1m"),
+            F.sum(F.dayofmonth(F.add_months("o_orderdate", -3)))
+            .cast("long")
+            .alias("sum_day_m3m"),
+            F.sum(F.dayofmonth(F.last_day("o_orderdate")))
+            .cast("long")
+            .alias("sum_day_eom"),
+            F.countDistinct(F.trunc("o_orderdate", "month"))
+            .cast("long")
+            .alias("n_months"),
+            F.sum(
+                F.dayofmonth(F.last_day("o_orderdate"))
+                - F.dayofmonth("o_orderdate")
+            )
+            .cast("long")
+            .alias("sum_days_to_eom"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -683,3 +683,72 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 conf.set(k, v)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Forward / nearest as-of join
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = """
+WITH j AS (
+  SELECT e.event_id, e.ts,
+         max(CASE WHEN o.o_orderdate <= e.ts THEN o.o_orderdate END)
+           AS prev_date,
+         min(CASE WHEN o.o_orderdate >  e.ts THEN o.o_orderdate END)
+           AS next_date
+  FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey
+  GROUP BY e.event_id, e.ts
+)
+SELECT event_id, prev_date, next_date,
+       CASE WHEN prev_date IS NULL THEN next_date
+            WHEN next_date IS NULL THEN prev_date
+            WHEN epoch_us(ts) - epoch_us(CAST(prev_date AS TIMESTAMP))
+                 <= epoch_us(CAST(next_date AS TIMESTAMP)) - epoch_us(ts)
+            THEN prev_date ELSE next_date END AS nearest_date
+FROM j
+"""
+
+
+@register("join_asof_forward", oracle=_ASOF_FWD_ORACLE, tier="T2")
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward and NEAREST as-of joins — the two directions pandas'
+    merge_asof offers beyond the default backward match that join_asof
+    covers: for each event, the first same-user order strictly AFTER the
+    event (forward) and whichever of backward/forward is temporally
+    closer (nearest; ties break to the earlier date via <= on exact
+    integer microsecond distances, so the winner is bit-deterministic).
+
+    Formulation: ONE equi-join on the user key + conditional min/max
+    aggregation — both directions computed in the same hash-join +
+    hash-agg pass, no window sort, no second scan.  The oracle replays
+    the definition from first principles (DuckDB's native ASOF only
+    walks backward).
+
+    Scale shape: identical to join_asof — shuffle on user_id only; at a
+    fact×fact scale where per-user order history is huge, the same
+    month-bucket pre-aggregation as join_asof_bucketed applies to BOTH
+    directions (max-per-earlier-bucket / min-per-later-bucket)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    j = e.join(o, e.user_id == o.o_custkey, "left")
+    agg = j.groupBy("event_id", "ts").agg(
+        F.max(
+            F.when(F.col("o_orderdate") <= F.col("ts"), F.col("o_orderdate"))
+        ).alias("prev_date"),
+        F.min(
+            F.when(F.col("o_orderdate") > F.col("ts"), F.col("o_orderdate"))
+        ).alias("next_date"),
+    )
+    us = F.unix_micros
+    back_gap = us(F.col("ts")) - us(F.col("prev_date").cast("timestamp"))
+    fwd_gap = us(F.col("next_date").cast("timestamp")) - us(F.col("ts"))
+    return agg.select(
+        "event_id",
+        "prev_date",
+        "next_date",
+        F.when(F.col("prev_date").isNull(), F.col("next_date"))
+        .when(F.col("next_date").isNull(), F.col("prev_date"))
+        .when(back_gap <= fwd_gap, F.col("prev_date"))
+        .otherwise(F.col("next_date"))
+        .alias("nearest_date"),
+    )

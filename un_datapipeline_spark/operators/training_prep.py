@@ -981,3 +981,72 @@ def llm_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair mining (DPO/RLHF reward-pair construction)
+# ---------------------------------------------------------------------------
+
+_PREF_ORACLE = """
+WITH feat AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              w -> list_contains(['the','and','of','to','a','in','is','it'],
+                                 w))) AS BIGINT) AS n_stop
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, 5 * n_stop + n_words AS score,
+         (5 * n_stop + n_words) * 10000000 + doc_id AS rank_key
+  FROM feat
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)            AS n_candidates,
+       CAST(max_by(doc_id, rank_key) AS BIGINT) AS chosen_doc,
+       CAST(min_by(doc_id, rank_key) AS BIGINT) AS rejected_doc,
+       CAST(max(score) AS BIGINT)          AS chosen_score,
+       CAST(min(score) AS BIGINT)          AS rejected_score,
+       CAST(max(score) - min(score) AS BIGINT) AS margin
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+@register("llm_preference_pairs", oracle=_PREF_ORACLE, tier="T3")
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining — the data-prep step for DPO/RLHF reward
+    training: within each group (source here; prompt-id in production)
+    pick the highest- and lowest-scored response as the (chosen,
+    rejected) pair and report the score margin.  Ranking uses a
+    composite BIGINT key score·10^7 + doc_id, so arg-max/arg-min are
+    bit-deterministic under ties WITHOUT struct-valued min_by/max_by
+    (which DuckDB rejects — the etl_scd3_prev_value lesson).
+
+    Scale shape: one hash aggregate on the group key — score is a pure
+    column expression, chosen/rejected are max_by/min_by (partial-agg
+    friendly, no window sort, no per-group collect).  At 100 TB with
+    millions of prompt groups this stays a single shuffle whose keys
+    are the group ids."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    stoplist = F.array(*[F.lit(w) for w in
+                         ("the", "and", "of", "to", "a", "in", "is", "it")])
+    n_words = F.size(words).cast("long")
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stoplist, w))).cast(
+        "long"
+    )
+    score = (F.lit(5) * n_stop + n_words).alias("score")
+    scored = d.select("doc_id", "source", score).withColumn(
+        "rank_key", F.col("score") * 10000000 + F.col("doc_id")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max_by("doc_id", "rank_key").cast("long").alias("chosen_doc"),
+            F.min_by("doc_id", "rank_key").cast("long").alias("rejected_doc"),
+            F.max("score").cast("long").alias("chosen_score"),
+            F.min("score").cast("long").alias("rejected_score"),
+            (F.max("score") - F.min("score")).cast("long").alias("margin"),
+        )
+        .orderBy("source")
+    )

@@ -318,3 +318,65 @@ def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInArrow(kernel, "l_returnflag string, n long, cents long, max_qty long")
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: zero-pandas whole-partition Arrow transform
+# ---------------------------------------------------------------------------
+
+_MAP_ARROW_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(sum(len(props)) AS BIGINT) AS props_chars
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("udf_map_arrow", oracle=_MAP_ARROW_ORACLE, tier="T2")
+def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the NON-grouped member of the Arrow UDF family
+    (udf_grouped_arrow covers applyInArrow, udf_pandas_scalar the pandas
+    lane): each partition streams through Python as raw
+    pyarrow.RecordBatch objects with zero pandas materialization, the
+    kernel computes integer cents and props-length via pyarrow.compute
+    (vectorized C++, no per-row Python), and the post-map aggregation
+    stays JVM-side.  Output arrays are explicitly typed — the
+    applyInArrow lesson (pa.array(..., type=...)) applies here too.
+
+    Scale shape: one Arrow IPC pass per partition, constant-memory
+    batch streaming (spark.sql.execution.arrow.maxRecordsPerBatch), no
+    shuffle added — the cheapest possible Python escape hatch when a
+    kernel genuinely needs Python but not pandas."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value", "props")
+
+    def kernel(batches):
+        for b in batches:
+            cents = pc.round(pc.multiply(b.column("value"), 100.0))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("event_type"),
+                    pa.array(
+                        pc.cast(cents, pa.int64()).to_pylist(), type=pa.int64()
+                    ),
+                    pc.cast(pc.utf8_length(b.column("props")), pa.int64()),
+                ],
+                names=["event_type", "cents", "props_chars"],
+            )
+
+    mapped = e.mapInArrow(
+        kernel, "event_type string, cents long, props_chars long"
+    )
+    return (
+        mapped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.sum("props_chars").cast("long").alias("props_chars"),
+        )
+        .orderBy("event_type")
+    )

@@ -489,3 +489,68 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, o_orderkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Native batch session_window
+# ---------------------------------------------------------------------------
+
+_SESSION_NATIVE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), islands AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts)                          AS session_start,
+       max(ts) + INTERVAL 30 MINUTE     AS session_end,
+       CAST(count(*) AS BIGINT)         AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM islands
+GROUP BY user_id, sess_id
+ORDER BY user_id, session_start
+"""
+
+
+@register("win_session_native", oracle=_SESSION_NATIVE_ORACLE, tier="T2")
+def win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH session windows through the engine-native session_window()
+    grouping expression (the same operator Structured Streaming uses,
+    applied to a static frame): one groupBy(user_id, session_window(ts,
+    '30 minutes')) — no lag/island bookkeeping in user code.  The oracle
+    derives the sessions from first principles (gaps-and-islands with the
+    ≥-gap boundary rule), so the hash match pins the engine's exact merge
+    semantics: an event at exactly start+gap does NOT extend the session
+    (session ranges are half-open [start, last+gap)).
+
+    Scale shape: session_window is a single hash shuffle on user_id
+    followed by a per-key in-memory merge — same cost as the window
+    formulation but fused into one operator, and IDENTICAL code batch vs
+    streaming, which is the point: backfill and live path share
+    semantics by construction."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "cents",
+        )
+        .orderBy("user_id", "session_start")
+    )
