@@ -470,3 +470,68 @@ def test_brp_lsh_recall(spark, sf_t2):
         len(s) for s in exact5.values()
     )
     assert overlap >= 0.7, f"BRP top-5 overlap too low: {overlap}"
+
+
+def test_mg_survivor_superset(spark, sf_t2):
+    """Misra-Gries guarantee behind agg_heavy_hitters_mg's exactness:
+    every word with global frequency > N/slots — in particular each true
+    top-10 word — must appear among the stage-1 survivors."""
+    from un_datapipeline_spark.operators.aggregations import mg_survivors
+
+    d = load_table(spark, sf_t2, "documents")
+    words = d.select(F.explode(F.split(F.lower("text"), " ")).alias("w")).filter(
+        F.col("w").rlike("^[a-z]+$")
+    )
+    surv = {r.w for r in mg_survivors(words).distinct().collect()}
+    top10 = [
+        r.w
+        for r in words.groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), "w")
+        .limit(10)
+        .collect()
+    ]
+    missing = [w for w in top10 if w not in surv]
+    assert not missing, f"true heavy hitters lost by MG: {missing}"
+
+
+def test_lttb_shape_invariants(spark, sf_t2):
+    """ts_lttb_downsample (hash-matched) structural properties: exactly
+    K points per series in bucket order, endpoints pinned, every kept
+    point is a real point of the daily series."""
+    from un_datapipeline_spark.registry import all_operators
+    from un_datapipeline_spark.operators.time_series import _LTTB_K
+
+    fn = all_operators()["ts_lttb_downsample"].fn
+    rows = fn(spark, sf_t2).collect()
+    by_series: dict[str, list] = {}
+    for r in rows:
+        by_series.setdefault(r.event_type, []).append(r)
+    e = load_table(spark, sf_t2, "events")
+    daily = {
+        (r.event_type, r.x, r.y)
+        for r in e.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .collect()
+    }
+    xs = sorted({x for (_, x, _) in daily})
+    for et, sel in by_series.items():
+        sel.sort(key=lambda r: r.sel_order)
+        assert len(sel) == _LTTB_K
+        assert [r.sel_order for r in sel] == list(range(_LTTB_K))
+        series_x = sorted(x for (t, x, _) in daily if t == et)
+        assert sel[0].x_day == series_x[0], "first point must be pinned"
+        assert sel[-1].x_day == series_x[-1], "last point must be pinned"
+        for r in sel:
+            assert (et, r.x_day, r.y_cents) in daily, "kept point not in series"
+        assert [r.x_day for r in sel] == sorted(r.x_day for r in sel)
+    assert xs, "daily grid empty"

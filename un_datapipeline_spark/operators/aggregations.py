@@ -11,7 +11,7 @@ aggregates are wrapped in ROUND on BOTH the Spark and oracle side
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
@@ -1041,3 +1041,176 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(var_pop, 1.5), 6).alias("skewness"),
         F.round(m4 / F.pow(var_pop, 2.0) - 3.0, 6).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (bounded-memory mergeable sketch + exact verify)
+# ---------------------------------------------------------------------------
+
+_MG_SLOTS = 256
+_MG_TOPN = 10
+
+_MG_ORACLE = f"""
+WITH words AS (
+  SELECT lower(w) AS w
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$')
+)
+SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+FROM words GROUP BY w
+ORDER BY n DESC, w LIMIT {_MG_TOPN}
+"""
+
+
+def mg_survivors(words: "DataFrame", slots: int = _MG_SLOTS) -> "DataFrame":
+    """Per-partition Misra-Gries: stream each partition's words through a
+    `slots`-entry counter table (decrement-all when full), emitting the
+    surviving candidates.  Any word with global frequency > N/slots is
+    GUARANTEED to survive in at least one partition (pigeonhole over the
+    per-partition guarantee), so the union of survivors is a superset of
+    every true heavy hitter — with at most slots × n_partitions rows."""
+    import pandas as pd
+
+    def kernel(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["w"]:
+                if w in counts:
+                    counts[w] += 1
+                elif len(counts) < slots:
+                    counts[w] = 1
+                else:
+                    dead = [k for k in counts if counts[k] == 1]
+                    for k in counts:
+                        counts[k] -= 1
+                    for k in dead:
+                        del counts[k]
+        yield pd.DataFrame({"w": list(counts.keys())})
+
+    return words.mapInPandas(kernel, "w string")
+
+
+@register("agg_heavy_hitters_mg", oracle=_MG_ORACLE, tier="T3")
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter words via the Misra-Gries summary — the
+    bounded-memory alternative to a full distributed count when the key
+    cardinality is huge: stage 1 streams every partition through a
+    256-slot MG counter (mapInPandas, O(slots) memory regardless of
+    vocabulary size), stage 2 re-counts ONLY the surviving candidates
+    exactly (broadcast semi-join against the survivor set) and keeps the
+    top 10 by (count DESC, word).
+
+    The MG guarantee makes the output EXACT, not approximate: any word
+    with frequency > N/256 must survive stage 1, and the real top-10
+    words (stopwords at ≈N/50 each) clear that bar with an order of
+    magnitude to spare — so the recounted top-10 equals the true top-10
+    and the driver hash-matches it against the brute-force oracle
+    (tests/test_llm_invariants.py::test_mg_survivor_superset asserts the
+    superset property itself).
+
+    Scale shape: stage 1 is one scan with constant memory and NO
+    shuffle; stage 2 shuffles only candidate-matching words (≤ slots ×
+    partitions keys).  Compare agg_approx_topk (engine sketch,
+    approximate counts) — MG + recount trades a second scan for
+    exactness."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+    )
+    surv = mg_survivors(words).distinct()
+    exact = (
+        words.join(F.broadcast(surv), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.select(F.col("w").alias("word"), F.col("n").cast("long"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(_MG_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median / weighted percentiles (exact, running-weight formulation)
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+), cum AS (
+  SELECT l_returnflag, price_c, wt,
+         sum(wt) OVER (PARTITION BY l_returnflag
+                       ORDER BY price_c, wt
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM w
+)
+SELECT l_returnflag,
+       CAST(min(tw) AS BIGINT) AS total_weight,
+       ROUND(min(CASE WHEN 2 * cw >= tw     THEN price_c END) / 100.0, 4)
+         AS w_median,
+       ROUND(min(CASE WHEN 4 * cw >= tw     THEN price_c END) / 100.0, 4)
+         AS w_p25,
+       ROUND(min(CASE WHEN 4 * cw >= 3 * tw THEN price_c END) / 100.0, 4)
+         AS w_p75
+FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("agg_weighted_median", oracle=_WMEDIAN_ORACLE, tier="T2")
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median and weighted quartiles — percentile where each
+    row counts `weight` times (price weighted by quantity here; at 100 TB
+    think latency weighted by request count): sort by value, accumulate
+    the running weight, and the p-quantile is the FIRST value whose
+    cumulative weight reaches p of the total.
+
+    Determinism lane: prices are integer cents, weights integer
+    quantities, and the threshold tests are cross-multiplied
+    (2·cw ≥ tw, never cw ≥ tw·0.5) so every comparison is exact BIGINT
+    arithmetic — no float boundary can flip the selected row; the
+    secondary sort key wt makes the running order total.
+
+    Scale shape: one window (partitioned by group, ordered by value) +
+    one hash agg — the same cost envelope as win_running_sum.  No
+    engine-native weighted percentile exists in either engine, so both
+    sides derive it from first principles; the conditional-min trick
+    extracts all three quantiles in ONE pass instead of three self
+    joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    pick = lambda cond: F.min(F.when(cond, F.col("price_c")))  # noqa: E731
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.min("tw").cast("long").alias("total_weight"),
+            F.round(pick(2 * F.col("cw") >= F.col("tw")) / 100.0, 4).alias(
+                "w_median"
+            ),
+            F.round(pick(4 * F.col("cw") >= F.col("tw")) / 100.0, 4).alias("w_p25"),
+            F.round(pick(4 * F.col("cw") >= 3 * F.col("tw")) / 100.0, 4).alias(
+                "w_p75"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1054,3 +1054,69 @@ def etl_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style table fingerprint (cross-system reconciliation digest)
+# ---------------------------------------------------------------------------
+
+_FPRINT_ORACLE = """
+WITH rows_h AS (
+  SELECT doc_id, doc_id % 16 AS bucket,
+         md5(CAST(doc_id AS STRING) || '|' || lang || '|' || source || '|'
+             || CAST(n_chars AS STRING) || '|' || md5(text)) AS row_h
+  FROM documents
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       md5(string_agg(row_h, '' ORDER BY doc_id)) AS bucket_digest
+FROM rows_h GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("etl_table_fingerprint", oracle=_FPRINT_ORACLE, tier="T2")
+def etl_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style table fingerprint — the digest two systems exchange
+    to verify a replicated/migrated table WITHOUT shipping rows: each
+    row hashes its full content (md5 over a canonical field serialization
+    with the text column pre-hashed), rows land in key-hash buckets, and
+    each bucket's digest is the md5 of its rows' hashes in key order.
+    Compare 16 digests instead of N rows; a mismatched bucket narrows
+    the diff to 1/16th of the table (recurse for binary search —
+    exactly how cross-region replication audits localize drift).
+
+    Determinism lane: md5 is engine-portable (unlike xxhash64 /
+    mono_id), the serialization is an explicit delimiter-joined string
+    on both sides, and the in-bucket concat order is pinned by doc_id —
+    ordered-fold lane, same discipline as agg_listagg_sorted.
+
+    Scale shape: one scan + one hash agg on the bucket key; bucket
+    count scales with the table (65k buckets for a 100 TB table keeps
+    digests cheap and drill-down fine-grained).  The ordered string_agg
+    within a bucket is the only sort, bounded by bucket size."""
+    d = load_table(spark, sf_dir, "documents")
+    row_h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            "lang",
+            "source",
+            F.col("n_chars").cast("string"),
+            F.md5("text"),
+        )
+    )
+    rows_h = d.select(
+        (F.col("doc_id") % 16).cast("long").alias("bucket"),
+        F.col("doc_id").alias("doc_id"),
+        row_h.alias("row_h"),
+    )
+    return (
+        rows_h.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.md5(
+                F.expr("listagg(row_h, '') WITHIN GROUP (ORDER BY doc_id)")
+            ).alias("bucket_digest"),
+        )
+        .orderBy("bucket")
+    )

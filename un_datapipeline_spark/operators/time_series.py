@@ -554,3 +554,251 @@ def ts_local_day_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("local_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (largest-triangle-three-buckets), exact-integer areas
+# ---------------------------------------------------------------------------
+
+_LTTB_K = 10  # points kept per series (first + 8 bucket picks + last)
+
+
+def _lttb_oracle() -> str:
+    """Unrolled first-principles LTTB in plain SQL: the sequential
+    selection (each pick depends on the previous one) is replayed as
+    K-2 chained CTEs, one per bucket — window argmax per step, exact
+    integer areas, no recursion needed because K is a constant."""
+    b_cnt = _LTTB_K - 2
+    parts = [
+        f"""
+WITH pts AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS x,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), seq AS (
+  SELECT event_type, x, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+         count(*)    OVER (PARTITION BY event_type)             AS n
+  FROM pts
+), firstp AS (SELECT event_type, x, y FROM seq WHERE rn = 1),
+lastp  AS (SELECT event_type, x, y FROM seq WHERE rn = n),
+interior AS (
+  SELECT event_type, x, y,
+         CAST(((rn - 2) * {b_cnt}) // (n - 2) AS BIGINT) AS b
+  FROM seq WHERE rn > 1 AND rn < n
+), cent AS (
+  SELECT event_type, b, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+  FROM interior GROUP BY event_type, b
+)"""
+    ]
+    for b in range(b_cnt):
+        prev = "firstp" if b == 0 else f"s{b - 1}"
+        if b < b_cnt - 1:
+            anchor = (
+                f"(SELECT event_type, c, sx, sy FROM cent WHERE b = {b + 1})"
+            )
+        else:
+            anchor = (
+                "(SELECT event_type, CAST(1 AS BIGINT) AS c, x AS sx,"
+                " y AS sy FROM lastp)"
+            )
+        parts.append(
+            f""", s{b} AS (
+  SELECT event_type, x, y FROM (
+    SELECT c.event_type, c.x, c.y,
+           row_number() OVER (PARTITION BY c.event_type ORDER BY
+             abs((p.x * a.c - a.sx) * (c.y - p.y)
+                 - (p.x - c.x) * (a.sy - p.y * a.c)) DESC,
+             c.x ASC) AS rk
+    FROM interior c
+    JOIN {prev} p ON p.event_type = c.event_type
+    JOIN {anchor} a ON a.event_type = c.event_type
+    WHERE c.b = {b}
+  ) WHERE rk = 1
+)"""
+        )
+    unions = ["SELECT event_type, CAST(0 AS BIGINT) AS sel_order, x AS x_day, y AS y_cents FROM firstp"]
+    unions += [
+        f"SELECT event_type, CAST({b + 1} AS BIGINT), x, y FROM s{b}"
+        for b in range(b_cnt)
+    ]
+    unions.append(
+        f"SELECT event_type, CAST({_LTTB_K - 1} AS BIGINT), x, y FROM lastp"
+    )
+    return (
+        "".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(unions)
+        + "\nORDER BY event_type, sel_order"
+    )
+
+
+@register("ts_lttb_downsample", oracle=_lttb_oracle(), tier="T3")
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB (largest-triangle-three-buckets) downsampling — the standard
+    visual-fidelity reduction for dashboard rendering: each daily
+    cents series per event_type is reduced to K=10 points (endpoints
+    pinned; each of the K-2 interior buckets keeps the point forming the
+    largest triangle with the PREVIOUSLY kept point and the next
+    bucket's centroid).
+
+    Determinism lane: all coordinates are integers (day offsets,
+    summed cents) and the triangle area is kept in the integer domain by
+    scaling through the next-bucket count c instead of dividing for the
+    centroid — A' = |(x_prev·c − Σx)(y_i − y_prev) − (x_prev − x_i)
+    (Σy − y_prev·c)| — so the argmax (ties → smaller x) is
+    bit-deterministic and the driver hash-matches it.  The oracle
+    replays the sequential selection as K-2 chained window-argmax CTEs
+    (unrolled — K is a constant, so no recursion is needed).
+
+    Scale shape: the per-day pre-aggregation is one distributed hash
+    agg; the O(n·K) selection runs inside applyInPandas keyed by series
+    — embarrassingly parallel across the MILLIONS of series a real
+    metrics store holds, with each group a tiny (n≈30-row) numpy
+    problem.  A series too big for one task would be pre-thinned by a
+    coarser daily/hourly rollup first (ts_multires_rollup)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    )
+
+    K = _LTTB_K
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x").reset_index(drop=True)
+        x = pdf["x"].to_numpy(np.int64)
+        y = pdf["y"].to_numpy(np.int64)
+        n = len(x)
+        if n <= K:
+            sel = list(range(n))
+        else:
+            m = n - 2
+            B = K - 2
+            bucket = (np.arange(m, dtype=np.int64) * B) // m  # interior buckets
+            sel = [0]
+            for b in range(B):
+                idx = np.nonzero(bucket == b)[0] + 1  # absolute indices
+                if b < B - 1:
+                    nxt = np.nonzero(bucket == b + 1)[0] + 1
+                    c, sx, sy = len(nxt), int(x[nxt].sum()), int(y[nxt].sum())
+                else:
+                    c, sx, sy = 1, int(x[n - 1]), int(y[n - 1])
+                px, py = int(x[sel[-1]]), int(y[sel[-1]])
+                areas = np.abs(
+                    (px * c - sx) * (y[idx] - py) - (px - x[idx]) * (sy - py * c)
+                )
+                sel.append(int(idx[int(np.argmax(areas))]))  # ties -> smaller x
+            sel.append(n - 1)
+        out = pdf.iloc[sel].reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"],
+                "sel_order": np.arange(len(sel), dtype=np.int64),
+                "x_day": out["x"].to_numpy(np.int64),
+                "y_cents": out["y"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            lttb, "event_type string, sel_order long, x_day long, y_cents long"
+        )
+        .orderBy("event_type", "sel_order")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation (lead/lag discovery between two series)
+# ---------------------------------------------------------------------------
+
+_XCORR_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY event_type, CAST(ts AS DATE)
+), a AS (SELECT d, cents FROM daily WHERE event_type = 'view'),
+b AS (SELECT d, cents FROM daily WHERE event_type = 'purchase'),
+lags AS (SELECT CAST(k AS BIGINT) AS lag FROM generate_series(-3, 3) t(k)),
+joined AS (
+  SELECT l.lag, a.cents AS av, b.cents AS bv
+  FROM lags l
+  JOIN a ON TRUE
+  JOIN b ON b.d = a.d + CAST(l.lag AS INT)
+), mom AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(av) AS BIGINT) AS sa, CAST(sum(bv) AS BIGINT) AS sb,
+         CAST(sum(av * av) AS BIGINT) AS saa,
+         CAST(sum(bv * bv) AS BIGINT) AS sbb,
+         CAST(sum(av * bv) AS BIGINT) AS sab
+  FROM joined GROUP BY lag
+)
+SELECT lag, n,
+       ROUND((n * sab - sa * sb)
+             / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                    * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS r
+FROM mom ORDER BY lag
+"""
+
+
+@register("ts_cross_correlation_lagged", oracle=_XCORR_ORACLE, tier="T2")
+def ts_cross_correlation_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two daily series (view cents vs
+    purchase cents, lags −3..+3 days) — the lead/lag-discovery primitive
+    behind marketing-attribution and leading-indicator analyses: the lag
+    maximizing r tells you how many days one series leads the other.
+
+    Determinism lane: closed-form-over-moments — all five sums are
+    exact BIGINTs per lag, Pearson r is ONE double expression over them
+    (no accumulation-order exposure), rounded to 6dp on both sides.
+
+    Scale shape: the daily pre-aggregation shrinks the fact table to
+    series-length rows; the 7-lag shift-join is an equi-join on the
+    shifted day key (lags × days rows total).  At 100 TB the same
+    pattern runs per (series-pair, lag) with the pre-agg doing all the
+    data reduction — the join never touches raw events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    a = daily.filter(F.col("event_type") == "view").select(
+        F.col("d").alias("ad"), F.col("cents").alias("av")
+    )
+    b = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("d").alias("bd"), F.col("cents").alias("bv")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    joined = lags.join(a).join(
+        b, F.col("bd") == F.date_add(F.col("ad"), F.col("lag").cast("int"))
+    )
+    mom = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("av").cast("long").alias("sa"),
+        F.sum("bv").cast("long").alias("sb"),
+        F.sum(F.col("av") * F.col("av")).cast("long").alias("saa"),
+        F.sum(F.col("bv") * F.col("bv")).cast("long").alias("sbb"),
+        F.sum(F.col("av") * F.col("bv")).cast("long").alias("sab"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    den = F.sqrt(
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+        * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    )
+    return mom.select(
+        "lag", "n", F.round(num / den, 6).alias("r")
+    ).orderBy("lag")

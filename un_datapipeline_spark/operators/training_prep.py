@@ -1050,3 +1050,151 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted dataset interleave schedule (stride scheduling)
+# ---------------------------------------------------------------------------
+
+_INTERLEAVE_N = 200
+
+_INTERLEAVE_ORACLE = f"""
+WITH weighted AS (
+  SELECT doc_id, source,
+         (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4) + 1 AS w
+  FROM documents
+), strided AS (
+  SELECT doc_id, source, w,
+         (2 * row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+           * (12 // w) AS vtime
+  FROM weighted
+), prefix AS (
+  SELECT * FROM strided ORDER BY vtime, source, doc_id LIMIT {_INTERLEAVE_N}
+)
+SELECT source,
+       CAST(min(w) AS BIGINT)      AS w,
+       CAST(count(*) AS BIGINT)    AS n_in_prefix,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(sum(vtime) AS BIGINT)  AS vtime_sum
+FROM prefix GROUP BY source ORDER BY source
+"""
+
+
+@register("llm_interleave_schedule", oracle=_INTERLEAVE_ORACLE, tier="T3")
+def llm_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset interleaving — the deterministic mixing schedule
+    a training loader uses to draw from N corpora at fixed ratios
+    (tf.data sample_from_datasets / Megatron blend, without RNG): stride
+    scheduling assigns the k-th item of a weight-w source the virtual
+    time (2k−1)/2w, and reading in virtual-time order yields each source
+    at a rate proportional to its weight with bounded burstiness
+    (±1 item of the ideal ratio — the classic lottery/stride result).
+
+    Determinism lane: weights ∈ {{1..4}} divide 12 exactly, so
+    vtime = (2k−1)·(12/w) is pure BIGINT — the schedule's order,
+    hash-matched over the first {_INTERLEAVE_N} slots, is
+    bit-reproducible (resume-safe, seed-free).
+
+    Scale shape: per-source row_number windows are partitioned (no
+    global sort of the corpus); the global prefix is a TakeOrdered top-k,
+    not a full ORDER BY — so the audit stays scale-safe, and a real
+    loader would stream the merge (k-way heap on vtime) rather than
+    materialize it."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        F.regexp_extract("source", "([0-9]+)", 1).cast("long") % 4 + 1
+    ).alias("w")
+    weighted = d.select("doc_id", "source", w)
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    strided = weighted.withColumn(
+        "vtime", (2 * rn - 1) * (F.lit(12) / F.col("w")).cast("long")
+    )
+    prefix = strided.orderBy("vtime", "source", "doc_id").limit(_INTERLEAVE_N)
+    return (
+        prefix.groupBy("source")
+        .agg(
+            F.min("w").cast("long").alias("w"),
+            F.count(F.lit(1)).alias("n_in_prefix"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.sum("vtime").cast("long").alias("vtime_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chat template application (SFT formatting)
+# ---------------------------------------------------------------------------
+
+_CHAT_ORACLE = """
+WITH paired AS (
+  SELECT source, doc_id, text AS prompt,
+         lead(text)   OVER (PARTITION BY source ORDER BY doc_id) AS response,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS resp_id
+  FROM documents
+), formatted AS (
+  SELECT source, doc_id, resp_id,
+         '<|system|>' || chr(10) || 'You are a helpful assistant.' || chr(10)
+         || '<|user|>' || chr(10) || prompt || chr(10)
+         || '<|assistant|>' || chr(10) || response || '<|end|>' AS sample
+  FROM paired WHERE response IS NOT NULL
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)          AS n_samples,
+       CAST(sum(len(sample)) AS BIGINT)  AS chars_total,
+       md5(string_agg(md5(sample), '' ORDER BY doc_id)) AS corpus_digest,
+       CAST(min(doc_id) AS BIGINT)       AS first_prompt,
+       CAST(max(resp_id) AS BIGINT)      AS last_response
+FROM formatted GROUP BY source ORDER BY source
+"""
+
+
+@register("llm_chat_template_apply", oracle=_CHAT_ORACLE, tier="T3")
+def llm_chat_template_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template application — the SFT formatting stage that turns
+    (prompt, response) pairs into the exact token-stream text a chat
+    model trains on (system/user/assistant role markers, explicit
+    terminator).  Pairs come from consecutive docs per source via ONE
+    lead() window (in production: conversation turns per thread_id);
+    the audit digests every formatted sample (md5, concatenated in
+    doc_id order, re-hashed) so the hash match certifies BYTE-exact
+    template output — a one-character template drift (the classic
+    silent SFT bug) flips the digest.
+
+    Scale shape: one partitioned window (no global sort) + string
+    concat column expressions + one hash agg; the per-source digest is
+    the ordered-fold lane of etl_table_fingerprint applied to the
+    formatted corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    paired = d.select(
+        "source",
+        "doc_id",
+        F.col("text").alias("prompt"),
+        F.lead("text").over(w).alias("response"),
+        F.lead("doc_id").over(w).alias("resp_id"),
+    ).filter(F.col("response").isNotNull())
+    nl = F.lit("\n")
+    sample = F.concat(
+        F.lit("<|system|>"), nl, F.lit("You are a helpful assistant."), nl,
+        F.lit("<|user|>"), nl, F.col("prompt"), nl,
+        F.lit("<|assistant|>"), nl, F.col("response"), F.lit("<|end|>"),
+    )
+    formatted = paired.select(
+        "source", "doc_id", "resp_id", sample.alias("sample")
+    )
+    return (
+        formatted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.length("sample")).cast("long").alias("chars_total"),
+            F.md5(
+                F.expr(
+                    "listagg(md5(sample), '') WITHIN GROUP (ORDER BY doc_id)"
+                )
+            ).alias("corpus_digest"),
+            F.min("doc_id").cast("long").alias("first_prompt"),
+            F.max("resp_id").cast("long").alias("last_response"),
+        )
+        .orderBy("source")
+    )
