@@ -211,3 +211,47 @@ def test_semdedup_prune_is_grouped_per_cluster(spark, sf_smoke):
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan  # no pairwise join anywhere — clustering + grouped prune only
+
+
+def test_scd2_pit_join_is_hash_keyed(spark, sf_smoke):
+    """join_scd2_pointintime: the validity range must ride as a residual
+    on a KEYED join — a BroadcastNestedLoopJoin here would mean the
+    equality on user_id was lost and the join went quadratic."""
+    plan = plan_of(spark, "join_scd2_pointintime", sf_smoke)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_line_dedup_boiler_set_broadcasts(spark, sf_smoke):
+    """llm_line_dedup_reconstruct: the boilerplate-line set is tiny by
+    construction (df > cap) and must broadcast into both the anti and
+    semi joins — shuffling the full line table against it would add two
+    needless exchanges at corpus scale."""
+    plan = plan_of(spark, "llm_line_dedup_reconstruct", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interleave_prefix_is_take_ordered(spark, sf_smoke):
+    """llm_interleave_schedule: the global schedule prefix must plan as
+    TakeOrderedAndProject (top-k), never a full global Sort of the
+    corpus."""
+    plan = plan_of(spark, "llm_interleave_schedule", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_concurrency_sweep_no_self_join(spark, sf_smoke):
+    """win_concurrency_sweep: the sweep-line formulation must contain NO
+    join at all (the naive interval-overlap self-join is exactly what it
+    replaces) — just a union, a hash agg, and a partitioned window."""
+    plan = plan_of(spark, "win_concurrency_sweep", sf_smoke)
+    for marker in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert marker not in plan, f"unexpected {marker} in sweep plan"
+    assert "Window" in plan

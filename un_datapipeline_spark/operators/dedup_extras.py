@@ -724,3 +724,132 @@ def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("canonical_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc line dedup with document reconstruction (RefinedWeb/CCNet pass)
+# ---------------------------------------------------------------------------
+
+_LINE_W = 4      # words per pseudo-line (flat word-soup corpus has no \n)
+_LINE_DF_CAP = 3  # a line present in more than this many docs is boilerplate
+
+_LINE_DEDUP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), lines AS (
+  SELECT doc_id, source, g,
+         array_to_string(ws[g * {_LINE_W} + 1 : g * {_LINE_W} + {_LINE_W}], ' ')
+           AS line
+  FROM w JOIN generate_series(0, 100) t(g)
+    ON g < CAST(ceil(n / {_LINE_W}.0) AS INT)
+), boiler AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) > {_LINE_DF_CAP}
+), kept AS (
+  SELECT l.doc_id, l.source, l.g, l.line
+  FROM lines l ANTI JOIN boiler b ON l.line = b.line
+), rebuilt AS (
+  SELECT w.doc_id, w.source,
+         coalesce(string_agg(k.line, ' ' ORDER BY k.g), '') AS cleaned
+  FROM w LEFT JOIN kept k ON k.doc_id = w.doc_id
+  GROUP BY w.doc_id, w.source
+)
+SELECT r.source,
+       CAST(count(*) AS BIGINT)                        AS n_docs,
+       CAST((SELECT count(*) FROM lines li WHERE li.source = r.source)
+            AS BIGINT)                                 AS lines_total,
+       CAST((SELECT count(*) FROM lines li
+             WHERE li.source = r.source
+               AND li.line IN (SELECT line FROM boiler)) AS BIGINT)
+         AS lines_removed,
+       CAST(sum(len(cleaned)) AS BIGINT)               AS chars_after,
+       md5(string_agg(md5(cleaned), '' ORDER BY doc_id)) AS corpus_digest
+FROM rebuilt r GROUP BY r.source ORDER BY r.source
+"""
+
+
+@register("llm_line_dedup_reconstruct", oracle=_LINE_DEDUP_ORACLE, tier="T3")
+def llm_line_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document LINE dedup with reconstruction — the
+    RefinedWeb/CCNet boilerplate pass that MODIFIES documents instead of
+    dropping them: chunk each doc into fixed-width pseudo-lines (this
+    corpus is flat word soup, so 4-word chunks stand in for newlines),
+    count each distinct line's document frequency, strip every line
+    appearing in more than {cap} docs (nav bars, cookie banners, shared
+    footers at web scale), and REASSEMBLE the surviving lines in
+    original order.  The per-source digest (md5 of doc-ordered cleaned
+    md5s) makes the hash match certify the rebuilt documents byte-for-
+    byte — not just the removal counts.
+
+    Scale shape: explode to lines (bounded ×n/4), one hash agg for DF,
+    anti-join against the (tiny, broadcastable) boilerplate set, and an
+    ordered within-doc listagg to rebuild — every step keyed, nothing
+    quadratic.  This sits between llm_boilerplate_ngrams (detection
+    only) and llm_dedup_exact (whole-doc) in the dedup ladder: it is
+    the stage that recovers PARTIAL value from contaminated docs."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(words) / float(_LINE_W)).cast("int")
+    lines = (
+        d.select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - 1),
+                    lambda g: F.concat_ws(
+                        " ", F.slice(words, g * _LINE_W + 1, _LINE_W)
+                    ),
+                )
+            ).alias("g", "line"),
+        )
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > _LINE_DF_CAP)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti").select(
+        "doc_id", "g", "line"
+    )
+    rebuilt = (
+        d.select("doc_id", "source")
+        .join(kept, "doc_id", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.coalesce(
+                F.expr("listagg(line, ' ') WITHIN GROUP (ORDER BY g)"), F.lit("")
+            ).alias("cleaned")
+        )
+    )
+    removed = lines.join(F.broadcast(boiler), "line", "left_semi")
+    per_src_lines = lines.groupBy("source").agg(
+        F.count(F.lit(1)).alias("lines_total")
+    )
+    per_src_removed = removed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("lines_removed")
+    )
+    return (
+        rebuilt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("cleaned")).cast("long").alias("chars_after"),
+            F.md5(
+                F.expr("listagg(md5(cleaned), '') WITHIN GROUP (ORDER BY doc_id)")
+            ).alias("corpus_digest"),
+        )
+        .join(per_src_lines, "source")
+        .join(per_src_removed.withColumnRenamed("lines_removed", "lr"), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.col("lines_total").cast("long"),
+            F.coalesce(F.col("lr"), F.lit(0)).cast("long").alias("lines_removed"),
+            "chars_after",
+            "corpus_digest",
+        )
+        .orderBy("source")
+    )

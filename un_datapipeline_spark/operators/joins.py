@@ -752,3 +752,87 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("next_date"))
         .alias("nearest_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join against an SCD2 dimension
+# ---------------------------------------------------------------------------
+
+_SCD2_PIT_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey AS key, c_mktsegment AS segment,
+         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+         CASE WHEN c_custkey % 10 = 0
+              THEN TIMESTAMP '2024-01-15 00:00:00' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'PROMOTED',
+         TIMESTAMP '2024-01-15 00:00:00', NULL
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT d.segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN dim d
+  ON e.user_id = d.key
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+GROUP BY d.segment ORDER BY d.segment
+"""
+
+
+@register("join_scd2_pointintime", oracle=_SCD2_PIT_ORACLE, tier="T2")
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join of facts against an SCD2 dimension — the
+    query side of slowly-changing dimensions: each event joins the
+    dimension VERSION that was valid at the event's timestamp, so facts
+    before the 2024-01-15 re-segmentation report the old segment and
+    facts after it report PROMOTED (the etl_scd2_snapshot maintenance
+    op builds such versions; this op consumes them — every 10th
+    customer has two versions, built identically on both engines).
+
+    Scale shape: an equi-join on the business key carrying the validity
+    range as a residual predicate — Catalyst plans a plain hash join on
+    user_id and evaluates the range post-probe, so this costs exactly
+    one fact-table shuffle (zero if the fact is bucketed on the key).
+    Never a BETWEEN-only theta join: the key equality is what keeps it
+    off the nested-loop path.  Late-arriving facts are handled for free
+    — their older ts simply matches an older version."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    v_from = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    v_cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    v1 = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        v_from.alias("valid_from"),
+        F.when(F.col("c_custkey") % 10 == 0, v_cut).alias("valid_to"),
+    )
+    v2 = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.lit("PROMOTED").alias("segment"),
+            v_cut.alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    dim = v1.unionByName(v2)
+    cond = (
+        (e.user_id == dim.key)
+        & (e.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (e.ts < dim.valid_to))
+    )
+    return (
+        e.join(dim, cond)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("segment")
+    )
