@@ -350,3 +350,218 @@ def llm_watermark_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_marks").alias("n_marks_removed"),
         F.sum("still_marked").alias("n_still_marked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (pointwise mutual information over co-occurrence windows)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_PAIR = 5
+_PMI_TOPK = 25
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, g.i AS pos, words[g.i + 1] AS w
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words,
+               len(string_split(lower(text), ' ')) AS n
+        FROM documents) d
+  JOIN generate_series(0, 200) g(i) ON g.i < n
+), pairs AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+  WHERE a.w < b.w
+  GROUP BY a.w, b.w HAVING count(*) >= {_PMI_MIN_PAIR}
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+SELECT w1, w2, c_ab, u1.c AS c_w1, u2.c AS c_w2,
+       CAST((c_ab * n * 1000000) // (u1.c * u2.c) AS BIGINT) AS pmi_scaled
+FROM pairs
+JOIN uni u1 ON u1.w = pairs.w1
+JOIN uni u2 ON u2.w = pairs.w2
+CROSS JOIN tot
+ORDER BY pmi_scaled DESC, w1, w2 LIMIT {_PMI_TOPK}
+"""
+
+
+@register("llm_pmi_collocations", oracle=_PMI_ORACLE, tier="T3")
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations — the corpus-statistics pass that surfaces
+    multi-word expressions ("new york"-style bound pairs) for tokenizer
+    vocab construction and phrase mining: co-occurrence counts within a
+    3-token forward window, ranked by pointwise mutual information
+    P(a,b)/(P(a)P(b)).
+
+    Determinism lane (scaled rational): the PMI ratio reduces to
+    c_ab·N / (c_a·c_b) — a single integer division after a ×10⁶ scale,
+    so the RANKING key is exact BIGINT (the lane-2 discipline: floats
+    feeding an ORDER BY are where 1 ulp changes membership, so no float
+    is allowed anywhere near the sort).
+
+    Scale shape: tokens explode ×window (bounded ×3 pairs per token via
+    the position-band self-join keyed on doc_id), pair counting is one
+    hash agg, unigram joins hit small aggregated sides, and the top-k is
+    TakeOrdered.  The min-count floor ({_PMI_MIN_PAIR}) bounds the pair
+    table exactly like llm_dedup_ngram_jaccard's df-cap bounds
+    shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    toks = d.select(
+        "doc_id", F.posexplode(words).alias("pos", "w")
+    )
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("w").alias("w1"))
+    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("w").alias("w2"))
+    pairs = (
+        a.join(
+            b,
+            (a.doc_id == b.doc_id)
+            & (F.col("pb") > F.col("pa"))
+            & (F.col("pb") <= F.col("pa") + 3)
+            & (F.col("w1") < F.col("w2")),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_PAIR)
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))
+    return (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_w1",
+            "c_w2",
+            # exact BIGINT division (DIV) — floor(double/double) loses
+            # exactness past 2^53, which sf0.1 magnitudes reach
+            F.expr("(c_ab * n * 1000000) DIV (c_w1 * c_w2)")
+            .cast("long")
+            .alias("pmi_scaled"),
+        )
+        .orderBy(F.col("pmi_scaled").desc(), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (fixed query, closed form over exact counts)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "query", "join")
+_BM25_TOPK = 20
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_term_sql(t: str) -> str:
+    tf = f"len(list_filter(ws, x -> x = '{t}'))"
+    df = f"df_{t}"
+    return (
+        f"ln((n_docs - {df} + 0.5) / ({df} + 0.5) + 1.0)"
+        f" * ({tf} * {1.0 + _BM25_K1})"
+        f" / ({tf} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * n_words / avglen))"
+    )
+
+
+_BM25_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS total_words,
+         sum(n_words) * 1.0 / count(*) AS avglen,
+         {', '.join(
+             f"CAST(sum(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+             for t in _BM25_TERMS)}
+  FROM toked
+)
+SELECT doc_id,
+       {', '.join(
+           f"CAST(len(list_filter(ws, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+           for t in _BM25_TERMS)},
+       n_words,
+       ROUND({' + '.join(_bm25_term_sql(t) for t in _BM25_TERMS)}, 6) AS bm25
+FROM toked CROSS JOIN stats
+ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
+@register("llm_bm25_rank", oracle=_BM25_ORACLE, tier="T3")
+def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking — the lexical-retrieval baseline every RAG stack
+    pairs with vector search (llm_simsearch_* covers the dense side;
+    this is the sparse side): a fixed 3-term query scored with the
+    Robertson/Okapi formula (k1={k1}, b={b}, the +1 idf variant that
+    never goes negative).
+
+    Determinism lane 4: tf, df, doc length and corpus size are exact
+    integers; each term's score is ONE float expression with identical
+    literal structure on both engines, and the 3-term sum is written as
+    a FIXED-ORDER a+b+c (never a row-wise SUM whose accumulation order
+    floats) — so ranking and 6dp scores are bit-reproducible.
+
+    Scale shape: corpus stats (N, avg length, per-term df) reduce to a
+    single broadcastable row; scoring is a scan-side column expression
+    over that row; top-k is TakeOrdered.  An inverted-index engine beats
+    a scan at interactive latency, but for BATCH eval sweeps (score 10k
+    queries over the corpus for retrieval benchmarks) the scan
+    formulation is exactly what a Spark cluster wants."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    toked = d.select(
+        "doc_id",
+        words.alias("ws"),
+        F.size(words).cast("long").alias("n_words"),
+    )
+    stat_aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        (F.sum("n_words") * 1.0 / F.count(F.lit(1))).alias("avglen"),
+    ] + [
+        F.sum(F.when(F.array_contains("ws", t), 1).otherwise(0))
+        .cast("long")
+        .alias(f"df_{t}")
+        for t in _BM25_TERMS
+    ]
+    stats = toked.agg(*stat_aggs)
+    scored = toked.crossJoin(F.broadcast(stats))
+
+    def term_score(t: str):
+        tf = F.size(F.filter("ws", lambda x: x == F.lit(t)))
+        df = F.col(f"df_{t}")
+        idf = F.log(
+            (F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0
+        )
+        return idf * (tf * (1.0 + _BM25_K1)) / (
+            tf
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("n_words") / F.col("avglen"))
+        )
+
+    def eq_term(t: str):
+        # NB: a (x, t=t) two-param lambda would make F.filter pass the
+        # ELEMENT INDEX as the second argument — closure instead.
+        return lambda x: x == F.lit(t)
+
+    t1, t2, t3 = (term_score(t) for t in _BM25_TERMS)
+    out = scored.select(
+        "doc_id",
+        *[
+            F.size(F.filter("ws", eq_term(t))).cast("long").alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+        "n_words",
+        F.round(t1 + t2 + t3, 6).alias("bm25"),
+    )
+    return out.orderBy(F.col("bm25").desc(), "doc_id").limit(_BM25_TOPK)
+
+
+llm_bm25_rank.__doc__ = llm_bm25_rank.__doc__.format(k1=_BM25_K1, b=_BM25_B)

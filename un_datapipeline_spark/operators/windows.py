@@ -641,3 +641,112 @@ def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union (merge overlapping intervals, total coverage)
+# ---------------------------------------------------------------------------
+
+_IUNION_ORACLE = """
+WITH iv AS (
+  SELECT o_orderpriority AS prio, o_orderkey AS k, o_orderdate AS s,
+         CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS e
+  FROM orders
+), flagged AS (
+  SELECT prio, k, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY prio ORDER BY s, e, k
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+              OR max(e) OVER (PARTITION BY prio ORDER BY s, e, k
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islands AS (
+  SELECT prio, s, e,
+         sum(new_island) OVER (PARTITION BY prio ORDER BY s, e, k
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), merged AS (
+  SELECT prio, island, min(s) AS ms, max(e) AS me,
+         CAST(count(*) AS BIGINT) AS n_src
+  FROM islands GROUP BY prio, island
+)
+SELECT prio,
+       CAST(count(*) AS BIGINT) AS n_merged,
+       CAST(sum(date_diff('day', ms, me)) AS BIGINT) AS covered_days,
+       CAST(max(date_diff('day', ms, me)) AS BIGINT) AS longest_run_days,
+       CAST(max(n_src) AS BIGINT) AS biggest_merge
+FROM merged GROUP BY prio ORDER BY prio
+"""
+
+
+@register("win_interval_union", oracle=_IUNION_ORACLE, tier="T2")
+def win_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION — merge overlapping [orderdate, +7d) windows per
+    priority class and measure total covered days — the coverage twin of
+    win_concurrency_sweep (that op asks "how many open at once", this
+    one "how much of the timeline is touched at all"): an interval
+    starts a new island iff its start exceeds the running MAX of all
+    previous ends (not lag(e) — an earlier long interval can swallow
+    several later ones, the classic gaps-and-islands refinement), then
+    islands collapse to (min start, max end).
+
+    Tie discipline (bug caught at sf0.001): duplicate (start, end)
+    intervals at an island boundary carry DIFFERENT flags (first opens
+    the island, second joins it), and the flag window and the
+    island-sum window sort ties INDEPENDENTLY — without a unique key in
+    both ORDER BYs the running sum can pick the other order and shift an
+    interval into the wrong island.  Every window here orders by
+    (s, e, o_orderkey) — the PARITY.md total-order rule.
+
+    Scale shape: one partitioned sort-window for the running max + flag,
+    a running sum for island ids, and two hash aggs — linear, no
+    self-join, the same sweep discipline as the concurrency op.  SLA
+    uptime, sensor coverage, and maintenance-window math at 100 TB are
+    exactly this plan."""
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("s"),
+        F.date_add(F.col("o_orderdate"), 7).alias("e"),
+    )
+    prev = (
+        Window.partitionBy("prio")
+        .orderBy("s", "e", "k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("prio")
+        .orderBy("s", "e", "k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = iv.select(
+        "prio",
+        "k",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(prev).isNull() | (F.col("s") > F.max("e").over(prev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(run))
+    merged = islands.groupBy("prio", "island").agg(
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    return (
+        merged.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_merged"),
+            F.sum(F.datediff("me", "ms")).cast("long").alias("covered_days"),
+            F.max(F.datediff("me", "ms")).cast("long").alias("longest_run_days"),
+            F.max("n_src").cast("long").alias("biggest_merge"),
+        )
+        .orderBy("prio")
+    )
