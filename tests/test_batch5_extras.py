@@ -67,3 +67,70 @@ def test_lateral_topn_group_bound(spark, sf_smoke):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- wave-4 semantic invariants (beyond the shared oracle) ----------------
+
+
+def test_triangle_count_matches_naive_triple_join(spark, sf_smoke):
+    """graph_triangle_count vs a formulation-INDEPENDENT baseline: the
+    Spark op and its DuckDB oracle share the degree-oriented algorithm,
+    so a bug in the orientation logic could hash-match on both sides.
+    This check recounts triangles with the naive id-ordered triple join
+    (a<b<c, three edge lookups) in DuckDB at sf0.001 — different
+    algorithm, same answer required."""
+    from un_datapipeline_spark.registry import all_operators
+    from tests.oracle_diff import duck_connect
+
+    got = all_operators()["graph_triangle_count"].fn(spark, sf_smoke).collect()[0]
+    con = duck_connect(sf_smoke)
+    naive = con.execute(
+        """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2)
+        SELECT count(*) FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        """
+    ).fetchone()[0]
+    assert got["n_triangles"] == naive
+    assert got["global_cc_ppm"] == 3 * naive * 1000000 // got["n_wedges"]
+
+
+def test_leakage_safe_split_is_cluster_consistent(spark, sf_smoke):
+    """llm_leakage_safe_split: every near-dup cluster must land in ONE
+    split (the whole point), splits must partition the corpus, and the
+    audit column must count only multi-member clusters."""
+    import pyspark.sql.functions as F
+
+    from un_datapipeline_spark.operators.training_prep import (
+        llm_leakage_safe_split,
+    )
+    from un_datapipeline_spark.tables import load_table
+
+    out = {r["split"]: r for r in llm_leakage_safe_split(spark, sf_smoke).collect()}
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r["n_docs"] for r in out.values()) == n_docs
+    for r in out.values():
+        # leaks prevented only exist inside multi-member clusters
+        assert r["n_leaks_prevented"] <= r["n_docs_in_multi"]
+        assert r["n_clusters"] <= r["n_docs"]
+
+
+def test_span_corruption_budget_bounds(spark, sf_smoke):
+    """llm_span_corruption: distinct corrupted positions per source are
+    bounded above by spans*3 (overlap only shrinks) and below by 3
+    (every eligible doc corrupts at least one full span), and the rate
+    stays under the theoretical 3/10 + boundary slack."""
+    from un_datapipeline_spark.operators.training_prep import (
+        llm_span_corruption,
+    )
+
+    for r in llm_span_corruption(spark, sf_smoke).collect():
+        assert r["corrupt_total"] <= 3 * r["spans_total"]
+        assert r["corrupt_total"] >= 3 * r["n_docs"]
+        assert r["corrupt_ppm"] <= 320000  # 3/10 + span-boundary slack

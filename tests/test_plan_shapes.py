@@ -255,3 +255,33 @@ def test_concurrency_sweep_no_self_join(spark, sf_smoke):
     ):
         assert marker not in plan, f"unexpected {marker} in sweep plan"
     assert "Window" in plan
+
+
+def test_shuffle_hash_hint_takes_effect(spark, sf_smoke):
+    """join_shuffle_hash: the SHUFFLE_HASH hint must actually produce a
+    ShuffledHashJoin — a silent fallback to SortMergeJoin would make the
+    op a mislabeled duplicate of join_sort_merge."""
+    plan = plan_of(spark, "join_shuffle_hash", sf_smoke)
+    assert "ShuffledHashJoin" in plan
+
+
+def test_triangle_wedges_are_equi_joins(spark, sf_smoke):
+    """graph_triangle_count: wedge expansion and closure must both be
+    KEYED joins (equi on the shared endpoint / the (v, w) pair) — a
+    BroadcastNestedLoopJoin or CartesianProduct would mean the
+    inequality leaked into the join condition and the count went
+    all-pairs quadratic."""
+    plan = plan_of(spark, "graph_triangle_count", sf_smoke)
+    assert "CartesianProduct" not in plan
+    # the single-row stats x tri combine is the only BNLJ allowed; the
+    # node-scale joins must all be hash/sort-merge
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_market_basket_topk_is_take_ordered(spark, sf_smoke):
+    """agg_market_basket: the rule ranking must plan as
+    TakeOrderedAndProject, and the item-count sides must broadcast —
+    the pair table is the only relation allowed to shuffle at scale."""
+    plan = plan_of(spark, "agg_market_basket", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan

@@ -836,3 +836,93 @@ def etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("grp_n").alias("min_group"),
         F.lit(10).cast("long").alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (co-purchase support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 2
+_BASKET_TOPK = 25
+
+_BASKET_ORACLE = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+), item AS (
+  SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM li a JOIN li b
+    ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+)
+SELECT p1, p2, c_ab, i1.c AS c_p1, i2.c AS c_p2,
+       CAST((c_ab * 1000000) // i1.c AS BIGINT) AS conf_ppm,
+       CAST((c_ab * n_orders * 1000000) // (i1.c * i2.c) AS BIGINT)
+         AS lift_ppm
+FROM pairs
+JOIN item i1 ON i1.p = pairs.p1
+JOIN item i2 ON i2.p = pairs.p2
+CROSS JOIN n
+ORDER BY lift_ppm DESC, p1, p2 LIMIT {_BASKET_TOPK}
+"""
+
+
+@register("agg_market_basket", oracle=_BASKET_ORACLE, tier="T2")
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules — the retail / recommendation
+    classic: parts that appear in the SAME order form a candidate rule
+    p1 -> p2, scored by support (co-order count), confidence
+    P(p2|p1), and lift P(p1,p2)/(P(p1)P(p2)), mined top-k by lift.
+
+    Determinism lane (scaled rational, the llm_pmi_collocations
+    discipline): confidence and lift are single integer divisions after
+    a x10^6 scale — c_ab*10^6 DIV c_a and c_ab*N*10^6 DIV (c_a*c_b) —
+    so the ranking key is exact BIGINT and no float comes near the
+    ORDER BY.
+
+    Scale shape: baskets self-join inside an order only (equi-join on
+    l_orderkey; a TPC-H order holds <=17 lines so the pair fan-out is
+    bounded x136 worst-case, x6 typical), pair counting is one hash
+    agg, the min-support floor prunes the rule table before the
+    (broadcast) item-count joins, and the final top-k is
+    TakeOrdered.  The same plan mines co-view / co-click pairs at
+    100 TB — the only knob that moves is the support floor."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, (a.k == b.k) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c_p1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c_p2"))
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        pairs.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "c_ab",
+            "c_p1",
+            "c_p2",
+            F.expr("(c_ab * 1000000) DIV c_p1").cast("long").alias("conf_ppm"),
+            F.expr("(c_ab * n_orders * 1000000) DIV (c_p1 * c_p2)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "p1", "p2")
+        .limit(_BASKET_TOPK)
+    )

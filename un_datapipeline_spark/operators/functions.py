@@ -985,3 +985,44 @@ def fn_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB shared dialect)
+# ---------------------------------------------------------------------------
+
+# One SQL text, executed verbatim by BOTH engines (the fn_recursive_cte
+# contract): GROUP BY ALL infers the grouping set from the non-aggregate
+# select items, ORDER BY ALL sorts by every output column left-to-right.
+_GBALL_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM gba_lineitem
+GROUP BY ALL ORDER BY ALL
+"""
+
+_GBALL_ORACLE = _GBALL_SQL.replace("gba_lineitem", "lineitem")
+
+
+@register("fn_group_by_all", oracle=_GBALL_ORACLE, tier="T2")
+def fn_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the modern-SQL ergonomic surface
+    (DuckDB popularized it; Spark supports both since 3.4/4.0): the
+    grouping key list is INFERRED from the select list's non-aggregate
+    items, and ORDER BY ALL totals-orders the output by every column.
+    The SAME text runs on both engines, so the hash match certifies the
+    inference rule itself — which select items become keys, and the
+    left-to-right ordering contract — not just this query's sums.
+
+    Matters operationally because analysts paste these queries between
+    warehouses; an engine that inferred a different key set would
+    produce silently different grain.  Plan-wise it lowers to exactly
+    the plain hash agg of agg_pricing_summary (partial + final,
+    whole-stage codegen) — sugar, zero physical cost."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "gba_lineitem"
+    )
+    return spark.sql(_GBALL_SQL)

@@ -197,3 +197,139 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "s1", "s2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented compact-forward)
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+), o AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+), od AS (
+  SELECT o.src, o.dst, d.d AS dst_d FROM o JOIN deg d ON d.node = o.dst
+), wedge AS (
+  SELECT w1.dst AS v, w2.dst AS w
+  FROM od w1 JOIN od w2
+    ON w2.src = w1.src
+   AND (w1.dst_d < w2.dst_d OR (w1.dst_d = w2.dst_d AND w1.dst < w2.dst))
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM wedge JOIN o ON o.src = wedge.v AND o.dst = wedge.w
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CAST((3 * n_triangles * 1000000) // n_wedges AS BIGINT)
+         AS global_cc_ppm
+FROM stats CROSS JOIN tri
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE, tier="T2")
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    part co-purchase graph (parts are adjacent iff some order contains
+    both), via DEGREE ORIENTATION — the compact-forward algorithm
+    (Latapy 2008; also the MapReduce formulation in Suri & Vassilvitskii
+    WWW'11): orient every undirected edge from its lower-(degree, id)
+    endpoint to the higher, enumerate wedges only AT the lower endpoint,
+    and close each wedge with one semi-join back to the oriented edges.
+
+    Why orientation matters at 100 TB: wedges at a node grow as
+    outdeg^2, and co-purchase graphs are power-law — a naive
+    lowest-id orientation puts all of a hub's adjacency on the hub
+    (outdeg = deg, quadratic blow-up), while degree orientation caps
+    every outdeg at O(sqrt(edges)), bounding total wedges at
+    O(edges^1.5), the known optimum for exact counting.  Each triangle
+    is counted exactly once (at its lowest-degree corner).
+
+    Scale shape: distinct-pair edge build (bounded x136 per order),
+    two hash aggs for degrees, the wedge expansion is an equi-join on
+    the shared LOW endpoint, and closure is an equi-join on (v, w) —
+    all shuffle-partitioned by node, no driver state.  Wedge/edge/node
+    counts and the x10^6-scaled clustering coefficient come out exact
+    BIGINT."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, (a.k == b.k) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # degree table = one row per node: joined plain (NOT F.broadcast) so
+    # the same plan survives billion-node graphs; AQE picks broadcast
+    # when it fits.
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
+        )
+    )
+    w1 = o.select(F.col("src").alias("s"), F.col("dst").alias("v"),
+                  F.col("dst_d").alias("vd"))
+    w2 = o.select(F.col("src").alias("s"), F.col("dst").alias("w"),
+                  F.col("dst_d").alias("wd"))
+    wedge = w1.join(
+        w2,
+        (w1.s == w2.s)
+        & (
+            (F.col("vd") < F.col("wd"))
+            | ((F.col("vd") == F.col("wd")) & (F.col("v") < F.col("w")))
+        ),
+    ).select("v", "w")
+    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedge.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(d) DIV 2").cast("long").alias("n_edges"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr("(3 * n_triangles * 1000000) DIV n_wedges")
+        .cast("long")
+        .alias("global_cc_ppm"),
+    )

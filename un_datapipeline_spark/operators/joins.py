@@ -836,3 +836,56 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_SHJ_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("join_shuffle_hash", oracle=_SHJ_ORACLE, tier="T2")
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled hash join — the third physical join strategy, completing
+    the matrix next to join_broadcast_dim (BroadcastHashJoin) and
+    join_sort_merge (SortMergeJoin): both sides shuffle on the key, the
+    smaller side builds an in-memory hash table PER PARTITION, the
+    larger streams against it.  Forced via the SHUFFLE_HASH hint
+    (Spark honors it when the per-partition build side fits).
+
+    When it wins at 100 TB: fact-to-mid-size-dim joins where the build
+    side is too big to broadcast but small enough per partition —
+    shuffled hash skips BOTH sort passes that sort-merge pays, and
+    unlike broadcast it never materializes the dim on every executor.
+    The risk knob is build-side skew (one hot key's partition must fit
+    in memory) — mitigated by AQE skew splitting or join_skew_salted's
+    salting.
+
+    The hint targets the ORDERS side (the smaller relation here);
+    tests/test_plan_shapes.py asserts the physical plan actually
+    contains ShuffledHashJoin, not a silent fallback."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -565,3 +565,96 @@ def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 llm_bm25_rank.__doc__ = llm_bm25_rank.__doc__.format(k1=_BM25_K1, b=_BM25_B)
+
+
+# ---------------------------------------------------------------------------
+# Domain routing (keyword-density heuristic)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_STRONG = r"\b(scan|sort|merge|hash|join|query)\b"
+_DOMAIN_WEAK = r"\b(spark|table|window)\b"
+
+
+_DOMAIN_ORACLE = f"""
+WITH scored AS (
+  SELECT source, doc_id, n_chars,
+         CAST(len(regexp_extract_all(lower(text), '{_DOMAIN_STRONG}'))
+              AS BIGINT) AS n_strong,
+         CAST(len(regexp_extract_all(lower(text), '{_DOMAIN_WEAK}'))
+              AS BIGINT) AS n_weak
+  FROM documents
+), banded AS (
+  SELECT source,
+         (n_strong * 2 + n_weak) * 1000000 // greatest(n_chars, 1)
+           AS score_ppm
+  FROM scored
+)
+SELECT CASE WHEN score_ppm >= 110000 THEN 'technical'
+            WHEN score_ppm >= 80000 THEN 'mixed'
+            ELSE 'general' END AS band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(score_ppm) AS BIGINT) AS score_ppm_sum,
+       CAST(min(score_ppm) AS BIGINT) AS score_ppm_min,
+       CAST(max(score_ppm) AS BIGINT) AS score_ppm_max
+FROM banded GROUP BY 1 ORDER BY band
+"""
+
+
+@register("llm_domain_route", oracle=_DOMAIN_ORACLE, tier="T3")
+def llm_domain_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain routing — the corpus-composition gate that tags each
+    document with a domain band so downstream mixture weighting
+    (etl_domain_mixture / llm_interleave_schedule) can rebalance
+    sources: a two-tier keyword-density score (strong markers x2, weak
+    markers x1, per-char x10^6) banded into technical / mixed /
+    general.  The same shape, with a code-marker lexicon (semicolons,
+    braces, def/class/return), is the code-vs-prose router; with a
+    language lexicon it is a fastText-style domain filter — the lexicon
+    is config, the plan is identical.
+
+    Cross-engine hazard pinned here: the scoring regexes run on Java's
+    regex engine in Spark and RE2 in DuckDB — patterns stay inside the
+    shared-semantics subset (alternation + word boundaries, no
+    backrefs/lookaround), and on the Spark side they enter through
+    F.lit, never an F.expr string literal (Spark SQL would eat the \\b
+    as a backspace escape before the regex engine saw it).
+
+    Determinism lane (exact integer): keyword counts are regexp_count
+    integers, the density is one x10^6 integer division by n_chars —
+    band membership can't flip on a float ulp.
+
+    Scale shape: pure column expressions (one scan, no shuffle until
+    the 3-row band agg) — the same shape as llm_quality_score; at
+    100 TB this rides whatever scan the quality funnel already does."""
+    d = load_table(spark, sf_dir, "documents")
+    score = (
+        F.regexp_count(F.lower("text"), F.lit(_DOMAIN_STRONG)) * 2
+        + F.regexp_count(F.lower("text"), F.lit(_DOMAIN_WEAK))
+    ).cast("long")
+    banded = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("nc"),
+        score.alias("raw"),
+    ).select(
+        "source",
+        F.expr("(raw * 1000000) DIV greatest(nc, 1)")
+        .cast("long")
+        .alias("score_ppm"),
+    )
+    return (
+        banded.select(
+            F.when(F.col("score_ppm") >= 110000, "technical")
+            .when(F.col("score_ppm") >= 80000, "mixed")
+            .otherwise("general")
+            .alias("band"),
+            "score_ppm",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score_ppm").cast("long").alias("score_ppm_sum"),
+            F.min("score_ppm").cast("long").alias("score_ppm_min"),
+            F.max("score_ppm").cast("long").alias("score_ppm_max"),
+        )
+        .orderBy("band")
+    )

@@ -1198,3 +1198,343 @@ def llm_chat_template_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (cluster-aware assignment)
+# ---------------------------------------------------------------------------
+
+_LEAK_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents
+), fp AS (
+  SELECT doc_id, min(md5(array_to_string(ws[i : i + 4], ' '))) AS cluster_id
+  FROM toked JOIN generate_series(1, 200) t(i) ON i <= n - 4
+  GROUP BY doc_id
+), assigned AS (
+  SELECT doc_id, cluster_id,
+         CAST(('0x' || substr(md5(cluster_id), 1, 6)) AS BIGINT) % 10
+           AS cb,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+              AS BIGINT) % 10 AS db
+  FROM fp
+), labeled AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN cb <= 7 THEN 'train' WHEN cb = 8 THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN (cb <= 7) != (db <= 7) OR (cb = 8) != (db = 8)
+              THEN 1 ELSE 0 END AS moved,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS csize
+  FROM assigned
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_in_multi,
+       CAST(sum(CASE WHEN csize > 1 AND moved = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaks_prevented
+FROM labeled GROUP BY split ORDER BY split
+"""
+
+
+@register("llm_leakage_safe_split", oracle=_LEAK_ORACLE, tier="T3")
+def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split — the eval-integrity guard a
+    doc-level hash split silently violates: near-duplicate documents
+    must land in the SAME split, or the held-out set is contaminated
+    with paraphrases of training docs and eval scores inflate.  Docs
+    are clustered by their min-shingle fingerprint (the k=1 MinHash
+    signature: min over 5-word shingles of md5(shingle) — two docs
+    sharing ANY minimal shingle collapse), the split is hashed from the
+    CLUSTER id, and the audit counts, per split, the docs a naive
+    doc-id hash would have separated from their cluster
+    (n_leaks_prevented).
+
+    Determinism lane (exact integer): both bucket assignments are
+    md5-prefix mod 10 (the llm_shuffle_deterministic idiom —
+    engine-portable, unlike Spark's murmur hash), so membership is
+    reproducible run-over-run and across engines — a split that moves
+    between runs is itself a leak.
+
+    Scale shape: shingle explode (bounded x n_words), one hash agg for
+    the fingerprint, pure column expressions for both buckets, one
+    window for cluster size, one hash agg for the audit — no join at
+    all; at 100 TB the cluster id would come from the full
+    llm_neardup_cluster CC pass, and this op is the assignment +
+    audit stage bolted on top."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), " ").alias("ws"),
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n"),
+    )
+    shingles = toked.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, greatest(n - 4, 1))")).alias("i"),
+        "ws",
+        "n",
+    ).filter(F.col("i") <= F.col("n") - 4)
+    fp = shingles.select(
+        "doc_id",
+        F.md5(F.array_join(F.expr("slice(ws, i, 5)"), " ")).alias("g"),
+    ).groupBy("doc_id").agg(F.min("g").alias("cluster_id"))
+    cb = F.conv(F.substring(F.md5("cluster_id"), 1, 6), 16, 10).cast(
+        "long"
+    ) % 10
+    db = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 10
+    assigned = fp.select("doc_id", "cluster_id", cb.alias("cb"), db.alias("db"))
+    labeled = assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("cb") <= 7, "train")
+        .when(F.col("cb") == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+        (
+            ((F.col("cb") <= 7) != (F.col("db") <= 7))
+            | ((F.col("cb") == 8) != (F.col("db") == 8))
+        )
+        .cast("int")
+        .alias("moved"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("csize"),
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+            F.sum((F.col("csize") > 1).cast("long"))
+            .cast("long")
+            .alias("n_docs_in_multi"),
+            F.sum(((F.col("csize") > 1) & (F.col("moved") == 1)).cast("long"))
+            .cast("long")
+            .alias("n_leaks_prevented"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SFT loss masking (prompt-span vs response-span char budgets)
+# ---------------------------------------------------------------------------
+
+_SFT_MASK_ORACLE = """
+WITH paired AS (
+  SELECT source, doc_id, text AS prompt,
+         lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS response
+  FROM documents
+), spans AS (
+  SELECT source, doc_id,
+         len('<|system|>' || chr(10) || 'You are a helpful assistant.'
+             || chr(10) || '<|user|>' || chr(10)) + len(prompt)
+         + len(chr(10) || '<|assistant|>' || chr(10)) AS resp_start,
+         CAST(len(response) AS BIGINT) AS trained_chars,
+         len('<|system|>' || chr(10) || 'You are a helpful assistant.'
+             || chr(10) || '<|user|>' || chr(10)) + len(prompt)
+         + len(chr(10) || '<|assistant|>' || chr(10)) + len(response)
+         + len('<|end|>') AS total_chars
+  FROM paired WHERE response IS NOT NULL
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(resp_start) AS BIGINT) AS masked_chars,
+       CAST(sum(trained_chars) AS BIGINT) AS trained_chars,
+       CAST(sum(total_chars) AS BIGINT) AS total_chars,
+       CAST((sum(trained_chars) * 1000000) // sum(total_chars) AS BIGINT)
+         AS trained_ppm,
+       CAST(min(resp_start) AS BIGINT) AS min_resp_start,
+       CAST(max(resp_start) AS BIGINT) AS max_resp_start
+FROM spans GROUP BY source ORDER BY source
+"""
+
+
+@register("llm_sft_loss_mask", oracle=_SFT_MASK_ORACLE, tier="T3")
+def llm_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask spans — the companion stage to
+    llm_chat_template_apply: a chat-SFT loader must zero the loss on
+    every character of the system header, user prompt, and role
+    markers, training only on the assistant span.  This op computes,
+    from the SAME template the chat op digests, the exact char offset
+    where the response begins (resp_start = header + prompt + the
+    assistant marker) and audits the masked/trained char budgets per
+    source — the masking-boundary drift that silently trains on
+    prompts (or masks half the response) flips these integers.
+
+    Determinism lane (exact integer): every value is a string LENGTH or
+    a sum of lengths; the trained fraction is one x10^6 integer
+    division over BIGINT sums.  An off-by-one against the template
+    (the classic '\\n inside or outside the mask' bug) shifts
+    min/max_resp_start by exactly one and the hash catches it.
+
+    Scale shape: one lead() window per source (no global sort), pure
+    length arithmetic, one hash agg."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    paired = d.select(
+        "source",
+        "doc_id",
+        F.col("text").alias("prompt"),
+        F.lead("text").over(w).alias("response"),
+    ).filter(F.col("response").isNotNull())
+    header = F.length(
+        F.concat(
+            F.lit("<|system|>"), F.lit("\n"),
+            F.lit("You are a helpful assistant."), F.lit("\n"),
+            F.lit("<|user|>"), F.lit("\n"),
+        )
+    )
+    marker = F.length(F.concat(F.lit("\n"), F.lit("<|assistant|>"), F.lit("\n")))
+    resp_start = (header + F.length("prompt") + marker).cast("long")
+    spans = paired.select(
+        "source",
+        resp_start.alias("resp_start"),
+        F.length("response").cast("long").alias("trained_chars"),
+        (resp_start + F.length("response") + F.length(F.lit("<|end|>")))
+        .cast("long")
+        .alias("total_chars"),
+    )
+    return (
+        spans.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("resp_start").cast("long").alias("masked_chars"),
+            F.sum("trained_chars").cast("long").alias("trained_chars"),
+            F.sum("total_chars").cast("long").alias("total_chars"),
+            F.expr("(sum(trained_chars) * 1000000) DIV sum(total_chars)")
+            .cast("long")
+            .alias("trained_ppm"),
+            F.min("resp_start").cast("long").alias("min_resp_start"),
+            F.max("resp_start").cast("long").alias("max_resp_start"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (seeded span selection, exact offsets)
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 3
+
+_SPAN_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n
+  FROM documents
+), eligible AS (
+  SELECT doc_id, source, n, n // 10 AS n_spans FROM toked WHERE n >= 10
+), spans AS (
+  SELECT doc_id, source, n, n_spans,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                  || CAST(i AS VARCHAR)), 1, 6))
+              AS BIGINT) % (n - {_SPAN_LEN - 1}) AS start0
+  FROM eligible JOIN generate_series(1, 200) t(i) ON i <= n_spans
+), posns AS (
+  SELECT DISTINCT doc_id, source, start0 + off AS pos
+  FROM spans JOIN generate_series(0, {_SPAN_LEN - 1}) o(off) ON TRUE
+), per_doc AS (
+  SELECT e.doc_id, e.source, e.n, e.n_spans,
+         CAST(count(p.pos) AS BIGINT) AS n_corrupt
+  FROM eligible e JOIN posns p ON p.doc_id = e.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS words_total,
+       CAST(sum(n_spans) AS BIGINT) AS spans_total,
+       CAST(sum(n_corrupt) AS BIGINT) AS corrupt_total,
+       CAST((sum(n_corrupt) * 1000000) // sum(n) AS BIGINT) AS corrupt_ppm
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@register("llm_span_corruption", oracle=_SPAN_ORACLE, tier="T3")
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020) — the denoising
+    pretraining objective: per document, n_words DIV 10 spans of
+    three tokens are selected for masking, span starts drawn from
+    a SEEDED hash of (doc_id, span_index) so the corruption pattern is
+    reproducible across epochs, engines, and reruns (the
+    llm_shuffle_deterministic discipline — md5 prefix mod range, never
+    rand()).  Overlapping spans collapse: the audited corruption budget
+    counts DISTINCT masked positions, which is what the loader actually
+    masks.
+
+    Determinism lane (exact integer): span starts are md5-prefix mod
+    (n_words - 2) BIGINTs, positions are start + offset,
+    the corruption rate is one x10^6 integer division — nothing
+    float touches the output.
+
+    Scale shape: two bounded explodes (spans per doc = n/10, offsets
+    = span length), a distinct + hash agg per doc, one corpus agg —
+    all partitioned by doc_id, the natural key."""
+    d = load_table(spark, sf_dir, "documents")
+    eligible = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    ).filter(F.col("n") >= 10)
+    eligible = eligible.withColumn("n_spans", F.expr("n DIV 10"))
+    spans = eligible.select(
+        "doc_id",
+        "source",
+        "n",
+        "n_spans",
+        F.explode(F.expr("sequence(1, n_spans)")).alias("i"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % (F.col("n") - (_SPAN_LEN - 1))
+        ).alias("start0"),
+    )
+    posns = (
+        spans.select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(f"sequence(0, {_SPAN_LEN - 1})")).alias("off"),
+            "start0",
+        )
+        .select("doc_id", "source", (F.col("start0") + F.col("off")).alias("pos"))
+        .distinct()
+    )
+    per_doc = (
+        eligible.join(posns.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_corrupt")
+        ), "doc_id")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("words_total"),
+            F.sum("n_spans").cast("long").alias("spans_total"),
+            F.sum("n_corrupt").cast("long").alias("corrupt_total"),
+            F.expr("(sum(n_corrupt) * 1000000) DIV sum(n)")
+            .cast("long")
+            .alias("corrupt_ppm"),
+        )
+        .orderBy("source")
+    )
