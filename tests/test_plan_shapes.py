@@ -285,3 +285,65 @@ def test_market_basket_topk_is_take_ordered(spark, sf_smoke):
     plan = plan_of(spark, "agg_market_basket", sf_smoke)
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q6_is_pure_pushdown_scan(spark, sf_smoke):
+    """tpch_q6: the pure scan-aggregate — the ship-date range and the
+    quantity bound must reach the parquet scan as PushedFilters, no
+    join may appear, and the aggregate must be partial+final hash agg
+    (zero shuffle volume beyond one row per task at 100 TB)."""
+    plan = plan_of(spark, "tpch_q6_revenue_delta", sf_smoke)
+    # toString elides the tail of the PushedFilters list, so assert the
+    # list is non-empty and the quantity bound survived into the filter.
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "l_quantity" in plan and "< 24.0)" in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_tpch_q3_topk_is_take_ordered(spark, sf_smoke):
+    """tpch_q3/q10/q18: ORDER BY + LIMIT must plan as
+    TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    global Sort — the difference between O(k) and O(n log n) driver
+    traffic at scale."""
+    for name in (
+        "tpch_q3_shipping_priority",
+        "tpch_q10_returned_items",
+        "tpch_q18_volume_customer",
+    ):
+        plan = plan_of(spark, name, sf_smoke)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_tpch_q5_facts_never_broadcast(spark, sf_smoke):
+    """tpch_q5: only the pre-filtered dim chain may broadcast; the
+    lineitem/orders/customer fact relations must stay on probe sides
+    (a fact broadcast OOMs the executors at 100 TB)."""
+    plan = plan_of(spark, "tpch_q5_regional_revenue", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    for fact in ("lineitem", "orders", "customer"):
+        for line in plan.splitlines():
+            if "BroadcastExchange" in line or "BroadcastQueryStage" in line:
+                assert fact not in line.lower()
+
+
+def test_tpch_q4_exists_is_semi_join(spark, sf_smoke):
+    """tpch_q4: the EXISTS must plan as a LeftSemi hash/SMJ join keyed
+    on the order key with the 30-day lag as residual — never a
+    nested-loop or per-row subquery."""
+    plan = plan_of(spark, "tpch_q4_late_ship_priority", sf_smoke)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q22_no_orders_is_anti_join(spark, sf_smoke):
+    """tpch_q22: the no-recent-orders predicate must plan as a hash
+    LeftAnti join over the date-pruned orders scan.  (The singleton
+    Σ/count aggregate broadcast is ALLOWED to plan as a 1-row
+    BroadcastNestedLoopJoin — the house share-of-total pattern — so
+    only the anti join's physical kind is pinned here.)"""
+    plan = plan_of(spark, "tpch_q22_dormant_customers", sf_smoke)
+    assert any(
+        "Join" in line and "LeftAnti" in line and "NestedLoop" not in line
+        for line in plan.splitlines()
+    )

@@ -30,5 +30,6 @@ from un_datapipeline_spark.operators import (  # noqa: F401
     time_series,
     training_prep,
     udfs,
+    warehouse_queries,
     windows,
 )
