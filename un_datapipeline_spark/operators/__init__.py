@@ -28,6 +28,7 @@ from un_datapipeline_spark.operators import (  # noqa: F401
     streaming,
     text_analysis,
     time_series,
+    training_extras,
     training_prep,
     udfs,
     warehouse_queries,

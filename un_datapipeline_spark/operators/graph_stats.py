@@ -333,3 +333,95 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("global_cc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction
+# ---------------------------------------------------------------------------
+
+_ADAMIC_ADAR_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+cdeg AS (SELECT cust, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY cust),
+pairs AS (
+  SELECT a.supp AS s1, b.supp AS s2, a.cust AS cust
+  FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
+),
+-- Rank FIRST on the cheap exact count, THEN fold 1/ln(deg) for the 20
+-- survivors only — folding for every pair materializes |pairs| lists
+-- and OOMs at sf0.1 (measured); this shape is also the scale-correct one.
+top AS (
+  SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common
+  FROM pairs GROUP BY s1, s2
+  ORDER BY count(*) DESC, s1, s2 LIMIT 20
+)
+SELECT t.s1, t.s2, t.n_common,
+       ROUND(list_aggregate(list(1.0 / ln(cd.d) ORDER BY p.cust), 'sum'), 6)
+         AS aa_score
+FROM pairs p
+JOIN top t ON t.s1 = p.s1 AND t.s2 = p.s2
+JOIN cdeg cd ON cd.cust = p.cust
+GROUP BY t.s1, t.s2, t.n_common
+"""
+
+
+@register("graph_link_predict_aa", oracle=_ADAMIC_ADAR_ORACLE, tier="T3")
+def graph_link_predict_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003) over the
+    customer–supplier bipartite projection: for each supplier pair, the
+    score Σ 1/ln(deg(z)) over their common customers z — common
+    neighbors weighted inversely by how promiscuous they are, the
+    classic who-will-transact-next ranking.  Reported for the top-20
+    pairs by exact common-neighbor count (deterministic rank key; the
+    float score is descriptive, not the sort).
+
+    Determinism lane (ordered fold): each pair's 1/ln(d) terms are
+    summed in customer-id order on BOTH engines — Spark left-folds
+    F.aggregate over the cust-sorted array, DuckDB left-folds
+    list_aggregate over list(… ORDER BY cust) — so the float sum is
+    bit-identical (the llm_vector_norms lane).  deg(z) ≥ 2 for every
+    common neighbor, so ln is never zero.
+
+    Scale shape: like graph_jaccard_neighbors this is the
+    exact-small-graph end of the ladder — the per-customer self-join is
+    O(deg²); at 100 TB you cap or sample high-degree hubs first
+    (MAX_GRAM_DF discipline) or fall back to the MinHash/LSH end."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    cdeg = e.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp")),
+    ).select(
+        F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"), F.col("a.cust").alias("cust")
+    )
+    # Rank FIRST on the cheap exact count (TakeOrdered over the bounded
+    # pair-count table), THEN collect/fold the 1/ln(deg) terms for the 20
+    # survivors only — collecting per-pair term arrays for EVERY pair is
+    # the memory hazard the oracle also avoids.
+    top = (
+        pairs.groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .orderBy(F.desc("n_common"), "s1", "s2")
+        .limit(20)
+    )
+    terms = pairs.join(F.broadcast(top), ["s1", "s2"]).join(cdeg, "cust").select(
+        "s1", "s2", "n_common",
+        F.struct(F.col("cust"), (F.lit(1.0) / F.log(F.col("d"))).alias("t")).alias("ct"),
+    )
+    agg = terms.groupBy("s1", "s2", "n_common").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("ct")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("aa"),
+    )
+    return agg.select("s1", "s2", "n_common", F.round("aa", 6).alias("aa_score"))

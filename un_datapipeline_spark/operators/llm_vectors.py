@@ -587,3 +587,76 @@ def llm_vector_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(encode, "vec_id long, pq_code string, rel_err double")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for retrieval training
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+SELECT a.vec_id AS a_id, b.vec_id AS nn_id, b.label AS neg_label,
+       ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.label <> b.label
+WHERE a.vec_id < 20
+QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC,
+                                    b.vec_id) <= 5
+"""
+
+
+@register("llm_hard_negatives", oracle=_HARDNEG_ORACLE, tier="T3")
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-retrieval training recipe
+    (DPR / contriever style): for each anchor, the top-5 most similar
+    vectors that carry a DIFFERENT label.  These near-miss negatives
+    are what make an embedding model's contrastive loss informative;
+    random negatives are trivially separable.
+
+    Same scan shape as cosine_topk with one twist: the probe closure
+    also ships the anchors' labels, and the batch matmul masks
+    same-label columns to −inf BEFORE the per-batch partial top-k — so
+    the label constraint costs zero extra passes.  One corpus scan,
+    candidates bounded by partitions × probes × k, final window on the
+    tiny candidate set."""
+    import numpy as np
+
+    em = load_table(spark, sf_dir, "embeddings")
+    rows = em.filter(F.col("vec_id") < 20).select("vec_id", "embedding", "label").collect()
+    p_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    p_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    p_mat /= np.linalg.norm(p_mat, axis=1, keepdims=True)
+    p_lbl = np.array([r[2] for r in rows], dtype=np.int64)
+    k = 5
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            b_lbl = pdf["label"].to_numpy(dtype=np.int64)
+            b_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+            sims = b_mat @ p_mat.T  # (batch, probes)
+            sims = np.where(b_lbl[:, None] == p_lbl[None, :], -np.inf, sims)
+            kk = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            a = np.repeat(p_ids[None, :], kk, axis=0).ravel()
+            nn = b_ids[idx].ravel()
+            lb = b_lbl[idx].ravel()
+            sv = np.take_along_axis(sims, idx, axis=0).ravel()
+            keep = np.isfinite(sv)
+            yield pd.DataFrame(
+                {"a_id": a[keep], "nn_id": nn[keep], "neg_label": lb[keep], "sim": sv[keep]}
+            )
+
+    cands = em.select("vec_id", "embedding", "label").mapInPandas(
+        partial_topk, "a_id long, nn_id long, neg_label int, sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("nn_id"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("a_id", "nn_id", "neg_label", F.round("sim", 6).alias("sim"))
+    )
