@@ -1,0 +1,64 @@
+"""Invariants for the seventh-wave analytics ops (local clustering,
+Hampel despiking, M4 downsampling) — structural properties the hash
+oracle can't express."""
+
+from __future__ import annotations
+
+from un_datapipeline_spark.registry import all_operators
+from un_datapipeline_spark.tables import load_table
+
+OPS = all_operators()
+
+
+def test_local_cc_is_a_coefficient(spark, sf_smoke):
+    """cc ∈ [0, 1] (ppm ≤ 10⁶) and per-node triangles can't exceed the
+    d-choose-2 wedge bound; output ordered by degree."""
+    rows = OPS["graph_local_clustering"].fn(spark, sf_smoke).collect()
+    assert len(rows) == 20
+    degs = [r["d"] for r in rows]
+    assert degs == sorted(degs, reverse=True)
+    for r in rows:
+        assert 0 <= r["local_cc_ppm"] <= 1_000_000
+        assert 0 <= r["n_tri"] <= r["d"] * (r["d"] - 1) // 2
+
+
+def test_local_cc_credit_sums_to_three_per_triangle(spark, sf_smoke):
+    """Every triangle credits exactly its 3 corners: the global triangle
+    count (graph_triangle_count, the independent formulation) times 3
+    bounds the total credit of ANY node subset."""
+    tri = OPS["graph_triangle_count"].fn(spark, sf_smoke).collect()[0]
+    rows = OPS["graph_local_clustering"].fn(spark, sf_smoke).collect()
+    assert sum(r["n_tri"] for r in rows) <= 3 * tri["n_triangles"]
+    assert tri["n_triangles"] > 0
+
+
+def test_hampel_flags_are_bounded_and_consistent(spark, sf_smoke):
+    rows = OPS["ts_hampel_outliers"].fn(spark, sf_smoke).collect()
+    assert rows, "every event_type must report"
+    for r in rows:
+        assert 0 <= r["n_outliers"] <= r["n_rows"]
+        assert r["outlier_ppm"] == r["n_outliers"] * 1_000_000 // r["n_rows"]
+
+
+def test_hampel_masking_resistance_vs_zscore(spark, sf_smoke):
+    """The reason Hampel exists: the median/MAD threshold cannot be
+    dragged by the outliers themselves, so on heavy-tailed data it
+    flags a non-trivial share that plain mean/σ despiking understates.
+    Pin only the weak direction: it flags SOMETHING and not everything."""
+    rows = OPS["ts_hampel_outliers"].fn(spark, sf_smoke).collect()
+    total = sum(r["n_rows"] for r in rows)
+    out = sum(r["n_outliers"] for r in rows)
+    assert 0 < out < total
+
+
+def test_m4_envelope(spark, sf_smoke):
+    """min ≤ first/last ≤ max per bucket, and the bucket count times 4
+    is the downsampled point budget (the M4 guarantee)."""
+    rows = OPS["ts_m4_downsample"].fn(spark, sf_smoke).collect()
+    import pyspark.sql.functions as F
+
+    n_events = load_table(spark, sf_smoke, "events").count()
+    assert sum(r["n"] for r in rows) == n_events
+    for r in rows:
+        assert r["v_min"] <= r["v_first"] <= r["v_max"]
+        assert r["v_min"] <= r["v_last"] <= r["v_max"]

@@ -903,3 +903,201 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hampel filter (rolling median ± k·MAD outlier detection)
+# ---------------------------------------------------------------------------
+
+_HAMPEL_ORACLE = """
+WITH c AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), fr1 AS (
+  SELECT *, list_sort(list(cents) OVER w) AS fr
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), med AS (
+  SELECT event_type, ts, event_id, cents,
+         fr[CAST(floor((len(fr) + 1) / 2) AS INT)]
+           + fr[CAST(ceil((len(fr) + 1) / 2) AS INT)] AS m2
+  FROM fr1
+), dev AS (
+  SELECT *, abs(2 * cents - m2) AS dev2 FROM med
+), fr2 AS (
+  SELECT *, list_sort(list(dev2) OVER w) AS dr
+  FROM dev
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), flagged AS (
+  SELECT event_type, dev2,
+         dr[CAST(floor((len(dr) + 1) / 2) AS INT)]
+           + dr[CAST(ceil((len(dr) + 1) / 2) AS INT)] AS mad4,
+         CAST(2 * dev2 > 3 * (dr[CAST(floor((len(dr) + 1) / 2) AS INT)]
+           + dr[CAST(ceil((len(dr) + 1) / 2) AS INT)]) AS INT) AS is_out
+  FROM fr2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(is_out) AS BIGINT) AS n_outliers,
+       CAST((sum(is_out) * 1000000) // count(*) AS BIGINT) AS outlier_ppm,
+       CAST(max(dev2) AS BIGINT) AS max_dev_halfcents
+FROM flagged GROUP BY event_type
+"""
+
+
+@register("ts_hampel_outliers", oracle=_HAMPEL_ORACLE, tier="T3")
+def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter (Hampel 1974, the standard robust time-series
+    despiker): a point is an outlier when its deviation from the
+    CENTERED 7-point rolling median exceeds 3× the rolling MAD —
+    median/MAD instead of mean/σ so a burst of spikes cannot mask
+    itself by inflating its own threshold (which is exactly how z-score
+    despiking fails; contrast ts_anomaly_zscore).
+
+    Determinism lane (exact integer): values snap to cents; the rolling
+    median is kept as m2 = the SUM of the two middle frame elements
+    (median = m2/2 on the half-cent grid, never divided), deviations as
+    dev2 = |2·cents − m2| half-cent integers, the MAD likewise as the
+    mad4 middle-pair sum — so the Hampel test |x−med| > 3·MAD becomes
+    the cross-multiplied BIGINT comparison 2·dev2 > 3·mad4, and the
+    outlier SET is bit-identical across engines.  (Spark disallows
+    median over a bounded frame — INVALID_WINDOW_SPEC, same probe as
+    win_moving_median — hence the sorted collect_list frame; O(7) per
+    row at any scale.)
+
+    Scale shape: both windows share one (event_type) partitioning → one
+    shuffle + one sort feed the whole operator, then a bounded per-type
+    rollup.  At 100 TB a single event_type is a skew unit; the
+    production form sub-partitions by (event_type, day) with a 3-row
+    halo per boundary — noted in SCALING.md §windows."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+
+    def middle_sum(arr: F.Column) -> F.Column:
+        n = F.size(arr)
+        return F.element_at(arr, F.floor((n + 1) / 2).cast("int")) + F.element_at(
+            arr, F.ceil((n + 1) / 2).cast("int")
+        )
+
+    med = c.withColumn("m2", middle_sum(F.sort_array(F.collect_list("cents").over(w))))
+    dev = med.withColumn("dev2", F.abs(F.lit(2) * F.col("cents") - F.col("m2")))
+    mad = dev.withColumn(
+        "mad4", middle_sum(F.sort_array(F.collect_list("dev2").over(w)))
+    )
+    flagged = mad.withColumn(
+        "is_out",
+        (F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad4")).cast("int"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("is_out").cast("long").alias("n_outliers"),
+        F.expr("(sum(is_out) * 1000000) DIV count(*)").cast("long").alias(
+            "outlier_ppm"
+        ),
+        F.max("dev2").cast("long").alias("max_dev_halfcents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed / winsorized means
+# ---------------------------------------------------------------------------
+
+_TRIMMED_ORACLE = """
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+), kd AS (
+  SELECT *, CAST(n // 10 AS BIGINT) AS k FROM ranked
+), cuts AS (
+  SELECT event_type,
+         max(CASE WHEN rn = k + 1 THEN cents END) AS lo,
+         max(CASE WHEN rn = n - k THEN cents END) AS hi
+  FROM kd GROUP BY event_type
+)
+SELECT kd.event_type,
+       CAST(max(kd.n) AS BIGINT) AS n,
+       CAST(max(kd.k) AS BIGINT) AS k,
+       ROUND(CAST(sum(kd.cents) AS BIGINT)
+             / (max(kd.n) * 100.0), 6) AS mean_raw,
+       ROUND(CAST(sum(CASE WHEN kd.rn > kd.k AND kd.rn <= kd.n - kd.k
+                           THEN kd.cents ELSE 0 END) AS BIGINT)
+             / ((max(kd.n) - 2 * max(kd.k)) * 100.0), 6) AS mean_trimmed,
+       ROUND(CAST(sum(least(greatest(kd.cents, cuts.lo), cuts.hi)) AS BIGINT)
+             / (max(kd.n) * 100.0), 6) AS mean_winsorized
+FROM kd JOIN cuts USING (event_type)
+GROUP BY kd.event_type
+"""
+
+
+@register("agg_trimmed_winsorized", oracle=_TRIMMED_ORACLE, tier="T2")
+def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed and winsorized means per event type, next to the raw
+    mean — the robust-location estimators (drop each tail / clamp each
+    tail to the cut values) that survive the fat-tailed `value` column
+    where the plain mean chases spikes.
+
+    Determinism lane (exact integer): tail membership comes from
+    row_number over the unique (cents, event_id) total order, k = n DIV
+    10, and all three numerators are exact BIGINT cent sums — the
+    winsorized sum clamps each value to the lo/hi cut cents with
+    least/greatest before summing — so each mean is ONE division.
+
+    Scale shape: one shuffle on event_type; the rank window, the cut
+    extraction, and the conditional sums all reuse that partitioning;
+    output grain = #event types."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    kd = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn("k", F.expr("n DIV 10").cast("long"))
+    cuts = kd.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("cents"))).alias("hi"),
+    )
+    mid = (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        kd.join(cuts, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("k").cast("long").alias("k"),
+            F.round(F.sum("cents") / (F.max("n") * 100.0), 6).alias("mean_raw"),
+            F.round(
+                F.sum(F.when(mid, F.col("cents")).otherwise(F.lit(0)))
+                / ((F.max("n") - 2 * F.max("k")) * 100.0),
+                6,
+            ).alias("mean_trimmed"),
+            F.round(F.sum(clamped) / (F.max("n") * 100.0), 6).alias(
+                "mean_winsorized"
+            ),
+        )
+    )

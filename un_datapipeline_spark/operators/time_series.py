@@ -802,3 +802,82 @@ def ts_cross_correlation_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         "lag", "n", F.round(num / den, 6).alias("r")
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# M4 visualization downsampling
+# ---------------------------------------------------------------------------
+
+_M4_ORACLE = """
+WITH c AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket
+  FROM events
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM c
+)
+SELECT event_type, bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(min(cents) / 100.0, 2) AS v_min,
+       ROUND(max(cents) / 100.0, 2) AS v_max,
+       ROUND(CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) / 100.0, 2)
+         AS v_first,
+       ROUND(CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) / 100.0, 2)
+         AS v_last
+FROM ranked GROUP BY event_type, bucket
+"""
+
+
+@register("ts_m4_downsample", oracle=_M4_ORACLE, tier="T2")
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, time
+    bucket) keep exactly min, max, first, and last — the four values
+    that make a line chart rendered at bucket resolution pixel-perfect,
+    and the error-free alternative to averaging when shipping 100 TB of
+    raw points to a dashboard is the actual request.  LTTB
+    (ts_lttb_downsample) preserves visual SHAPE with a point budget;
+    M4 preserves rendering EXACTLY with 4 points per pixel column —
+    the two published ends of the downsampling trade.
+
+    first/last are pinned by the unique (ts, event_id) total order on
+    both engines (PARITY.md total-order rule) via two row_number
+    windows that share the aggregate's (event_type, bucket)
+    partitioning — so the whole operator is ONE shuffle, then a
+    bounded hash agg (grain = series × buckets).  Values stay exact
+    cents until the final /100 display division."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = c.select(
+        "event_type",
+        "bucket",
+        "cents",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("cents") / 100.0, 2).alias("v_min"),
+        F.round(F.max("cents") / 100.0, 2).alias("v_max"),
+        F.round(
+            F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).cast("long") / 100.0, 2
+        ).alias("v_first"),
+        F.round(
+            F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).cast("long") / 100.0, 2
+        ).alias("v_last"),
+    )

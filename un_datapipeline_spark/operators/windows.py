@@ -750,3 +750,91 @@ def win_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands (rolling mean ± 2σ with an exact-integer breakout set)
+# ---------------------------------------------------------------------------
+
+_BOLLINGER_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT *,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(cents) OVER w AS BIGINT) AS s1,
+         CAST(sum(cents * cents) OVER w AS BIGINT) AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, ROUND(cents / 100.0, 2) AS close,
+       ROUND(s1 / (n * 100.0), 4) AS mid,
+       CASE WHEN n >= 2 THEN
+         ROUND(s1 / (n * 100.0)
+               + 2 * sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 100.0, 4)
+       END AS upper,
+       CASE WHEN n >= 2 THEN
+         ROUND(s1 / (n * 100.0)
+               - 2 * sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 100.0, 4)
+       END AS lower,
+       CASE WHEN n >= 2 THEN
+         CAST((n * cents - s1) * (n * cents - s1) * (n - 1)
+              > 4 * n * (n * s2 - s1 * s1) AS INT)
+       END AS breakout
+FROM mom
+"""
+
+
+@register("win_bollinger_bands", oracle=_BOLLINGER_ORACLE, tier="T2")
+def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on the daily per-type series: trailing 7-day mean
+    ± 2 sample standard deviations, plus a breakout flag when the close
+    escapes the band — the volatility-envelope window every monitoring
+    and finance stack keeps.
+
+    Determinism lane: the band test |x − x̄| > 2σ is cross-multiplied
+    and SQUARED into the all-BIGINT inequality
+    (n·x − s1)²·(n−1) > 4·n·(n·s2 − s1²), so the breakout SET is
+    bit-identical across engines even though σ itself is a float (the
+    displayed band edges are sqrt-of-identical-rationals — same double
+    on both sides).  First-row frames (n = 1) yield NULL bands and a
+    NULL flag rather than a zero-variance lie.
+
+    Scale shape: one fact-sized daily rollup (grain = types × days),
+    then one window shuffle on event_type over that bounded series —
+    the window never sees raw events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    mom = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+    )
+    n, s1, s2, x = F.col("n"), F.col("s1"), F.col("s2"), F.col("cents")
+    sigma = F.sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1)))
+    has_var = n >= 2
+    return mom.select(
+        "event_type",
+        "day",
+        F.round(x / 100.0, 2).alias("close"),
+        F.round(s1 / (n * 100.0), 4).alias("mid"),
+        F.when(has_var, F.round(s1 / (n * 100.0) + 2 * sigma / 100.0, 4)).alias("upper"),
+        F.when(has_var, F.round(s1 / (n * 100.0) - 2 * sigma / 100.0, 4)).alias("lower"),
+        F.when(
+            has_var,
+            ((n * x - s1) * (n * x - s1) * (n - 1) > 4 * n * (n * s2 - s1 * s1)).cast("int"),
+        ).alias("breakout"),
+    )
