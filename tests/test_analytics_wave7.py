@@ -62,3 +62,60 @@ def test_m4_envelope(spark, sf_smoke):
     for r in rows:
         assert r["v_min"] <= r["v_first"] <= r["v_max"]
         assert r["v_min"] <= r["v_last"] <= r["v_max"]
+
+
+def test_kcore_matches_pure_python_rederivation(spark, sf_smoke):
+    """The k-core fixed point is unique — re-derive it from the same
+    edge definition with a driver-side peel and assert SET EQUALITY
+    plus the defining invariant (every member keeps ≥ k in-core
+    neighbors).  This is the rows-only op's full-strength oracle."""
+    import collections
+
+    import pyspark.sql.functions as F
+
+    li = (
+        load_table(spark, sf_smoke, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, (a.k == b.k) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter("w >= 2")
+        .collect()
+    )
+    adj = collections.defaultdict(set)
+    for r in pairs:
+        adj[r["u"]].add(r["v"])
+        adj[r["v"]].add(r["u"])
+
+    rows = OPS["graph_kcore"].fn(spark, sf_smoke).collect()
+    assert rows
+    k = rows[0]["k"]
+
+    core = {x: set(s) for x, s in adj.items()}
+    changed = True
+    while changed:
+        changed = False
+        for node in list(core):
+            if len(core[node]) < k:
+                for nb in core[node]:
+                    core[nb].discard(node)
+                del core[node]
+                changed = True
+    assert {r["node"] for r in rows} == set(core)
+    for r in rows:
+        assert r["core_deg"] == len(core[r["node"]]) and r["core_deg"] >= k
+
+
+def test_skew_report_shares_are_consistent(spark, sf_smoke):
+    rows = OPS["etl_skew_report"].fn(spark, sf_smoke).collect()
+    assert len(rows) == 10
+    top = rows[0]
+    # hottest key first, skew factor ≥ 10^6 (max ≥ avg), shares consistent
+    assert all(rows[i]["key_rows"] >= rows[i + 1]["key_rows"] for i in range(9))
+    assert top["skew_factor_ppm"] >= 1_000_000
+    assert top["share_ppm"] == top["key_rows"] * 1_000_000 // top["n_rows"]

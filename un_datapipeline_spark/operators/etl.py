@@ -1120,3 +1120,64 @@ def etl_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics (the pre-salting report)
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH per_key AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS rows_
+  FROM events GROUP BY user_id
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(rows_) AS BIGINT) AS n_rows,
+         CAST(max(rows_) AS BIGINT) AS max_rows
+  FROM per_key
+)
+SELECT p.user_id AS key, p.rows_ AS key_rows,
+       CAST(p.rows_ * 1000000 // t.n_rows AS BIGINT) AS share_ppm,
+       CAST(t.max_rows * t.n_keys * 1000000 // t.n_rows AS BIGINT)
+         AS skew_factor_ppm,
+       t.n_keys, t.n_rows
+FROM per_key p CROSS JOIN tot t
+ORDER BY p.rows_ DESC, p.user_id
+LIMIT 10
+"""
+
+
+@register("etl_skew_report", oracle=_SKEW_ORACLE, tier="T2")
+def etl_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics for a shuffle key (events.user_id): the 10
+    hottest keys with their row share, plus the global skew factor
+    max/avg (×10⁶) — the number that decides whether a join/groupBy on
+    this key needs salting (join_skew_salted) or AQE skew-split before
+    it ships.  Run this BEFORE the expensive job, not after it straggles.
+
+    Everything is exact integer arithmetic over one hash aggregate
+    (grain = distinct keys) and a singleton totals broadcast; the top-10
+    is TakeOrdered on (rows DESC, key).  One fact-sized shuffle — the
+    same one the diagnosed job would pay anyway."""
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("rows_"))
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("rows_").alias("n_rows"),
+        F.max("rows_").alias("max_rows"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("rows_"), "user_id")
+        .limit(10)
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("rows_").alias("key_rows"),
+            F.expr("rows_ * 1000000 DIV n_rows").cast("long").alias("share_ppm"),
+            F.expr("max_rows * n_keys * 1000000 DIV n_rows")
+            .cast("long")
+            .alias("skew_factor_ppm"),
+            "n_keys",
+            "n_rows",
+        )
+    )

@@ -554,3 +554,87 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("d"), "node")
         .limit(20)
     )
+
+
+@register("graph_kcore", oracle=None, tier="T3")
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (iterative peel) of the repeat-co-purchase
+    graph — part pairs sharing ≥ 2 distinct orders, the signal edges;
+    single co-occurrence is noise at any scale.  k starts at the P75 of
+    the initial degree distribution (exact rank, not a float quantile)
+    and HALVES whenever the core collapses to empty — probed: dense
+    small graphs cascade to nothing at their own P75 (sf0.001: k=29→0,
+    k=14→162 survivors), so no fixed quantile serves every SF.  Nodes
+    with in-core degree < k peel until a fixed point — the standard
+    community-core / spam-tail separator, and the cheapest "is this
+    node structurally embedded?" signal a graph has.
+
+    The k-core is UNIQUE (peel order never changes the fixed point), so
+    the operator is deterministic; it ships rows-only because the
+    iterative fixed point is not one SQL query — tests/
+    test_analytics_wave7.py re-derives the core in pure Python at
+    sf0.001 and asserts set equality plus the defining invariant
+    (every member keeps ≥ k in-core neighbors).
+
+    Scale shape: the house iterative-DataFrame pattern
+    (graph_pagerank / llm_dedup_cluster): each round is one degree
+    aggregate + one semi-join edge prune, localCheckpoint truncates
+    lineage, and the ONLY driver traffic is one scalar (bad-node count)
+    per round; ≤ 20 rounds bounds the loop."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, (a.k == b.k) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    deg0 = degrees(edges)
+    # exact P75: the degree at ascending rank ceil(0.75·n), (d, node) order
+    from pyspark.sql import Window as W
+
+    ranked = deg0.select(
+        "d",
+        F.row_number().over(W.orderBy("d", "node")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    k = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") * 3 / 4).cast("int")
+    ).collect()[0]["d"]
+
+    while True:
+        cur = edges
+        for _ in range(30):
+            deg = degrees(cur)
+            bad = deg.filter(F.col("d") < k).select("node")
+            if bad.limit(1).count() == 0:
+                break
+            cur = (
+                cur.join(bad, cur.u == bad.node, "left_anti")
+                .join(bad, cur.v == bad.node, "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        if k <= 1 or cur.limit(1).count() > 0:
+            break
+        k //= 2  # core collapsed — retry the full edge set at half k
+    return (
+        degrees(cur)
+        .select("node", F.col("d").alias("core_deg"), F.lit(int(k)).alias("k"))
+        .orderBy(F.desc("core_deg"), "node")
+    )

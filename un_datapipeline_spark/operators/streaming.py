@@ -572,3 +572,57 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("event_id").alias("n_distinct"),
         F.sum("cents").alias("cents"),
     )
+
+
+_SLIDING_TOPK_ORACLE = """
+WITH win AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+           + INTERVAL 15 MINUTE
+             * CAST(floor(minute(CAST(ts AS TIMESTAMP)) / 15) AS INT)
+           - INTERVAL 15 MINUTE * k AS win_start,
+         event_type
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+), counted AS (
+  SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM win GROUP BY 1, 2
+)
+SELECT win_start, event_type, n, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY win_start
+                         ORDER BY n DESC, event_type) AS INT) AS rnk
+  FROM counted
+) WHERE rnk <= 3
+"""
+
+
+@register("stream_sliding_topk", oracle=_SLIDING_TOPK_ORACLE, tier="T4")
+def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: top-3 event types per 1-hour window sliding
+    every 15 minutes.  Ranking is not a streaming-supported operation
+    (no windows-over-aggregates in update/complete mode), so the op
+    composes the two halves the way production dashboards do: the
+    STREAM maintains the (window × type) counting state — the part that
+    must be incremental — and the rank over the final materialized
+    state is a cheap bounded batch window (grain = windows × types).
+    Ties break on (n DESC, event_type) — exact integers, engine-free.
+
+    At 100 TB/day the stream side's state is windows × types, not
+    events — availableNow runs here, continuous triggers in production
+    with the same plan."""
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(
+            F.window("ts", "1 hour", "15 minutes"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n")
+    )
+    final = run_to_memory(agg)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("win_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        final.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("win_start", "event_type", "n", "rnk")
+    )
