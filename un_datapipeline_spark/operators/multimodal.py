@@ -350,3 +350,81 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         "zero_crossings",
     ).orderBy("doc_id", "win")
+
+
+# ---------------------------------------------------------------------------
+# Content-sniffing modality router (magic bytes, not labels)
+# ---------------------------------------------------------------------------
+
+# (claimed extension, magic hex prefix) per synthetic modality; the WAV
+# RIFF header and the PNG/JPEG signatures are the real public magics.
+_MAGICS = {
+    0: ("png", "89504E470D0A1A0A"),
+    1: ("jpg", "FFD8FFE0"),
+    2: ("wav", "52494646"),
+}
+
+_ROUTER_ORACLE = """
+WITH framed AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN unhex('89504E470D0A1A0A') WHEN 1 THEN unhex('FFD8FFE0')
+           ELSE unhex('52494646') END || encode(text) AS payload
+  FROM documents
+), sniffed AS (
+  SELECT doc_id, octet_length(payload) AS nbytes,
+         CASE
+           WHEN substr(hex(payload), 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+           WHEN substr(hex(payload), 1, 8)  = 'FFD8FFE0'         THEN 'image/jpeg'
+           WHEN substr(hex(payload), 1, 8)  = '52494646'         THEN 'audio/wav'
+           ELSE 'application/octet-stream' END AS mime
+  FROM framed
+)
+SELECT mime, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+       CAST(min(doc_id) AS BIGINT) AS sample_doc
+FROM sniffed GROUP BY mime
+"""
+
+
+@register("mm_magic_byte_routing", oracle=_ROUTER_ORACLE, tier="T3")
+def mm_magic_byte_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality routing by CONTENT SNIFFING: detect each payload's type
+    from its real magic-byte signature (PNG \\x89PNG\\r\\n\\x1a\\n, JPEG
+    FFD8FFE0, RIFF/WAV), never from a claimed extension or metadata
+    column — the first stage of any mixed-modality ingest, because at
+    100 TB of crawled data the labels lie.  The fixture frames each
+    document's UTF-8 bytes behind a deterministic real magic header
+    (doc_id mod 3), and the router must recover the exact per-type
+    counts from the bytes alone.
+
+    Sniffing is a fixed-width prefix compare on hex(payload) — a pure
+    column expression that fuses into the scan; the route grain (mime
+    types) bounds the aggregate.  Downstream, each route feeds the
+    matching decoder (mm_decode_features / mm_audio_windows)."""
+    d = load_table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.unhex(F.lit(_MAGICS[0][1])))
+        .when(F.col("doc_id") % 3 == 1, F.unhex(F.lit(_MAGICS[1][1])))
+        .otherwise(F.unhex(F.lit(_MAGICS[2][1])))
+    )
+    framed = d.select(
+        "doc_id",
+        F.concat(magic, F.encode("text", "utf-8")).alias("payload"),
+    )
+    h = F.hex("payload")
+    mime = (
+        F.when(F.substring(h, 1, 16) == "89504E470D0A1A0A", F.lit("image/png"))
+        .when(F.substring(h, 1, 8) == "FFD8FFE0", F.lit("image/jpeg"))
+        .when(F.substring(h, 1, 8) == "52494646", F.lit("audio/wav"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return (
+        framed.select("doc_id", F.length("payload").alias("nbytes"), mime.alias("mime"))
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nbytes").cast("long").alias("total_bytes"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+    )
