@@ -881,3 +881,87 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).cast("long") / 100.0, 2
         ).alias("v_last"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling active users (DAU / WAU / MAU)
+# ---------------------------------------------------------------------------
+
+_ACTIVE_USERS_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events
+), days AS (SELECT DISTINCT day FROM act),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+  FROM days d JOIN act a
+    ON a.day <= d.day AND a.day > d.day - INTERVAL 7 DAY
+  GROUP BY d.day
+), mau AS (
+  SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS mau
+  FROM days d JOIN act a
+    ON a.day <= d.day AND a.day > d.day - INTERVAL 28 DAY
+  GROUP BY d.day
+), dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY day
+)
+SELECT day, dau, wau, mau,
+       CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau USING (day) JOIN mau USING (day)
+"""
+
+
+@register("ts_rolling_active_users", oracle=_ACTIVE_USERS_ORACLE, tier="T2")
+def ts_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU and DAU/MAU stickiness per day — the engagement
+    rollup every product-analytics stack runs daily, and a genuinely
+    hard distributed shape: rolling COUNT(DISTINCT) cannot use a plain
+    window frame (distinct doesn't decompose over sliding frames).
+
+    Formulation: deduplicate to (day, user) activity FIRST — the only
+    fact-sized shuffle — then explode each activity row into the ≤ 28
+    trailing report days it contributes to (the join_interval
+    discretization: bounded fan-out, equi-join on day, exact distinct
+    per day).  Fan-out is 28 × |distinct (day,user)|, orders of
+    magnitude below raw events, and every aggregate stays exact.  At
+    100 TB you'd swap the exact distinct for the mergeable bitmap lane
+    (agg_bitmap_distinct) — same plan shape, sketch combine instead of
+    the distinct; stickiness is one ×10⁶ integer division."""
+    e = load_table(spark, sf_dir, "events")
+    act = e.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = act.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    # explode each (day,user) into the trailing report days it serves
+    def rolled(window_days: int, name: str) -> DataFrame:
+        contrib = act.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add(F.col("day").cast("date"), window_days - 1).cast(
+                        "timestamp"
+                    ),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
+            "user_id",
+        )
+        # only days that actually exist in the data report
+        return (
+            contrib.join(dau.select("day"), "day")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    wau, mau = rolled(7, "wau"), rolled(28, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.expr("dau * 1000000 DIV mau").cast("long").alias("stickiness_ppm"),
+        )
+    )
