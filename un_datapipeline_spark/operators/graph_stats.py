@@ -638,3 +638,91 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("d").alias("core_deg"), F.lit(int(k)).alias("k"))
         .orderBy(F.desc("core_deg"), "node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-level BFS from the hub node (graph traversal as DataFrame joins)
+# ---------------------------------------------------------------------------
+
+_BFS_ORACLE = """
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey u, b.l_partkey v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), bidir AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM bidir GROUP BY 1),
+src AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+reach(node, dist) AS (
+  SELECT node, 0 FROM src
+  UNION
+  SELECT b.v, r.dist + 1 FROM reach r JOIN bidir b ON b.u = r.node
+  WHERE r.dist < 4
+), md AS (
+  SELECT node, CAST(min(dist) AS INT) AS dist FROM reach GROUP BY node
+)
+SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node
+FROM md GROUP BY dist
+"""
+
+
+@register("graph_bfs_layers", oracle=_BFS_ORACLE, tier="T3")
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first layers (shortest unweighted distance ≤ 4 hops) from
+    the hub — the highest-degree node, ties to the lowest id — of the
+    repeat-co-purchase graph: how much of the graph is reachable per
+    hop, the reachability profile behind recommendation radius and
+    blast-radius questions.  BFS distances are unique, so unlike
+    PageRank this traversal hash-matches an oracle (DuckDB replays it
+    as a recursive CTE whose UNION dedups (node, dist) pairs).
+
+    Spark formulation: the frontier-expansion loop — each level is ONE
+    equi-join of the current frontier against the adjacency relation,
+    anti-joined against the visited set, localCheckpoint per level to
+    keep the plan flat (the graph_pagerank / llm_dedup_cluster
+    iterative pattern).  State lives in DataFrames partitioned by node;
+    the driver never sees a frontier, only loop control.  4 levels =
+    4 shuffles, independent of graph size."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, (a.k == b.k) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    bidir = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = bidir.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    src = deg.orderBy(F.desc("d"), "node").limit(1).select("node")
+
+    visited = src.select("node", F.lit(0).alias("dist")).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for level in range(1, 5):
+        nxt = (
+            frontier.join(bidir, frontier.node == bidir.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(
+            nxt.select("node", F.lit(level).alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
