@@ -80,6 +80,71 @@ def test_unverified_ops_fill_driver_slots():
     )
 
 
+# The deliberate Python-boundary operators: UDF/UDTF contract surfaces,
+# Arrow-batched vector kernels (broadcast-probe matmul, ANN, PQ, k-means),
+# multimodal decode stubs, and the sequential-recursion time-series ops.
+# Everything else must plan JVM-only (whole-stage codegen eligible).
+_PYTHON_SURFACE_OPS = frozenset({
+    "udf_python_scalar", "udf_pandas_scalar", "udf_pandas_iter",
+    "udf_grouped_map", "udaf_grouped_agg", "udtf_split_words",
+    "udtf_dynamic_schema", "udtf_table_arg", "fn_map",
+    "udf_grouped_arrow", "udf_map_arrow",
+    "llm_simsearch_cosine_topk", "llm_knn_join", "llm_hard_negatives",
+    "llm_simsearch_ivf", "llm_simsearch_hnsw", "llm_vector_pq",
+    "llm_kmeans_cluster", "llm_semdedup", "llm_dedup_embedding",
+    "agg_heavy_hitters_mg",
+    "mm_decode_features", "mm_frame_sample", "mm_audio_windows",
+    "ts_ewma_smooth", "ts_holt_forecast", "ts_lttb_downsample",
+})
+
+_PY_MARKERS = (
+    "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+def _plans_rows() -> dict[str, str]:
+    text = (REPO / "PLANS.md").read_text()
+    rows: dict[str, str] = {}
+    for line in text.splitlines():
+        m = re.match(r"^([a-z0-9_]+): (.+)$", line)
+        if m:
+            rows[m.group(1)] = m.group(2)
+    return rows
+
+
+def test_plans_md_matches_registry():
+    """PLANS.md (the generated physical-plan audit) must cover exactly the
+    registered operators — a stale plan table hides plan regressions."""
+    rows = _plans_rows()
+    registered = set(all_operators())
+    assert set(rows) == registered, (
+        f"PLANS.md stale: missing {sorted(registered - set(rows))}, "
+        f"extra {sorted(set(rows) - registered)} — regenerate with "
+        f"`python -m un_datapipeline_spark.plans --all`"
+    )
+
+
+def test_no_cartesian_product_in_any_plan():
+    """No operator may plan a CartesianProduct — the one join shape that
+    can never survive a 100× scale-up.  (Singleton-broadcast cross joins
+    plan as BroadcastNestedLoopJoin with a 1-row side, not Cartesian.)"""
+    offenders = [n for n, mk in _plans_rows().items() if "CartesianProduct" in mk]
+    assert not offenders, f"CartesianProduct planned by: {offenders}"
+
+
+def test_python_eval_confined_to_declared_surface():
+    """Python-eval plan nodes (the slow, non-codegen lane) may appear only
+    in the operators whose PURPOSE is a Python boundary.  A Python node
+    leaking into a relational/agg/join plan is a hot-path regression."""
+    offenders = {
+        n: mk
+        for n, mk in _plans_rows().items()
+        if any(p in mk for p in _PY_MARKERS) and n not in _PYTHON_SURFACE_OPS
+    }
+    assert not offenders, f"unexpected Python-eval boundary: {offenders}"
+
+
 def test_regen_priority_tool_matches_checked_in_lists():
     """tools/regen_priority.py applied to the same correctness files must
     reproduce priority.py's green set — guards both against tool bugs

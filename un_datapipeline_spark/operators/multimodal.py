@@ -145,9 +145,10 @@ WITH dims AS (
   FROM px GROUP BY doc_id, width, height
 )
 SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
-       ROUND(s / need, 6) AS brightness,
-       ROUND(sqrt((ss - s * s / need) / need), 6) AS contrast,
-       ROUND(ed / n_ed, 6) AS edges
+       floor(s / need * 1000000 + 0.5) / 1000000.0 AS brightness,
+       floor(sqrt((ss - s * s / need) / need) * 1000000 + 0.5) / 1000000.0
+         AS contrast,
+       floor(ed / n_ed * 1000000 + 0.5) / 1000000.0 AS edges
 FROM mo
 """
 
@@ -199,13 +200,24 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     raw = m.mapInPandas(extract, schema)
+
+    # 6dp rounding via explicit floor(x·1e6 + 0.5)/1e6 on BOTH engines:
+    # engine-native ROUND disagrees when the double sits on a .5 grid
+    # boundary (Spark rounds the exact binary value via BigDecimal,
+    # DuckDB multiplies-then-std::rounds — caught at sf0.1 where
+    # edges = 33.33906249…e0 split 33.339062 vs 33.339063).  The explicit
+    # form is the same IEEE mul/add/floor/div on bit-identical inputs,
+    # so both engines produce the same rounded double by construction.
+    def _r6(col: str) -> F.Column:
+        return (F.floor(F.col(col) * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias(col)
+
     return raw.select(
         "doc_id",
         "width",
         "height",
-        F.round("brightness", 6).alias("brightness"),
-        F.round("contrast", 6).alias("contrast"),
-        F.round("edges", 6).alias("edges"),
+        _r6("brightness"),
+        _r6("contrast"),
+        _r6("edges"),
     )
 
 

@@ -362,10 +362,16 @@ def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Money/quantity sums go through the exact-integer lane: at sf0.1 the
+# plain double sum of ~600k prices accumulates ~1e-3 of order-dependent
+# error at a 3e10 magnitude — enough to flip ROUND(x, 4) across engines
+# (and across Spark runs, since partial-agg order follows partitioning).
+# Σ exact cents as BIGINT, divide once: deterministic at any order.
 _CLUSTER_ORACLE = """
 SELECT CAST(count(*) AS BIGINT)        AS n,
-       ROUND(sum(l_quantity), 4)       AS sum_qty,
-       ROUND(sum(l_extendedprice), 4)  AS sum_price,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_price,
        CAST(min(l_shipdate) AS TIMESTAMP) AS min_ship,
        CAST(max(l_shipdate) AS TIMESTAMP) AS max_ship
 FROM lineitem
@@ -404,8 +410,11 @@ def sink_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            / F.lit(100.0)
+        ).alias("sum_price"),
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
     )

@@ -15,6 +15,7 @@ import sys
 _DEFAULT_SF = "/root/testdata/sf0.001"
 
 _MARKERS = (
+    "CartesianProduct",
     "BroadcastHashJoin",
     "SortMergeJoin",
     "ShuffledHashJoin",
