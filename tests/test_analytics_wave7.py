@@ -119,3 +119,64 @@ def test_skew_report_shares_are_consistent(spark, sf_smoke):
     assert all(rows[i]["key_rows"] >= rows[i + 1]["key_rows"] for i in range(9))
     assert top["skew_factor_ppm"] >= 1_000_000
     assert top["share_ppm"] == top["key_rows"] * 1_000_000 // top["n_rows"]
+
+
+def test_match_recognize_matches_pure_python_rederivation(spark, sf_smoke):
+    """First-principles re-derivation of the D+ U+ row-pattern matches:
+    walk each user's (ts, event_id)-ordered value series in plain Python,
+    cut maximal direction runs, pair adjacent D→U runs, and compare the
+    full measure tuples SET-EQUAL against the operator (the MATCH_RECOGNIZE
+    semantics — maximal match, skip past last row — re-implemented without
+    windows, islands, or SQL)."""
+    import math
+
+    from un_datapipeline_spark.registry import all_operators
+    from un_datapipeline_spark.tables import load_table
+
+    rows = (
+        load_table(spark, sf_smoke, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    expected = set()
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        runs = []  # (dir, [rows]) maximal constant-direction runs
+        for prev, cur in zip(evs, evs[1:]):
+            d = "D" if cur.value < prev.value else ("U" if cur.value > prev.value else "F")
+            if runs and runs[-1][0] == d:
+                runs[-1][1].append(cur)
+            else:
+                runs.append((d, [cur]))
+        seq = 0
+        for (d1, r1), (d2, r2) in zip(runs, runs[1:]):
+            if d1 == "D" and d2 == "U":
+                seq += 1
+                cents = lambda v: int(math.floor(v * 100 + 0.5))
+                expected.add(
+                    (
+                        uid,
+                        seq,
+                        r1[0].event_id,
+                        r1[-1].event_id,
+                        r2[-1].event_id,
+                        len(r1),
+                        len(r2),
+                        cents(r1[0].value) - cents(r1[-1].value),
+                        cents(r2[-1].value) - cents(r1[-1].value),
+                    )
+                )
+    got = {
+        tuple(r)
+        for r in all_operators()["win_match_recognize"]
+        .fn(spark, sf_smoke)
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+    # drawdown/recovery measured in ROUNDED cents: strictly positive as
+    # doubles, but a decline smaller than the cent resolution rounds to 0
+    assert all(t[7] >= 0 and t[8] >= 0 for t in got)

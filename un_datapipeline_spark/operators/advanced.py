@@ -1495,3 +1495,175 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").over(w_cum) * 1.0 / F.sum("c").over(w_type), 6
         ).alias("cum_share"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE with value-based DEFINE and per-match MEASURES
+# ---------------------------------------------------------------------------
+
+_MATCH_RECOGNIZE_ORACLE = """
+WITH seqd AS (
+  SELECT user_id, value, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+         lag(value)   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+  FROM events
+),
+dirs AS (
+  SELECT user_id, value, event_id, seq,
+         CASE WHEN pv IS NULL THEN 'S'
+              WHEN value < pv THEN 'D'
+              WHEN value > pv THEN 'U'
+              ELSE 'F' END AS dir
+  FROM seqd
+),
+flagged AS (
+  SELECT *, CASE WHEN dir = lag(dir) OVER (PARTITION BY user_id ORDER BY seq)
+                 THEN 0 ELSE 1 END AS brk
+  FROM dirs
+),
+runs AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY seq
+                        ROWS UNBOUNDED PRECEDING) AS island_id,
+         dir, value, event_id, seq
+  FROM flagged
+),
+islands AS (
+  SELECT user_id, island_id, dir,
+         CAST(count(*) AS BIGINT)       AS n,
+         min(seq)                       AS s0,
+         arg_min(event_id, seq)         AS first_eid,
+         arg_max(event_id, seq)         AS last_eid,
+         CAST(floor(arg_min(value, seq) * 100 + 0.5) AS BIGINT) AS first_cents,
+         CAST(floor(arg_max(value, seq) * 100 + 0.5) AS BIGINT) AS last_cents
+  FROM runs
+  GROUP BY user_id, island_id, dir
+),
+paired AS (
+  SELECT *,
+         lead(dir)        OVER wnext AS next_dir,
+         lead(n)          OVER wnext AS next_n,
+         lead(last_eid)   OVER wnext AS next_last_eid,
+         lead(last_cents) OVER wnext AS next_last_cents
+  FROM islands
+  WINDOW wnext AS (PARTITION BY user_id ORDER BY island_id)
+)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY s0) AS BIGINT)
+         AS match_seq,
+       first_eid            AS start_event_id,
+       last_eid             AS bottom_event_id,
+       next_last_eid        AS end_event_id,
+       n                    AS n_down,
+       next_n               AS n_up,
+       first_cents - last_cents      AS drop_cents,
+       next_last_cents - last_cents  AS rise_cents
+FROM paired
+WHERE dir = 'D' AND next_dir = 'U'
+ORDER BY user_id, match_seq
+"""
+
+
+@register("win_match_recognize", oracle=_MATCH_RECOGNIZE_ORACLE, tier="T2")
+def win_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern recognition with value-based DEFINE and per-match
+    MEASURES — the full MATCH_RECOGNIZE shape that `win_event_pattern`'s
+    regex-on-symbols form can't express:
+
+        PARTITION BY user_id  ORDER BY ts, event_id
+        MEASURES FIRST(D.event_id), LAST(D.event_id), LAST(U.event_id),
+                 COUNT(D.*), COUNT(U.*), depth, recovery
+        ONE ROW PER MATCH  AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (D+ U+)
+        DEFINE D AS value < PREV(value), U AS value > PREV(value)
+
+    i.e. every maximal V-shape (drawdown-then-recovery) in each user's
+    value series.  The predicates reference PREV() — row-to-row value
+    comparisons, not event-type symbols — which is exactly what the
+    collapsed-string regex lane cannot see.
+
+    Spark-first formulation (no CEP engine needed): classify each row's
+    direction vs PREV via lag(), cut maximal constant-direction runs
+    with the gaps-and-islands trick (direction-change flag → running
+    sum), fold each run to one row (count + min_by/max_by boundary
+    measures), then pair ADJACENT runs (D run i, U run i+1) with a
+    lead() window over the folded run table.  Greedy/maximal runs make the
+    D+ U+ match maximal and non-overlapping BY CONSTRUCTION — that IS
+    "after match skip past last row"; flat ticks (value = PREV) match
+    neither D nor U, so no pattern spans them, the standard DEFINE
+    semantics.  Scale: window passes + one groupBy, ALL partitioned by
+    user_id — one logical shuffle key, no join and no all-pairs work
+    anywhere; the pairing lead() runs on the folded run table (≤ one
+    row per direction change), not on raw events.  Measures are
+    exact BIGINTs (event ids, counts, integer cents via the PARITY.md
+    floor(x*100+0.5) form), so both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = ev.select(
+        "user_id",
+        "value",
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+        F.lag("value").over(w).alias("pv"),
+    )
+    dirs = seqd.select(
+        "user_id",
+        "value",
+        "event_id",
+        "seq",
+        F.when(F.col("pv").isNull(), "S")
+        .when(F.col("value") < F.col("pv"), "D")
+        .when(F.col("value") > F.col("pv"), "U")
+        .otherwise("F")
+        .alias("dir"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("seq")
+    flagged = dirs.withColumn(
+        "brk",
+        F.when(F.col("dir") == F.lag("dir").over(ws), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    runs = flagged.withColumn(
+        "island_id",
+        F.sum("brk").over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    islands = runs.groupBy("user_id", "island_id", "dir").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("seq").alias("s0"),
+        F.min_by("event_id", "seq").alias("first_eid"),
+        F.max_by("event_id", "seq").alias("last_eid"),
+        F.min_by(cents, F.col("seq")).alias("first_cents"),
+        F.max_by(cents, F.col("seq")).alias("last_cents"),
+    )
+    # Pair each D run with the run that FOLLOWS it via lead() over the
+    # folded island table instead of a self-join: the join formulation
+    # scans + windows the raw events twice and (at test scale) broadcasts
+    # the whole island table — an unbounded build side at 100 TB.  lead()
+    # reuses the user_id partitioning on the (direction-change-bounded)
+    # run table: one pipeline, one scan, no join at all.
+    wnext = Window.partitionBy("user_id").orderBy("island_id")
+    paired = islands.select(
+        "*",
+        F.lead("dir").over(wnext).alias("next_dir"),
+        F.lead("n").over(wnext).alias("next_n"),
+        F.lead("last_eid").over(wnext).alias("next_last_eid"),
+        F.lead("last_cents").over(wnext).alias("next_last_cents"),
+    )
+    w_match = Window.partitionBy("user_id").orderBy("s0")
+    return (
+        paired.filter((F.col("dir") == "D") & (F.col("next_dir") == "U"))
+        .select(
+            "user_id",
+            F.row_number().over(w_match).cast("long").alias("match_seq"),
+            F.col("first_eid").alias("start_event_id"),
+            F.col("last_eid").alias("bottom_event_id"),
+            F.col("next_last_eid").alias("end_event_id"),
+            F.col("n").alias("n_down"),
+            F.col("next_n").alias("n_up"),
+            (F.col("first_cents") - F.col("last_cents")).alias("drop_cents"),
+            (F.col("next_last_cents") - F.col("last_cents")).alias("rise_cents"),
+        )
+        .orderBy("user_id", "match_seq")
+    )
