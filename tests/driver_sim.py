@@ -34,12 +34,31 @@ OUT = os.environ.get("VERIFY_OUT", "/tmp/verify_out.txt")
 
 def main() -> int:
     out = open(OUT, "w")
-    spark = (
-        SparkSession.builder.master("local[8]")
+    # Defaults mirror the grading driver exactly (plain session, local[8]).
+    # The env overrides exist ONLY for the partition-order stress sweep:
+    # running the same strict compare under a different core count /
+    # shuffle width / split size reorders every partial-aggregation merge,
+    # so any op whose result depends on float accumulation order (the
+    # sink_clustered_write bug class, PARITY.md) fails the hash here
+    # before the driver can ever see it flake.
+    builder = (
+        SparkSession.builder.master(
+            os.environ.get("DRIVER_SIM_MASTER", "local[8]")
+        )
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if os.environ.get("DRIVER_SIM_SHUFFLE_PARTITIONS"):
+        builder = builder.config(
+            "spark.sql.shuffle.partitions",
+            os.environ["DRIVER_SIM_SHUFFLE_PARTITIONS"],
+        )
+    if os.environ.get("DRIVER_SIM_MAX_PARTITION_BYTES"):
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ["DRIVER_SIM_MAX_PARTITION_BYTES"],
+        )
+    spark = builder.getOrCreate()
     import __spark_entry__ as e
 
     df = e.entry(spark)
