@@ -180,3 +180,57 @@ def test_match_recognize_matches_pure_python_rederivation(spark, sf_smoke):
     # drawdown/recovery measured in ROUNDED cents: strictly positive as
     # doubles, but a decline smaller than the cent resolution rounds to 0
     assert all(t[7] >= 0 and t[8] >= 0 for t in got)
+
+
+def test_match_recognize_synthetic_edges(spark, tmp_path):
+    """Hand-built series isolating the DEFINE/PATTERN edge semantics:
+    single-event users, monotone runs, flats INSIDE a would-be match
+    (D+ F U+ must NOT match — neither D nor U covers the flat row),
+    W shapes (two non-overlapping matches), and ts ties broken by
+    event_id."""
+    import datetime as dt
+
+    from un_datapipeline_spark.registry import all_operators
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, offset_s, value):
+        return (eid, t0 + dt.timedelta(seconds=offset_s), uid, "view", value, "{}")
+
+    rows = [
+        # u1: single event -> no runs at all
+        ev(1, 1, 0, 5.0),
+        # u2: strictly decreasing -> D run only, no U followup
+        ev(10, 2, 0, 5.0), ev(11, 2, 1, 4.0), ev(12, 2, 2, 3.0),
+        # u3: strictly increasing -> U run only, no preceding D
+        ev(20, 3, 0, 1.0), ev(21, 3, 1, 2.0), ev(22, 3, 2, 3.0),
+        # u4: D then FLAT then U -> flat breaks adjacency, no match
+        ev(30, 4, 0, 5.0), ev(31, 4, 1, 4.0), ev(32, 4, 2, 4.0), ev(33, 4, 3, 6.0),
+        # u5: W shape -> two matches (5>3<4, 4>2<6), skip past last row
+        ev(40, 5, 0, 5.0), ev(41, 5, 1, 3.0), ev(42, 5, 2, 4.0),
+        ev(43, 5, 3, 2.0), ev(44, 5, 4, 6.0),
+        # u6: V with a ts TIE inside the decline — event_id orders 6.0
+        # then 5.0 at the same ts, so the decline is 7->6->5 then rise to 8
+        ev(50, 6, 0, 7.0), ev(51, 6, 1, 6.0), ev(52, 6, 1, 5.0), ev(53, 6, 2, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {
+        tuple(r)
+        for r in all_operators()["win_match_recognize"].fn(spark, sf).collect()
+    }
+    expected = {
+        # (user, seq, start_eid, bottom_eid, end_eid, n_down, n_up, drop, rise)
+        # NB MATCH_RECOGNIZE semantics: the pre-decline PEAK row matches
+        # neither D nor U, so it is NOT part of the match — drop_cents is
+        # measured from the FIRST BELOW-PEAK row (a 1-row decline has
+        # drop 0; u6's 7→6→5 run has drop 6−5=100, not 7−5=200).
+        (5, 1, 41, 41, 42, 1, 1, 0, 100),
+        (5, 2, 43, 43, 44, 1, 1, 0, 400),
+        (6, 1, 51, 52, 53, 2, 1, 100, 300),
+    }
+    assert got == expected

@@ -1591,7 +1591,10 @@ def win_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     D+ U+ match maximal and non-overlapping BY CONSTRUCTION — that IS
     "after match skip past last row"; flat ticks (value = PREV) match
     neither D nor U, so no pattern spans them, the standard DEFINE
-    semantics.  Scale: window passes + one groupBy, ALL partitioned by
+    semantics.  Likewise the pre-decline PEAK row matches neither
+    variable and is NOT part of the match, so drop is measured from the
+    first below-peak row — exactly what PATTERN (D+ U+) says; anchor a
+    peak-inclusive drawdown with ts_max_drawdown instead.  Scale: window passes + one groupBy, ALL partitioned by
     user_id — one logical shuffle key, no join and no all-pairs work
     anywhere; the pairing lead() runs on the folded run table (≤ one
     row per direction change), not on raw events.  Measures are
