@@ -14,6 +14,7 @@ fallback for a real broker is a one-line reader change.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
@@ -506,9 +507,59 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     before = spark.conf.get(key)
     spark.conf.set(key, os.environ.get("SPARK_GRAFT_CC_PARTITIONS", "8"))
     try:
+        # Materialize the edge list ONCE before mirroring: the union has
+        # two branches over the same (expensive — n-gram shuffle) edge
+        # plan, and without this checkpoint the materialization of
+        # `bidir` executes that plan twice (measured ~2× the edge-build
+        # cost at sf0.1).
+        edges = edges.localCheckpoint()
         bidir = edges.union(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         ).localCheckpoint()
+
+        # Size-gated small path: dup-edge graphs are a tiny fraction of the
+        # corpus (only docs with a candidate pair — 256 edges for 60k docs
+        # at sf0.1), but every distributed round costs ~1 s of fixed
+        # job-scheduling/checkpoint overhead × diameter rounds.  Below the
+        # threshold, run exact union-find on the driver: the collect is
+        # BOUNDED by the constant threshold (never grows with corpus size),
+        # and the min-label fixpoint is unique, so both paths return
+        # bit-identical labels.  Above it, the iterative key-partitioned
+        # propagation below is the path that scales to any graph.
+        threshold = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "200000"))
+        if bidir.count() <= 2 * threshold:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in bidir.collect():
+                a, b = r[0], r[1]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            comp_min: dict = {}
+            for n in parent:
+                r = find(n)
+                comp_min[r] = min(comp_min.get(r, n), n)
+            node_t = edges.schema["a"].dataType
+            out_schema = T.StructType(
+                [
+                    T.StructField("node", node_t, False),
+                    T.StructField("label", node_t, False),
+                ]
+            )
+            return spark.createDataFrame(
+                [(n, comp_min[find(n)]) for n in sorted(parent)], out_schema
+            )
+
         labels = (
             bidir.select(F.col("a").alias("node")).distinct()
             .withColumn("label", F.col("node"))
