@@ -275,10 +275,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    # Materialize the edge list and (below) the oriented table ONCE:
+    # both feed 3-4 downstream branches (degrees, orientation, both
+    # wedge sides, closure), and without the checkpoint each branch
+    # re-executes the distinct pair-join edge build — measured 2.5x
+    # end-to-end at sf0.1 (13.9 s -> 5.4 s cold).  At cluster scale
+    # this is the standard materialize-reused-dataset pattern; the
+    # checkpointed data is shuffle-sized (the edge list itself).
     e = (
         a.join(b, (a.k == b.k) & (F.col("u") < F.col("v")))
         .select("u", "v")
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -302,6 +310,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
         )
+        .localCheckpoint()
     )
     w1 = o.select(F.col("src").alias("s"), F.col("dst").alias("v"),
                   F.col("dst_d").alias("vd"))
@@ -496,10 +505,18 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    # Materialize the edge list and (below) the oriented table ONCE:
+    # both feed 3-4 downstream branches (degrees, orientation, both
+    # wedge sides, closure), and without the checkpoint each branch
+    # re-executes the distinct pair-join edge build — measured 2.5x
+    # end-to-end at sf0.1 (13.9 s -> 5.4 s cold).  At cluster scale
+    # this is the standard materialize-reused-dataset pattern; the
+    # checkpointed data is shuffle-sized (the edge list itself).
     e = (
         a.join(b, (a.k == b.k) & (F.col("u") < F.col("v")))
         .select("u", "v")
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -520,6 +537,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
         )
+        .localCheckpoint()
     )
     w1 = o.select(F.col("src").alias("s"), F.col("dst").alias("v"),
                   F.col("dst_d").alias("vd"))
