@@ -98,7 +98,10 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > MAX_GRAM_DF)
         .select("gram")
     )
-    gf = grams.join(F.broadcast(hot), "gram", "left_anti")
+    # The capped gram stream feeds multiple downstream branches (sizes
+    # and both join sides); materialize it once so the explode -> hot-gram
+    # -> anti-join pipeline executes once, not per branch.
+    gf = grams.join(F.broadcast(hot), "gram", "left_anti").localCheckpoint()
     sizes = gf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         gf.alias("x")
@@ -485,7 +488,10 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > MAX_GRAM_DF)
         .select("gram")
     )
-    gf = grams.join(F.broadcast(hot), "gram", "left_anti")
+    # The capped gram stream feeds multiple downstream branches (sizes
+    # and both join sides); materialize it once so the explode -> hot-gram
+    # -> anti-join pipeline executes once, not per branch.
+    gf = grams.join(F.broadcast(hot), "gram", "left_anti").localCheckpoint()
     sizes = gf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         gf.alias("x")
@@ -600,7 +606,10 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > MAX_GRAM_DF)
         .select("gram")
     )
-    gf = grams.join(F.broadcast(hot), "gram", "left_anti")
+    # The capped gram stream feeds multiple downstream branches (sizes
+    # and both join sides); materialize it once so the explode -> hot-gram
+    # -> anti-join pipeline executes once, not per branch.
+    gf = grams.join(F.broadcast(hot), "gram", "left_anti").localCheckpoint()
     sizes = gf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         gf.alias("x")
