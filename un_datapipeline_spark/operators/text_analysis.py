@@ -216,7 +216,11 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible in the oracle; identity invariants live in
     tests/test_llm_invariants.py."""
     d = load_table(spark, sf_dir, "documents")
-    fp = _fingerprints(d)
+    # The fingerprint stream (explode every 8-char shingle, hash, keep
+    # ~6%) feeds THREE branches (per-doc counts and both pair-join
+    # sides); materialize the post-filter sample once so the shingle
+    # explosion runs once, not per branch.
+    fp = _fingerprints(d).localCheckpoint()
     counts = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     # containment: pairs sharing fingerprints, scored by overlap count
     pairs = (
