@@ -20,6 +20,7 @@ from un_datapipeline_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     reshape,
+    retrieval_eval,
     robust_stats,
     setops,
     sorting,
