@@ -641,7 +641,10 @@ def llm_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _bigram_ranks(spark, sf_dir, _LIST_LEN).select(
         "q_id", "c_id", F.col("r").alias("rb")
     )
-    inter = u.join(b, ["q_id", "c_id"])
+    # `inter` feeds THREE consumers (the two re-rank windows and both
+    # sides of the Kendall pair join); materialize the Q×k intersection
+    # once so the two-ranker pipeline behind it runs once, not 3×.
+    inter = u.join(b, ["q_id", "c_id"]).localCheckpoint()
     wa = Window.partitionBy("q_id").orderBy("ru")
     wb = Window.partitionBy("q_id").orderBy("rb")
     rr = inter.select(
