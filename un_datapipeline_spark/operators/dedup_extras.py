@@ -192,7 +192,10 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aren't oracle-portable); identical-text invariants asserted in
     tests/test_llm_invariants.py."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash_bands(d)).orderBy("a", "b")
+    # the band table feeds BOTH sides of all 4 band joins (8 consumers);
+    # materialize the tiny (doc, 4 ints) signature table once so the
+    # explode + 64-conditional-sum aggregation behind it runs once
+    return simhash_near_pairs(simhash_bands(d).localCheckpoint()).orderBy("a", "b")
 
 
 # --------------------------------------------------------------------------
