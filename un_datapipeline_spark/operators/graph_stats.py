@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
@@ -286,7 +287,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (a.k == b.k) & (F.col("u") < F.col("v")))
         .select("u", "v")
         .distinct()
-        .localCheckpoint()
+        # DISK_ONLY: the edge list is shuffle-sized — default
+        # MEMORY_AND_DISK pins it on the executor heap for the session
+        # and OOMs a default-memory driver at 10x data (probed at
+        # sf0.1); disk blocks cost one local read and never evict or
+        # crowd execution memory
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -310,7 +316,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
         )
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     w1 = o.select(F.col("src").alias("s"), F.col("dst").alias("v"),
                   F.col("dst_d").alias("vd"))
@@ -516,7 +522,12 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (a.k == b.k) & (F.col("u") < F.col("v")))
         .select("u", "v")
         .distinct()
-        .localCheckpoint()
+        # DISK_ONLY: the edge list is shuffle-sized — default
+        # MEMORY_AND_DISK pins it on the executor heap for the session
+        # and OOMs a default-memory driver at 10x data (probed at
+        # sf0.1); disk blocks cost one local read and never evict or
+        # crowd execution memory
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -537,7 +548,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
         )
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     w1 = o.select(F.col("src").alias("s"), F.col("dst").alias("v"),
                   F.col("dst_d").alias("vd"))
