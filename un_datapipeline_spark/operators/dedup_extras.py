@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
@@ -101,7 +102,10 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The capped gram stream feeds multiple downstream branches (sizes
     # and both join sides); materialize it once so the explode -> hot-gram
     # -> anti-join pipeline executes once, not per branch.
-    gf = grams.join(F.broadcast(hot), "gram", "left_anti").localCheckpoint()
+    # DISK_ONLY: the gram stream is data-sized (SCALING.md storage discipline)
+    gf = grams.join(F.broadcast(hot), "gram", "left_anti").localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
     sizes = gf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         gf.alias("x")
@@ -494,7 +498,10 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The capped gram stream feeds multiple downstream branches (sizes
     # and both join sides); materialize it once so the explode -> hot-gram
     # -> anti-join pipeline executes once, not per branch.
-    gf = grams.join(F.broadcast(hot), "gram", "left_anti").localCheckpoint()
+    # DISK_ONLY: the gram stream is data-sized (SCALING.md storage discipline)
+    gf = grams.join(F.broadcast(hot), "gram", "left_anti").localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
     sizes = gf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         gf.alias("x")
@@ -612,7 +619,10 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The capped gram stream feeds multiple downstream branches (sizes
     # and both join sides); materialize it once so the explode -> hot-gram
     # -> anti-join pipeline executes once, not per branch.
-    gf = grams.join(F.broadcast(hot), "gram", "left_anti").localCheckpoint()
+    # DISK_ONLY: the gram stream is data-sized (SCALING.md storage discipline)
+    gf = grams.join(F.broadcast(hot), "gram", "left_anti").localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
     sizes = gf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         gf.alias("x")

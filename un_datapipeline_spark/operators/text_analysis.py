@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.storagelevel import StorageLevel
 
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
@@ -220,7 +221,9 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~6%) feeds THREE branches (per-doc counts and both pair-join
     # sides); materialize the post-filter sample once so the shingle
     # explosion runs once, not per branch.
-    fp = _fingerprints(d).localCheckpoint()
+    fp = _fingerprints(d).localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
     counts = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     # containment: pairs sharing fingerprints, scored by overlap count
     pairs = (
