@@ -755,3 +755,139 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (synchronous, deterministic): community detection
+# ---------------------------------------------------------------------------
+
+_LPA_ITERATIONS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unroll the synchronous label-propagation iterations as chained
+    CTEs (the graph_bfs_layers recipe extended to argmax state): each
+    round is count-labels-over-neighbors, then per node take the
+    majority label with ties to the SMALLEST label.  Every step is
+    exact integer arithmetic on deterministic inputs, so unlike
+    PageRank the fixed iteration count hash-matches across engines."""
+    parts = [
+        """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+bidir AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM bidir)"""
+    ]
+    for i in range(1, _LPA_ITERATIONS + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT b.u AS node, l.lbl, count(*) AS c
+  FROM bidir b JOIN l{i - 1} l ON l.node = b.v
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, min(lbl) AS lbl FROM (
+    SELECT node, lbl, c, max(c) OVER (PARTITION BY node) AS mc FROM c{i}
+  ) t WHERE c = mc GROUP BY node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(lbl AS BIGINT)      AS community,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node
+FROM l{_LPA_ITERATIONS}
+GROUP BY lbl
+ORDER BY n_nodes DESC, community
+LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+_LPA_ORACLE = _lpa_oracle()
+
+
+@register("graph_label_propagation", oracle=_LPA_ORACLE, tier="T3")
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via SYNCHRONOUS label propagation (Raghavan
+    2007) on the repeat-co-purchase part graph: every node starts as its
+    own community, then for a fixed 3 rounds simultaneously adopts the
+    majority label among its neighbors, ties broken to the smallest
+    label.  Top-20 communities by size — the catalog-taxonomy /
+    spam-ring discovery primitive.
+
+    Determinism: asynchronous LPA (the usual formulation) is
+    order-dependent, but the synchronous variant with a total tie-break
+    is a pure function of the graph, so a FIXED iteration count
+    hash-matches the unrolled-CTE oracle exactly — the graph_bfs_layers
+    lane, extended from set union to argmax state.
+
+    Scale shape: label state is a (node, lbl) DataFrame partitioned by
+    node; each round is ONE equi-join of labels against the edge list
+    (|E| rows), one (node, lbl) count, and one per-node window argmax —
+    all key-partitioned shuffles, nothing driver-side.  localCheckpoint
+    per round keeps the plan flat (the iterative-algorithm pattern
+    shared with graph_pagerank / graph_bfs_layers); rounds are fixed at
+    3, independent of graph size."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, (a.k == b.k) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    bidir = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+
+    from pyspark.sql import Window
+
+    labels = (
+        bidir.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node")
+    for _ in range(_LPA_ITERATIONS):
+        cnt = (
+            bidir.join(
+                labels.select(F.col("node").alias("v"), "lbl"), "v"
+            )
+            .groupBy(F.col("u").alias("node"), F.col("lbl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("mc", F.max("c").over(w))
+            .filter(F.col("c") == F.col("mc"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .select(
+            F.col("lbl").alias("community"), "n_nodes", "min_node", "max_node"
+        )
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(20)
+    )

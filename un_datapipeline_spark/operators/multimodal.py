@@ -440,3 +440,103 @@ def mm_magic_byte_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("sample_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) near-duplicate detection over decoded media
+# ---------------------------------------------------------------------------
+
+# dHash grid: the payload bytes tile a fixed 72x64 virtual canvas
+# (content-INDEPENDENT dims, unlike mm_decode_features' per-doc md5
+# dims — a resize normalizes real images the same way), and the hash
+# compares horizontally adjacent probes on a 9x8 sample grid.  Probe
+# (r, c) sits at canvas offset 576*r + 8*c, precomputed below as
+# integer LITERALS so both engine texts share the exact arithmetic.
+_PH_W, _PH_H = 72, 64
+_PH_HAM_MAX = 10
+
+
+def _ph_px(pos: int) -> str:
+    """Pixel probe: payload byte at canvas offset ``pos`` under tiling —
+    ascii of the text char at (pos mod len).  Engine-shared SQL."""
+    return f"ascii(substr(text, CAST({pos} % length(text) AS INT) + 1, 1))"
+
+
+def _ph_band(i: int) -> str:
+    """16-bit band ``i`` of the 64-bit dHash as one integer expression."""
+    terms = []
+    for k in range(16):
+        t = i * 16 + k
+        r, c = divmod(t, 8)
+        pa = _ph_px((_PH_H // 8) * r * _PH_W + (_PH_W // 9) * c)
+        pb = _ph_px((_PH_H // 8) * r * _PH_W + (_PH_W // 9) * (c + 1))
+        terms.append(f"(CASE WHEN {pb} > {pa} THEN {1 << k} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def _ph_sql(xor: str, intdiv: str) -> str:
+    """The full band-profile query; ``xor``/``intdiv`` are the only
+    engine-specific spellings (DuckDB xor(a,b) + //, Spark ^ + DIV)."""
+    bands = ",\n       ".join(f"{_ph_band(i)} AS b{i}" for i in range(4))
+    blocks = [f"WITH ph AS (\n  SELECT doc_id,\n       {bands}\n  FROM {{tbl}}\n)"]
+    rows = []
+    for i in range(4):
+        if xor == "^":
+            ham = " + ".join(f"bit_count(a.b{j} ^ b.b{j})" for j in range(4))
+        else:
+            ham = " + ".join(f"bit_count({xor}(a.b{j}, b.b{j}))" for j in range(4))
+        blocks.append(
+            f""",
+bs{i} AS (SELECT b{i} AS bv, count(*) AS c FROM ph GROUP BY 1),
+st{i} AS (
+  SELECT CAST(count(*) AS BIGINT)  AS n_buckets,
+         CAST(max(c) AS BIGINT)    AS max_bucket,
+         CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+                                   AS n_collision_docs,
+         CAST(sum(c * (c - 1)) {intdiv} 2 AS BIGINT) AS n_cand_pairs
+  FROM bs{i}
+),
+np{i} AS (
+  SELECT CAST(count(CASE WHEN {ham} <= {_PH_HAM_MAX} THEN 1 END) AS BIGINT)
+           AS n_near_pairs
+  FROM ph a JOIN ph b ON a.b{i} = b.b{i} AND a.doc_id < b.doc_id
+)"""
+        )
+        rows.append(
+            f"SELECT {i} AS band, n_buckets, max_bucket, n_collision_docs,"
+            f" n_cand_pairs, n_near_pairs FROM st{i}, np{i}"
+        )
+    blocks.append("\n" + "\nUNION ALL\n".join(rows) + "\nORDER BY band")
+    return "".join(blocks)
+
+
+_PHASH_ORACLE = _ph_sql(xor="xor", intdiv="//").format(tbl="documents")
+
+
+@register("mm_phash_dedup", oracle=_PHASH_ORACLE, tier="T3")
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate profile for the media corpus: a
+    64-bit dHash per payload (brightness-gradient signs on a fixed
+    9x8 probe grid over the tiled canvas), banded LSH-style into four
+    16-bit keys, then per band the bucket-collision profile plus the
+    count of candidate pairs within Hamming distance 10 of
+    the full hash — the image-dedup pipeline (pHash/dHash banding)
+    with the decode stage replayed on the deterministic stub, so the
+    whole flow is SQL-verifiable (the mm_decode_features contract).
+
+    Scale shape: the hash is pure column arithmetic fused into the
+    scan (no UDF, no decode shuffle); each band pass is an equi-join
+    on a 16-bit key — the same sub-quadratic banding as
+    llm_dedup_simhash, never an all-pairs compare.  Output is 4 rows
+    regardless of corpus size.  The band table feeds 4 joins with
+    DIFFERENT keys, so it is checkpointed once (the simhash
+    materialization rule: distinct consumer subtrees cannot share a
+    ReusedExchange)."""
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("phash_docs")
+    sql = _ph_sql(xor="^", intdiv="DIV").format(tbl="phash_docs")
+    head, rest = sql.split("\n)", 1)
+    ph = spark.sql(head + "\n)\nSELECT * FROM ph").localCheckpoint(eager=True)
+    ph.createOrReplaceTempView("phash_bands")
+    return spark.sql("WITH ph AS (SELECT * FROM phash_bands)" + rest)
