@@ -131,3 +131,41 @@ def test_phash_profile_is_consistent(spark, sf_smoke):
         assert r["n_collision_docs"] <= n_docs
         assert r["n_near_pairs"] <= r["n_cand_pairs"]
         assert r["max_bucket"] >= 1
+
+
+def test_modularity_matches_pure_python(spark, sf_smoke):
+    """Q recomputed exactly (Fraction arithmetic) from the pure-Python
+    LPA labels must equal the operator's q_num / rounded Q."""
+    from fractions import Fraction
+    from math import floor
+
+    edges = _copurchase_edges(sf_smoke)
+    adj: dict[int, list[int]] = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    lbl = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n, nbrs in adj.items():
+            c = Counter(lbl[m] for m in nbrs)
+            top = max(c.values())
+            nxt[n] = min(l for l, k in c.items() if k == top)
+        lbl = nxt
+    m = len(edges)
+    e_in: Counter = Counter()
+    for u, v in edges:
+        if lbl[u] == lbl[v]:
+            e_in[lbl[u]] += 1
+    d_sum: Counter = Counter()
+    for n, nbrs in adj.items():
+        d_sum[lbl[n]] += len(nbrs)
+    q_num = sum(4 * m * e_in[l] - d_sum[l] ** 2 for l in d_sum)
+    row = OPS["graph_modularity"].fn(spark, sf_smoke).collect()[0]
+    assert row["m_edges"] == m
+    assert row["n_communities"] == len(d_sum)
+    assert row["q_num"] == q_num
+    q = Fraction(q_num, 4 * m * m)
+    assert row["modularity"] == floor(float(q) * 1_000_000 + 0.5) / 1_000_000
+    # a 3-round LPA partition on a real graph: valid modularity range
+    assert -0.5 <= row["modularity"] <= 1.0

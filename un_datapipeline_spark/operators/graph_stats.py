@@ -764,13 +764,11 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ITERATIONS = 3
 
 
-def _lpa_oracle() -> str:
-    """Unroll the synchronous label-propagation iterations as chained
-    CTEs (the graph_bfs_layers recipe extended to argmax state): each
-    round is count-labels-over-neighbors, then per node take the
-    majority label with ties to the SMALLEST label.  Every step is
-    exact integer arithmetic on deterministic inputs, so unlike
-    PageRank the fixed iteration count hash-matches across engines."""
+def _lpa_cte_prefix() -> str:
+    """The shared WITH chain: co-purchase graph + unrolled synchronous
+    label-propagation iterations, ending at CTE ``l{N}`` (the converged
+    labels).  Shared verbatim by the LPA and modularity oracles so both
+    provably score the same partition."""
     parts = [
         """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -797,7 +795,17 @@ l{i} AS (
   ) t WHERE c = mc GROUP BY node
 )"""
         )
-    parts.append(
+    return "".join(parts)
+
+
+def _lpa_oracle() -> str:
+    """Unroll the synchronous label-propagation iterations as chained
+    CTEs (the graph_bfs_layers recipe extended to argmax state): each
+    round is count-labels-over-neighbors, then per node take the
+    majority label with ties to the SMALLEST label.  Every step is
+    exact integer arithmetic on deterministic inputs, so unlike
+    PageRank the fixed iteration count hash-matches across engines."""
+    return _lpa_cte_prefix() + (
         f"""
 SELECT CAST(lbl AS BIGINT)      AS community,
        CAST(count(*) AS BIGINT) AS n_nodes,
@@ -808,34 +816,17 @@ GROUP BY lbl
 ORDER BY n_nodes DESC, community
 LIMIT 20"""
     )
-    return "".join(parts)
 
 
 _LPA_ORACLE = _lpa_oracle()
 
 
-@register("graph_label_propagation", oracle=_LPA_ORACLE, tier="T3")
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection via SYNCHRONOUS label propagation (Raghavan
-    2007) on the repeat-co-purchase part graph: every node starts as its
-    own community, then for a fixed 3 rounds simultaneously adopts the
-    majority label among its neighbors, ties broken to the smallest
-    label.  Top-20 communities by size — the catalog-taxonomy /
-    spam-ring discovery primitive.
-
-    Determinism: asynchronous LPA (the usual formulation) is
-    order-dependent, but the synchronous variant with a total tie-break
-    is a pure function of the graph, so a FIXED iteration count
-    hash-matches the unrolled-CTE oracle exactly — the graph_bfs_layers
-    lane, extended from set union to argmax state.
-
-    Scale shape: label state is a (node, lbl) DataFrame partitioned by
-    node; each round is ONE equi-join of labels against the edge list
-    (|E| rows), one (node, lbl) count, and one per-node window argmax —
-    all key-partitioned shuffles, nothing driver-side.  localCheckpoint
-    per round keeps the plan flat (the iterative-algorithm pattern
-    shared with graph_pagerank / graph_bfs_layers); rounds are fixed at
-    3, independent of graph size."""
+def _lpa_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(undirected edges u<v, bidirectional edges, converged labels) of
+    the synchronous 3-round LPA — shared by graph_label_propagation and
+    graph_modularity so the partition both report is the same object."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -849,6 +840,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")
+        .localCheckpoint(eager=True)
     )
     bidir = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -878,6 +870,32 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
+    return e, bidir, labels
+
+
+@register("graph_label_propagation", oracle=_LPA_ORACLE, tier="T3")
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via SYNCHRONOUS label propagation (Raghavan
+    2007) on the repeat-co-purchase part graph: every node starts as its
+    own community, then for a fixed 3 rounds simultaneously adopts the
+    majority label among its neighbors, ties broken to the smallest
+    label.  Top-20 communities by size — the catalog-taxonomy /
+    spam-ring discovery primitive.
+
+    Determinism: asynchronous LPA (the usual formulation) is
+    order-dependent, but the synchronous variant with a total tie-break
+    is a pure function of the graph, so a FIXED iteration count
+    hash-matches the unrolled-CTE oracle exactly — the graph_bfs_layers
+    lane, extended from set union to argmax state.
+
+    Scale shape: label state is a (node, lbl) DataFrame partitioned by
+    node; each round is ONE equi-join of labels against the edge list
+    (|E| rows), one (node, lbl) count, and one per-node window argmax —
+    all key-partitioned shuffles, nothing driver-side.  localCheckpoint
+    per round keeps the plan flat (the iterative-algorithm pattern
+    shared with graph_pagerank / graph_bfs_layers); rounds are fixed at
+    3, independent of graph size."""
+    _e, _bidir, labels = _lpa_state(spark, sf_dir)
     return (
         labels.groupBy("lbl")
         .agg(
@@ -890,4 +908,113 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_nodes"), "community")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the LPA partition (exact-integer quality score)
+# ---------------------------------------------------------------------------
+
+_MODULARITY_ORACLE = _lpa_cte_prefix() + f""",
+dg AS (SELECT u AS node, count(*) AS d FROM bidir GROUP BY 1),
+ec AS (
+  SELECT lu.lbl, CAST(count(*) AS BIGINT) AS e_in
+  FROM e
+  JOIN l{_LPA_ITERATIONS} lu ON lu.node = e.u
+  JOIN l{_LPA_ITERATIONS} lv ON lv.node = e.v
+  WHERE lu.lbl = lv.lbl
+  GROUP BY 1
+),
+dc AS (
+  SELECT l.lbl, CAST(sum(dg.d) AS BIGINT) AS d_sum
+  FROM dg JOIN l{_LPA_ITERATIONS} l ON l.node = dg.node
+  GROUP BY 1
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+per AS (
+  SELECT dc.lbl, CAST(coalesce(ec.e_in, 0) AS BIGINT) AS e_in, dc.d_sum
+  FROM dc LEFT JOIN ec ON ec.lbl = dc.lbl
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(sum(CASE WHEN e_in > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_internal_communities,
+       m AS m_edges,
+       CAST(sum(4 * m * e_in - d_sum * d_sum) AS BIGINT) AS q_num,
+       floor(CAST(sum(4 * m * e_in - d_sum * d_sum) AS DOUBLE)
+             / (4.0 * m * m) * 1000000 + 0.5) / 1000000.0 AS modularity
+FROM per, mm
+GROUP BY m
+"""
+
+
+@register("graph_modularity", oracle=_MODULARITY_ORACLE, tier="T3")
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition — THE
+    quality score for a community structure: Q = Σ_c [e_c/m −
+    (d_c/2m)²] over communities c with e_c internal edges, d_c total
+    degree, m edges overall.  Everything stays exact BIGINT via the
+    cross-multiplied numerator Σ_c (4·m·e_c − d_c²); Q itself is ONE
+    division of exact operands, rounded by the explicit
+    floor(x·10⁶+0.5) lane (Q can be negative, where engine-native
+    ROUND half-away / half-up conventions diverge — PARITY.md).
+
+    Shares _lpa_state / _lpa_cte_prefix with graph_label_propagation,
+    so the scored partition is provably the one that operator reports.
+
+    Scale shape: e_c is ONE self-equi-join of the edge list against
+    the label table (join key = node, |E| rows); d_c one degree
+    aggregation; the m spine is the house 1-row broadcast.  No
+    per-community loop, no driver-side state."""
+    e, bidir, labels = _lpa_state(spark, sf_dir)
+    dg = bidir.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lbl_u"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lbl_v"))
+    ec = (
+        e.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lbl_u") == F.col("lbl_v"))
+        .groupBy(F.col("lbl_u").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    dc = (
+        dg.join(labels, "node")
+        .groupBy("lbl")
+        .agg(F.sum("d").cast("long").alias("d_sum"))
+    )
+    mm = e.agg(F.count(F.lit(1)).alias("m"))
+    per = dc.join(ec, "lbl", "left").select(
+        "lbl",
+        F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
+        "d_sum",
+    )
+    q_num = F.sum(
+        4 * F.col("m") * F.col("e_in") - F.col("d_sum") * F.col("d_sum")
+    ).cast("long")
+    return (
+        per.crossJoin(mm)  # 1-row broadcast spine (house share-of-total)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum(F.when(F.col("e_in") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_internal_communities"),
+            q_num.alias("q_num"),
+        )
+        .select(
+            "n_communities",
+            "n_internal_communities",
+            F.col("m").alias("m_edges"),
+            "q_num",
+            (
+                F.floor(
+                    F.col("q_num").cast("double")
+                    / (4.0 * F.col("m") * F.col("m"))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("modularity"),
+        )
     )
