@@ -367,3 +367,14 @@ def test_interval_join_preaggregates_probe_side(spark, sf_smoke):
     # final aggregate folds partial counts (sum), not raw pair rows
     head = plan[:join_at]
     assert "sum(cnt" in head or "sum(" in head
+
+
+def test_modularity_scoring_is_keyed_joins(spark, sf_smoke):
+    """graph_modularity: the internal-edge count must be KEYED label
+    lookups (equi-joins of the edge list against the node->label table),
+    never an all-pairs comparison, and the only BroadcastNestedLoopJoin
+    allowed is the single-row m-spine crossJoin — a second one would
+    mean a community-sized relation leaked into a non-equi join."""
+    plan = plan_of(spark, "graph_modularity", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
