@@ -105,6 +105,23 @@ def main() -> int:
         except Exception:
             out.write(f"t2 {name}: EXCEPTION\n{traceback.format_exc()}\n")
             n_fail += 1
+        if os.environ.get("VERIFY_UNPERSIST"):
+            # Marathon-sweep mode (default OFF so the sf0.01 run stays a
+            # faithful driver mirror): a full-registry pass leaves ~300
+            # ops' localCheckpoint blocks registered in one JVM, and the
+            # MEMORY_AND_DISK ones pin the unified pool's protected
+            # storage region until ContextCleaner gets around to them —
+            # at sf0.1 on a default-memory driver that starved a wedge
+            # join of execution memory (UNABLE_TO_ACQUIRE_MEMORY, flaky;
+            # the op passes solo).  The grading driver runs only 50 ops
+            # per JVM and never accumulates this.  Every op is fully
+            # consumed (toPandas) before this point and no DataFrame is
+            # reused across ops (load_table caches plans, not data), so
+            # dropping every persisted RDD between ops cannot change
+            # results — only reclaim memory.
+            # py4j maps java.util.Map to a dict-like view
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(False)
     out.write(
         f"TOTAL declared={len(q)} match={n_match} rows_only={n_rows_only} fail={n_fail}\n"
     )

@@ -13,7 +13,10 @@ probe side flattened it to linear (2.3 s).
 Usage:
     VERIFY_OUT=/tmp/v001.txt python tests/driver_sim.py
     SPARK_GRAFT_T2_SF_DIR=/root/testdata/sf0.1 VERIFY_OUT=/tmp/v01.txt \
-        python tests/driver_sim.py
+        VERIFY_UNPERSIST=1 python tests/driver_sim.py
+    # (VERIFY_UNPERSIST drops each op's checkpoint blocks between ops —
+    # a full-registry sf0.1 marathon in one 1 GB JVM otherwise
+    # accumulates storage and can flake a late heavy stage)
     python tools/scale_audit.py /tmp/v001.txt /tmp/v01.txt [--data-ratio 10]
 
 Reads the `t2 <op>: ... spark_s=<sec>` lines each sweep writes.
