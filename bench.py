@@ -2,11 +2,23 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
+     "duckdb_total": sec, "duckdb_queries": {...}, "ratio_same_run": x}
 
 Method mirrors BASELINE.md: one long-lived local[N] session, one warm-up
 execution per query (JIT/codegen/broadcast warm), then best-of-5 timed
 runs of `collect()`.  Query shapes are the BASELINE.md §SQL-1..12 texts.
+
+Round-6 change (drift-immunity): BASELINE.md's published totals were
+captured on a different box state and no longer reproduce — the same 12
+DuckDB texts measured 0.724 s this round vs the published 2.855 s (the
+two "heavy" queries collapse: running_sum 1.106 → ~0.07 s, cosine_topk
+1.120 → ~0.21 s).  Any ratio against the *published* numbers therefore
+inherits ~4× of ambient drift.  So this harness now ALSO runs the 12
+BASELINE.md SQL texts verbatim through DuckDB in the SAME process,
+same minute (warm best-of-3, the published method), and emits
+``duckdb_total`` + ``ratio_same_run`` — the ratio to judge and optimize,
+immune to box drift by construction.
 
 Round-5 change: queries are expressed as `spark.sql()` text instead of
 chained DataFrame calls.  The Catalyst plan is identical, but plan
@@ -254,6 +266,119 @@ QUERIES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Same-run DuckDB baseline: the 12 BASELINE.md §SQL-1..12 texts VERBATIM
+# (raw speed shapes, no ROUND wrappers — see BASELINE.md's closing note).
+# ---------------------------------------------------------------------------
+
+DUCKDB_SQL = {
+    "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice*(1-l_discount)) AS sum_disc_price,
+       sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS sum_charge,
+       avg(l_quantity) AS avg_qty, avg(l_extendedprice) AS avg_price,
+       avg(l_discount) AS avg_disc, count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus;
+""",
+    "q3_shipping_priority": """
+SELECT o.o_orderkey, sum(l.l_extendedprice*(1-l.l_discount)) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey=o.o_custkey
+                JOIN lineitem l ON l.l_orderkey=o.o_orderkey
+WHERE c.c_mktsegment='BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate LIMIT 10;
+""",
+    "q5_regional_revenue": """
+SELECT n.n_name, sum(l.l_extendedprice*(1-l.l_discount)) AS revenue
+FROM customer c JOIN orders o   ON c.c_custkey=o.o_custkey
+                JOIN lineitem l ON l.l_orderkey=o.o_orderkey
+                JOIN supplier s ON l.l_suppkey=s.s_suppkey
+                JOIN nation n   ON s.s_nationkey=n.n_nationkey
+                JOIN region r   ON n.n_regionkey=r.r_regionkey
+WHERE r.r_name='ASIA' GROUP BY n.n_name ORDER BY revenue DESC;
+""",
+    "topk_per_group_window": """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+  FROM orders) t
+WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100;
+""",
+    "running_sum_window": """
+SELECT l_orderkey, l_linenumber,
+       sum(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100;
+""",
+    "rollup_agg": """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY 1 NULLS FIRST, 2 NULLS FIRST;
+""",
+    "events_tumbling_1h": """
+SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, sum(value) AS total
+FROM events GROUP BY 1,2 ORDER BY 1,2 LIMIT 200;
+""",
+    "events_json_extract": """
+SELECT event_type, avg(CAST(json_extract(props,'$.k') AS INT)) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type;
+""",
+    "doc_text_tokens": """
+SELECT lang, count(*) AS docs, avg(n_chars) AS avg_chars,
+       sum(len(string_split(text,' '))) AS total_tokens
+FROM documents GROUP BY lang ORDER BY lang;
+""",
+    "embeddings_cosine_topk": """
+SELECT a.vec_id, b.vec_id AS nn_id,
+       list_cosine_similarity(a.embedding, b.embedding) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 100
+QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY sim DESC) = 1
+ORDER BY a.vec_id LIMIT 100;
+""",
+    "dedup_exact": """
+SELECT count(*) AS n, count(DISTINCT md5(text)) AS n_unique FROM documents;
+""",
+    "asof_style_join": """
+SELECT e.event_id, e.ts, o.o_orderkey
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+ORDER BY e.event_id LIMIT 100;
+""",
+}
+
+
+def run_duckdb_baseline(d: str) -> dict[str, float]:
+    """The published BASELINE.md method, replayed in-process: views over
+    the same parquet files, one warm pass, best-of-3 timed executions.
+    Returns per-query warm minima (seconds)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (*_VIEW_TABLES, "embeddings"):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    times: dict[str, float] = {}
+    for name, sql in DUCKDB_SQL.items():
+        con.execute(sql).fetchall()  # warm (IO cache, JIT'd scans)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
+    con.close()
+    return times
+
+
 def _sf_of(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -297,12 +422,20 @@ def main() -> None:
             fn(spark, SF_DIR).collect()
             times[name] = min(times[name], time.perf_counter() - t0)
     times = {name: round(t, 4) for name, t in times.items()}
+    # Same-process, same-minute DuckDB replay of the published baseline
+    # texts — the drift-immune denominator (see module docstring).
+    duck = run_duckdb_baseline(SF_DIR)
+    spark_total = round(sum(times.values()), 4)
+    duck_total = round(sum(duck.values()), 4)
     out = {
         "metric": "headline_12q_total",
-        "value": round(sum(times.values()), 4),
+        "value": spark_total,
         "unit": "sec",
         "queries": times,
         "sf": _sf_of(SF_DIR),
+        "duckdb_total": duck_total,
+        "duckdb_queries": duck,
+        "ratio_same_run": round(spark_total / duck_total, 3) if duck_total else None,
     }
     print(json.dumps(out))
 

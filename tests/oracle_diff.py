@@ -126,8 +126,12 @@ def run_diff(spark, op: Operator, sf_dir: str, con=None) -> DiffResult:
             con.close()
 
     problems: list[str] = []
-    if [c.lower() for c in scols] != [c.lower() for c in ocols]:
-        problems.append(f"columns differ: spark={scols} oracle={ocols}")
+    # Case-SENSITIVE: the driver's value-hash canonicalization sorts
+    # column names case-sensitively, so a case-mismatched alias hash-fails
+    # at the driver even when this positional compare would align
+    # (reshape_transpose, CORRECTNESS_r05).
+    if list(scols) != list(ocols):
+        problems.append(f"columns differ (case-sensitive): spark={scols} oracle={ocols}")
     if len(srows) != len(orows):
         problems.append(f"row counts differ: spark={len(srows)} oracle={len(orows)}")
     if not problems:

@@ -118,14 +118,22 @@ def _col_equal(a: pd.Series, b: pd.Series) -> tuple[bool, str]:
 def strict_compare(sp: pd.DataFrame, oc: pd.DataFrame) -> list[str]:
     """Return a list of problems (empty == driver-hash-green)."""
     problems: list[str] = []
-    if sorted(c.lower() for c in sp.columns) != sorted(c.lower() for c in oc.columns):
-        problems.append(f"columns: spark={sorted(sp.columns)} oracle={sorted(oc.columns)}")
+    # Case-SENSITIVE name comparison: the driver's schema check is
+    # case-insensitive but its value-hash canonicalization sorts column
+    # names case-SENSITIVELY, so a case-mismatched alias misaligns the
+    # sorted column order ('A','N','R','key' vs 'a','key','n','r') and
+    # hash-fails even with bit-identical cells — exactly how
+    # reshape_transpose shipped locally green and failed at the driver
+    # (CORRECTNESS_r05).  No .lower() anywhere in this mirror.
+    if sorted(sp.columns) != sorted(oc.columns):
+        problems.append(
+            f"columns (case-sensitive): spark={sorted(sp.columns)} "
+            f"oracle={sorted(oc.columns)}"
+        )
         return problems
     if len(sp) != len(oc):
         problems.append(f"row counts: spark={len(sp)} oracle={len(oc)}")
         return problems
-    sp = sp.rename(columns=str.lower)
-    oc = oc.rename(columns=str.lower)
     try:
         cs = canon(sp)
     except TypeError as exc:

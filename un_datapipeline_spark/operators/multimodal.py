@@ -458,8 +458,16 @@ _PH_HAM_MAX = 10
 
 def _ph_px(pos: int) -> str:
     """Pixel probe: payload byte at canvas offset ``pos`` under tiling —
-    ascii of the text char at (pos mod len).  Engine-shared SQL."""
-    return f"ascii(substr(text, CAST({pos} % length(text) AS INT) + 1, 1))"
+    ascii of the text char at (pos mod len).  Engine-shared SQL.
+    Tiles over greatest(length, 1): a bare ``% length(text)`` is a
+    division-by-zero error on an empty-text document in BOTH engines
+    (ANSI Spark throws, DuckDB errors) — no empty docs exist in the
+    shipped corpora, but a real corpus has them; substr past the end
+    then yields '' and ascii('') = 0 on both engines, a stable pixel."""
+    return (
+        f"ascii(substr(text, "
+        f"CAST({pos} % greatest(length(text), 1) AS INT) + 1, 1))"
+    )
 
 
 def _ph_band(i: int) -> str:

@@ -145,4 +145,10 @@ def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_price"),
         F.count(F.lit(1)).cast("double").alias("n_rows"),
     )
-    return s.transpose("f")
+    # Spark 4's transpose promotes the index values to column names
+    # VERBATIM ('A','N','R' — uppercase); the oracle aliases lowercase.
+    # The driver's hash canonicalization sorts columns case-SENSITIVELY
+    # ('A','N','R','key' vs 'a','key','n','r'), so a case mismatch
+    # misaligns the value columns even when every cell is bit-identical
+    # (CORRECTNESS_r05 reshape_transpose FAIL).  Rename explicitly.
+    return s.transpose("f").toDF("key", "a", "n", "r")

@@ -102,13 +102,22 @@ bitoks AS (
 def _bigram_ranks(spark: SparkSession, sf_dir: str, limit: int) -> DataFrame:
     """Spark twin of _bigram_rank_sql: (q_id, c_id, r)."""
     d = load_table(spark, sf_dir, "documents")
+    # zip_with over two slices instead of transform(sequence(0, n-2)):
+    # for a 1-word (or empty-text) doc, sequence(0, -1) DESCENDS to
+    # [0, -1] and ws[-1] throws INVALID_ARRAY_INDEX under ANSI mode,
+    # while slice(ws, 1, 0) / slice(ws, 2, 0) are empty arrays — the
+    # short-input guard PARITY.md's hazard list requires (the shipped
+    # corpora all have ≥10-word docs, but a real corpus won't).
     grams = d.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(split(lower(text), ' ')) - 2), "
-                "i -> concat(split(lower(text), ' ')[i], ' ', "
-                "split(lower(text), ' ')[i+1]))"
+                "zip_with("
+                "slice(split(lower(text), ' '), 1, "
+                "      size(split(lower(text), ' ')) - 1), "
+                "slice(split(lower(text), ' '), 2, "
+                "      size(split(lower(text), ' ')) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
             )
         ).alias("bg"),
     ).distinct()
@@ -280,9 +289,9 @@ SELECT p.q_id, p.n_rel_top10, p.first_rel_rank,
        p.dcg_scaled,
        CAST(([{_WP_LIST}])[i.a + 1]
             + ([{_WP_LIST}])[i.b + 1] AS BIGINT) AS idcg_scaled,
-       ROUND(p.dcg_scaled * 1.0
-             / nullif(([{_WP_LIST}])[i.a + 1] + ([{_WP_LIST}])[i.b + 1], 0),
-             6) AS ndcg
+       floor(p.dcg_scaled * 1.0
+             / nullif(([{_WP_LIST}])[i.a + 1] + ([{_WP_LIST}])[i.b + 1], 0)
+             * 1000000 + 0.5) / 1000000.0 AS ndcg
 FROM per_q p JOIN ideal i ON i.q_id = p.q_id
 ORDER BY p.q_id
 """
@@ -387,17 +396,24 @@ def llm_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                f"+ element_at({wp}, CAST(b + 1 AS INT))")
         .cast("long")
         .alias("idcg_scaled"),
-        F.round(
-            F.col("dcg_scaled")
-            * 1.0
-            / F.nullif(
-                F.expr(
-                    f"element_at({wp}, CAST(a + 1 AS INT)) "
-                    f"+ element_at({wp}, CAST(b + 1 AS INT))"
-                ),
-                F.lit(0),
-            ),
-            6,
+        # explicit floor(x·1e6 + 0.5)/1e6 lane (not engine ROUND) — the
+        # .5-grid hazard PARITY.md documents; floor(x+0.5) is also
+        # negative-safe, matching rho/tau/kappa below
+        (
+            F.floor(
+                F.col("dcg_scaled")
+                * 1.0
+                / F.nullif(
+                    F.expr(
+                        f"element_at({wp}, CAST(a + 1 AS INT)) "
+                        f"+ element_at({wp}, CAST(b + 1 AS INT))"
+                    ),
+                    F.lit(0),
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         ).alias("ndcg"),
     )
     return out.orderBy("q_id")
@@ -602,15 +618,15 @@ inter AS (
   GROUP BY 1
 )
 SELECT s.q_id, s.overlap, s.sum_d2,
-       ROUND(CASE WHEN s.overlap > 1 THEN
+       floor((CASE WHEN s.overlap > 1 THEN
              1.0 - 6.0 * s.sum_d2 / (s.overlap * (s.overlap * s.overlap - 1))
-             END, 6) AS rho,
+             END) * 1000000 + 0.5) / 1000000.0 AS rho,
        CAST(coalesce(k.n_conc, 0) AS BIGINT) AS n_conc,
        CAST(coalesce(k.n_disc, 0) AS BIGINT) AS n_disc,
-       ROUND(CASE WHEN s.overlap > 1 THEN
+       floor((CASE WHEN s.overlap > 1 THEN
              2.0 * (coalesce(k.n_conc, 0) - coalesce(k.n_disc, 0))
              / (s.overlap * (s.overlap - 1))
-             END, 6) AS tau
+             END) * 1000000 + 0.5) / 1000000.0 AS tau
 FROM sp s LEFT JOIN kd k ON k.q_id = s.q_id
 ORDER BY s.q_id
 """
@@ -691,32 +707,42 @@ def llm_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         "overlap",
         "sum_d2",
-        F.round(
-            F.when(
-                F.col("overlap") > 1,
-                1.0
-                - 6.0
-                * F.col("sum_d2")
-                / (
-                    F.col("overlap")
-                    * (F.col("overlap") * F.col("overlap") - 1)
-                ),
-            ),
-            6,
+        # floor(x·1e6 + 0.5)/1e6 — not engine ROUND (the .5-grid hazard);
+        # floor(x+0.5) rounds half-up uniformly, negative-safe for tau<0
+        (
+            F.floor(
+                F.when(
+                    F.col("overlap") > 1,
+                    1.0
+                    - 6.0
+                    * F.col("sum_d2")
+                    / (
+                        F.col("overlap")
+                        * (F.col("overlap") * F.col("overlap") - 1)
+                    ),
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         ).alias("rho"),
         F.coalesce("n_conc", F.lit(0)).cast("long").alias("n_conc"),
         F.coalesce("n_disc", F.lit(0)).cast("long").alias("n_disc"),
-        F.round(
-            F.when(
-                F.col("overlap") > 1,
-                2.0
-                * (
-                    F.coalesce("n_conc", F.lit(0))
-                    - F.coalesce("n_disc", F.lit(0))
+        (
+            F.floor(
+                F.when(
+                    F.col("overlap") > 1,
+                    2.0
+                    * (
+                        F.coalesce("n_conc", F.lit(0))
+                        - F.coalesce("n_disc", F.lit(0))
+                    )
+                    / (F.col("overlap") * (F.col("overlap") - 1)),
                 )
-                / (F.col("overlap") * (F.col("overlap") - 1)),
-            ),
-            6,
+                * 1000000
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         ).alias("tau"),
     )
     return out.orderBy("q_id")
@@ -758,8 +784,9 @@ WITH feat AS (
 SELECT n_items, n_agree, pe_num,
        CAST(1000000 * n_agree // n_items AS BIGINT) AS po_ppm,
        CAST(1000000 * pe_num // (n_items * n_items) AS BIGINT) AS pe_ppm,
-       ROUND((n_items * n_agree - pe_num) * 1.0
-             / nullif(n_items * n_items - pe_num, 0), 6) AS kappa
+       floor((n_items * n_agree - pe_num) * 1.0
+             / nullif(n_items * n_items - pe_num, 0)
+             * 1000000 + 0.5) / 1000000.0 AS kappa
 FROM scal
 """
 
@@ -774,7 +801,8 @@ def llm_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: kappa = (po − pe)/(1 − pe) cross-multiplies to
     (N·agree − Σ row_c·col_c) / (N² − Σ row_c·col_c) — both sides exact
-    BIGINT, ONE division, 6dp round.  po/pe are reported as exact ppm
+    BIGINT, ONE division through the explicit floor(x·1e6 + 0.5)/1e6
+    lane (negative-safe; never engine ROUND).  po/pe are exact ppm
     via integer DIV (both non-negative, so truncation direction is
     engine-agnostic).
 
@@ -835,14 +863,19 @@ def llm_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 * pe_num DIV (n_items * n_items)")
             .cast("long")
             .alias("pe_ppm"),
-            F.round(
-                (F.col("n_items") * F.col("n_agree") - F.col("pe_num"))
-                * 1.0
-                / F.nullif(
-                    F.col("n_items") * F.col("n_items") - F.col("pe_num"),
-                    F.lit(0),
-                ),
-                6,
+            # floor(x·1e6 + 0.5)/1e6 lane, negative-safe for kappa < 0
+            (
+                F.floor(
+                    (F.col("n_items") * F.col("n_agree") - F.col("pe_num"))
+                    * 1.0
+                    / F.nullif(
+                        F.col("n_items") * F.col("n_items") - F.col("pe_num"),
+                        F.lit(0),
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("kappa"),
         )
     )

@@ -52,12 +52,15 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     Idempotent and cheap; called by every table loader so the engine works
     against the driver's session (which we don't construct).
     """
+    from pyspark.errors import AnalysisException, IllegalArgumentException
+
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            # A conf may be non-runtime-settable in some deployments;
-            # the session factory path sets it at build time instead.
+        except (AnalysisException, IllegalArgumentException):
+            # CANNOT_MODIFY_CONFIG: a conf may be non-runtime-settable in
+            # some deployments; the session factory path sets it at build
+            # time instead.  Anything else should surface.
             pass
     return spark
 
