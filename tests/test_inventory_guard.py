@@ -60,13 +60,22 @@ def test_priority_lists_match_correctness_union():
 
 def test_unverified_ops_fill_driver_slots():
     """The driver checks the first 50 queries() entries; never-verified /
-    non-green ops must lead, then new-this-round ops, then the greens,
-    with deliberately DEFERRED ops parked at the very end (they must
-    never displace the round's verification plan)."""
+    non-green ops must lead, then the STALE_REFRESH greens (a few oldest
+    verdicts re-confirmed every round — the transpose incident), then
+    new-this-round ops, then the greens, with deliberately DEFERRED ops
+    parked at the very end (they must never displace the round's
+    verification plan)."""
     order = list(all_operators())
     nv = list(priority.NEVER_VERIFIED)
     assert order[: len(nv)] == nv
-    tail = order[len(nv) :]
+    refresh = [n for n in priority.STALE_REFRESH if n not in nv]
+    assert order[len(nv) : len(nv) + len(refresh)] == refresh, (
+        "STALE_REFRESH greens must sit right after NEVER_VERIFIED so they "
+        "land inside the 50-slot driver window"
+    )
+    # refresh names must be real greens, not a side door for new ops
+    assert set(refresh) <= set(priority.DRIVER_GREEN)
+    tail = order[len(nv) + len(refresh) :]
     deferred = set(priority.DEFERRED)
 
     def grp(n: str) -> int:
