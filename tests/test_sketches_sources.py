@@ -128,4 +128,7 @@ def test_transpose_roundtrip_shape(spark, sf_smoke):
     rows = reshape_transpose(spark, sf_smoke).collect()
     assert {r.key for r in rows} == {"sum_qty", "sum_price", "n_rows"}
     df = reshape_transpose(spark, sf_smoke)
-    assert set(df.columns) == {"key", "A", "N", "R"}
+    # lowercase by construction (r05 driver hash-fail: Spark transpose
+    # promotes the flag values verbatim-uppercase; the op renames them so
+    # both engine texts agree under a case-SENSITIVE canonicalizer)
+    assert set(df.columns) == {"key", "a", "n", "r"}
