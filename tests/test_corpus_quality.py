@@ -91,3 +91,49 @@ def test_curriculum_deciles_ordered_and_complete(spark, sf_smoke):
                 decs[i].max_chars == decs[i + 1].min_chars
             )
             assert decs[i].max_chars <= decs[i + 1].max_chars
+
+
+def test_empty_text_quality_and_bpe_do_not_crash(spark, tmp_path):
+    """ADVICE r05 short-input class, round-6 sweep: llm_quality_score
+    divided alpha_ratio by length(text) and llm_token_count_bpe divided
+    chars-per-token by the BPE-ish token count — both DIVIDE_BY_ZERO
+    under ANSI Spark on an empty document while DuckDB silently NULLs.
+    Both now guard with greatest(..., 1) in BOTH engine texts (an empty
+    doc contributes a clean 0.0); this corpus exists to hit the guard."""
+    import duckdb
+    import pandas as pd
+
+    from un_datapipeline_spark.operators.text_analysis import (
+        _QUALITY_ORACLE,
+        _TOKENIZE_ORACLE,
+        llm_quality_score,
+        llm_token_count_bpe,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["", "??", "plain words here"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0, 2, 16],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+
+    q = {r.lang: r for r in llm_quality_score(spark, sf).collect()}
+    assert q["en"].n_docs == 3  # the empty doc executes, not just exists
+    b = {r.lang: r for r in llm_token_count_bpe(spark, sf).collect()}
+    assert b["en"].ws_tokens >= 3
+
+    # the oracle texts run on the same corpus and agree on the guarded lanes
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    oq = con.execute(_QUALITY_ORACLE).df().iloc[0]
+    assert float(oq["avg_alpha_ratio"]) == float(q["en"].avg_alpha_ratio)
+    ob = con.execute(_TOKENIZE_ORACLE).df().iloc[0]
+    assert float(ob["chars_per_token"]) == float(b["en"].chars_per_token)

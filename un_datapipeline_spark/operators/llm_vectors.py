@@ -165,7 +165,8 @@ SELECT label,
        ROUND(avg(sqrt(list_aggregate(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS avg_l2,
        ROUND(avg(list_aggregate(list_transform(embedding,
-             x -> CAST(x AS DOUBLE)), 'sum') / len(embedding)), 6)     AS avg_mean_el,
+             x -> CAST(x AS DOUBLE)), 'sum')
+             / greatest(len(embedding), 1)), 6)                        AS avg_mean_el,
        min(len(embedding)) AS min_dim,
        max(len(embedding)) AS max_dim
 FROM embeddings
@@ -189,7 +190,13 @@ def llm_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(F.sqrt(sumsq)), 6).alias("avg_l2"),
-        F.round(F.avg(elsum / F.size("embedding")), 6).alias("avg_mean_el"),
+        # greatest(size, 1): a zero-length vector is DIVIDE_BY_ZERO under
+        # ANSI Spark while DuckDB NULLs (the ADVICE r05 short-input
+        # class); the aggregate numerator is 0.0 there, so both engines
+        # report a clean 0.0 mean element.
+        F.round(
+            F.avg(elsum / F.greatest(F.size("embedding"), F.lit(1))), 6
+        ).alias("avg_mean_el"),
         F.min(F.size("embedding")).alias("min_dim"),
         F.max(F.size("embedding")).alias("max_dim"),
     )

@@ -35,7 +35,7 @@ FROM (
          len(toks) AS n_tokens,
          CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_tok_len,
          CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
-           / length(text) AS alpha_ratio,
+           / greatest(length(text), 1) AS alpha_ratio,
          CAST(len(list_filter(toks, t -> list_contains({list(STOPWORDS)}, t))) AS DOUBLE)
            / len(toks) AS stop_ratio
   FROM (SELECT lang, text, string_split(text, ' ') AS toks FROM documents)
@@ -60,9 +60,13 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_tok_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
         "double"
     ) / n_tokens
+    # greatest(length, 1): an empty document is a DIVIDE_BY_ZERO under
+    # ANSI Spark while DuckDB silently NULLs — the ADVICE r05 short-input
+    # class.  Numerator is 0 whenever the guard engages, so the ratio is
+    # a clean 0.0 on both engines.
     alpha_ratio = (
         F.length(F.regexp_replace("text", "[^a-zA-Z ]", "")).cast("double")
-        / F.length("text")
+        / F.greatest(F.length("text"), F.lit(1))
     )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     stop_ratio = (
@@ -167,8 +171,8 @@ SELECT lang,
             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS bpe_ish_tokens,
        CAST(sum(len(string_split(text, ' '))) AS BIGINT)   AS ws_tokens,
        ROUND(avg(CAST(length(text) AS DOUBLE)
-             / len(regexp_extract_all(text,
-                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))), 6) AS chars_per_token
+             / greatest(len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 1)), 6) AS chars_per_token
 FROM documents
 GROUP BY lang
 """
@@ -186,9 +190,16 @@ def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.sum(F.size(bpe)).cast("long").alias("bpe_ish_tokens"),
         F.sum(F.size(ws)).cast("long").alias("ws_tokens"),
-        F.round(F.avg(F.length("text").cast("double") / F.size(bpe)), 6).alias(
-            "chars_per_token"
-        ),
+        # greatest(size, 1): empty text has zero BPE-ish tokens — ANSI
+        # Spark would DIVIDE_BY_ZERO where DuckDB NULLs; guarded on both
+        # engines so an empty doc contributes 0.0 chars-per-token to avg.
+        F.round(
+            F.avg(
+                F.length("text").cast("double")
+                / F.greatest(F.size(bpe), F.lit(1))
+            ),
+            6,
+        ).alias("chars_per_token"),
     )
 
 
