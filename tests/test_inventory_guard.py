@@ -178,3 +178,11 @@ def test_regen_priority_tool_matches_checked_in_lists():
     assert set(mod.DRIVER_GREEN) == set(priority.DRIVER_GREEN)
     # every currently-listed never-verified name must not be green
     assert not (set(priority.NEVER_VERIFIED) & set(mod.DRIVER_GREEN))
+    # STALE_REFRESH: REFRESH_COUNT greens, one per name family (the
+    # refresh must span modules, not re-check five neighbours), ordered
+    # stalest-first — and the checked-in list matches the tool's output
+    assert tuple(mod.STALE_REFRESH) == tuple(priority.STALE_REFRESH)
+    assert len(mod.STALE_REFRESH) == regen_priority.REFRESH_COUNT
+    fams = [n.split("_", 1)[0] for n in mod.STALE_REFRESH]
+    assert len(set(fams)) == len(fams), f"family collision: {fams}"
+    assert set(mod.STALE_REFRESH) <= set(mod.DRIVER_GREEN)
