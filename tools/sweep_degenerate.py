@@ -1,0 +1,173 @@
+"""Degenerate-corpus robustness sweep: every operator over pathological
+short inputs, BOTH engines, strict parity.
+
+The r05 ADVICE items and the round-6 guard fixes were all one class:
+an expression that is total on the shipped corpora but partial on a
+REAL corpus — empty documents, 1-word documents, zero-length arrays —
+where ANSI Spark throws (DIVIDE_BY_ZERO, INVALID_ARRAY_INDEX,
+sequence() descent) while DuckDB silently NULLs.  Grepping for the
+known patterns finds instances; this sweep finds the CLASS: it swaps
+`documents` for a corpus that is nothing but degenerate shapes (empty
+text, whitespace-only, single char, single word, zero-width unicode,
+exact duplicates) and `embeddings` for a set containing the zero
+vector, keeps every other sf0.001 table, and then runs the full
+registry through the same strict_compare the driver mirror uses.
+
+Verdict semantics:
+  CRASH on either engine        -> fail (latent-partial expression)
+  hash mismatch (both ran)      -> fail (short-input parity divergence)
+  rows-only op, Spark ran       -> pass (same contract as the driver)
+
+NaN cells are expected for some vector ops here (zero-vector cosine is
+NaN on BOTH engines — the parity-safe behavior); strict_compare treats
+NaN==NaN as equal, so those pass as long as the engines agree.
+
+Usage:
+    python tools/sweep_degenerate.py            # all operators
+    python tools/sweep_degenerate.py llm_bm25_rank ...   # subset
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+BASE = "/root/testdata/sf0.001"
+
+# A corpus of nothing but edge shapes; a few multi-word docs remain so
+# profile/threshold ops (lang-id, quality bands, k-means) have material.
+_DOCS = [
+    "",                      # empty — the DIVIDE_BY_ZERO class
+    " ",                     # whitespace-only: split(' ') -> ['', '']
+    "x",                     # 1 char, 1 word — bigram/shingle descent class
+    "??",                    # punctuation only: zero BPE letter-runs
+    "​​",          # zero-width chars only (watermark class)
+    "a b",                   # minimal bigram
+    "one",                   # 1 word
+    "the of and to in",      # stopwords only
+    "same same same same",   # repetition
+    "plain words appear here often enough to score",
+    "plain words appear here often enough to score",  # exact duplicate
+    "zz qq vv kk jj ww xx yy",  # rare grams
+]
+
+
+def build_dataset(d: str) -> None:
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    langs = ["en", "de", "fr"]
+    srcs = ["web", "books"]
+    rows = []
+    for i in range(24):
+        text = _DOCS[i % len(_DOCS)]
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": langs[i % 3],
+                "source": srcs[i % 2],
+                "n_chars": len(text),
+            }
+        )
+    pd.DataFrame(rows).to_parquet(f"{d}/documents.parquet", index=False)
+
+    rng = np.random.RandomState(7)
+    vecs = [np.zeros(8, dtype=np.float32)]  # the zero vector
+    vecs += [rng.randn(8).astype(np.float32) for _ in range(39)]
+    em = pd.DataFrame(
+        {
+            "vec_id": np.arange(40, dtype=np.int64),
+            "embedding": [list(v) for v in vecs],
+            "label": np.arange(40, dtype=np.int32) % 4,
+        }
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(em, schema=schema), f"{d}/embeddings.parquet")
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    d = tempfile.mkdtemp(prefix="degen_")
+    build_dataset(d)
+
+    from pyspark.sql import SparkSession
+
+    import duckdb
+    from tests.strict_diff import canon, strict_compare
+    from un_datapipeline_spark.registry import all_operators
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("degen-sweep")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+
+    fails: list[str] = []
+    n_ok = n_ro = 0
+    for name, op in all_operators().items():
+        if only and name not in only:
+            continue
+        try:
+            spdf = op.fn(spark, d).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: SPARK CRASH {str(ex).splitlines()[0][:160]}")
+            fails.append(name)
+            continue
+        if op.oracle is None:
+            try:
+                canon(spdf)
+            except TypeError as ex:
+                print(f"FAIL {name}: canon crash {ex}")
+                fails.append(name)
+                continue
+            n_ro += 1
+            continue
+        try:
+            ocdf = con.execute(op.oracle).df()
+        except Exception as ex:
+            print(f"FAIL {name}: DUCKDB CRASH {str(ex).splitlines()[0][:160]}")
+            fails.append(name)
+            continue
+        problems = strict_compare(spdf, ocdf)
+        if problems:
+            print(f"FAIL {name}: {problems[0][:160]}")
+            fails.append(name)
+        else:
+            n_ok += 1
+    print(f"TOTAL ok={n_ok} rows_only={n_ro} fail={len(fails)} {fails}")
+    spark.stop()
+    shutil.rmtree(d, ignore_errors=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -221,7 +221,13 @@ def llm_simsearch_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from un_datapipeline_spark.operators.dedup_extras import hyperplane_buckets
 
     N_PLANES = 8
-    em = load_table(spark, sf_dir, "embeddings")
+    # cosine is undefined for the zero vector: its norm product is 0 and
+    # the sim division DIVIDE_BY_ZEROs under ANSI Spark (degenerate-
+    # corpus sweep, round 6).  Zero vectors are excluded from similarity
+    # semantics engine-wide (same policy as the Arrow-kernel ops).
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        F.exists("embedding", lambda x: x != 0)
+    )
     b = hyperplane_buckets(em, n_planes=N_PLANES)
     # probe buckets: own + each single-bit flip
     probe_buckets = F.array(

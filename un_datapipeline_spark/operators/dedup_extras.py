@@ -228,7 +228,7 @@ FROM (
          row_number() OVER (PARTITION BY a.vec_id
                             ORDER BY {_DOT} / ({_NA} * {_NB}) DESC, b.vec_id) AS rn
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-  WHERE a.vec_id < 100
+  WHERE a.vec_id < 100 AND {_NA} > 0 AND {_NB} > 0
 )
 WHERE rn = 1
 """

@@ -47,6 +47,12 @@ def cosine_topk(
     rows = probes.select(id_col, vec_col).collect()
     p_ids = np.array([r[0] for r in rows], dtype=np.int64)
     p_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    # Zero vectors are excluded from similarity semantics engine-wide:
+    # cosine is undefined there (norm product 0), and leaving them in
+    # yields engine-dependent NaN ranking (degenerate-corpus sweep,
+    # round 6).  The paired oracles carry the same norm > 0 predicate.
+    p_keep = np.linalg.norm(p_mat, axis=1) > 0
+    p_ids, p_mat = p_ids[p_keep], p_mat[p_keep]
     p_mat /= np.linalg.norm(p_mat, axis=1, keepdims=True)
 
     out_schema = "a_id long, nn_id long, sim double"
@@ -57,6 +63,11 @@ def cosine_topk(
                 continue
             b_ids = pdf[id_col].to_numpy(dtype=np.int64)
             b_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            b_keep = np.linalg.norm(b_mat, axis=1) > 0
+            if not b_keep.all():
+                b_ids, b_mat = b_ids[b_keep], b_mat[b_keep]
+            if b_mat.shape[0] == 0:
+                continue
             b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
             sims = b_mat @ p_mat.T  # (batch, probes)
             if exclude_self or require_gt:
@@ -107,7 +118,7 @@ _SIMSEARCH_ORACLE = f"""
 SELECT a.vec_id AS a_id, b.vec_id AS nn_id,
        ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS sim
 FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
-WHERE a.vec_id < 100
+WHERE a.vec_id < 100 AND {_NORM_A} > 0 AND {_NORM_B} > 0
 QUALIFY row_number() OVER (PARTITION BY a.vec_id
                            ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC,
                                     b.vec_id) = 1
@@ -131,7 +142,7 @@ FROM (
   SELECT a.vec_id AS a_id, b.label AS lbl,
          {_DOT} / ({_NORM_A} * {_NORM_B}) AS sim
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-  WHERE a.vec_id < 50
+  WHERE a.vec_id < 50 AND {_NORM_A} > 0 AND {_NORM_B} > 0
   QUALIFY row_number() OVER (PARTITION BY a.vec_id
                              ORDER BY sim DESC, b.vec_id) <= 5
 )
@@ -604,7 +615,7 @@ _HARDNEG_ORACLE = f"""
 SELECT a.vec_id AS a_id, b.vec_id AS nn_id, b.label AS neg_label,
        ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS sim
 FROM embeddings a JOIN embeddings b ON a.label <> b.label
-WHERE a.vec_id < 20
+WHERE a.vec_id < 20 AND {_NORM_A} > 0 AND {_NORM_B} > 0
 QUALIFY row_number() OVER (PARTITION BY a.vec_id
                            ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC,
                                     b.vec_id) <= 5
@@ -631,8 +642,11 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = em.filter(F.col("vec_id") < 20).select("vec_id", "embedding", "label").collect()
     p_ids = np.array([r[0] for r in rows], dtype=np.int64)
     p_mat = np.array([r[1] for r in rows], dtype=np.float64)
-    p_mat /= np.linalg.norm(p_mat, axis=1, keepdims=True)
     p_lbl = np.array([r[2] for r in rows], dtype=np.int64)
+    # zero vectors excluded from similarity semantics (see cosine_topk)
+    p_keep = np.linalg.norm(p_mat, axis=1) > 0
+    p_ids, p_mat, p_lbl = p_ids[p_keep], p_mat[p_keep], p_lbl[p_keep]
+    p_mat /= np.linalg.norm(p_mat, axis=1, keepdims=True)
     k = 5
 
     def partial_topk(batches):
@@ -642,6 +656,11 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             b_lbl = pdf["label"].to_numpy(dtype=np.int64)
             b_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            b_keep = np.linalg.norm(b_mat, axis=1) > 0
+            if not b_keep.all():
+                b_ids, b_lbl, b_mat = b_ids[b_keep], b_lbl[b_keep], b_mat[b_keep]
+            if b_mat.shape[0] == 0:
+                continue
             b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
             sims = b_mat @ p_mat.T  # (batch, probes)
             sims = np.where(b_lbl[:, None] == p_lbl[None, :], -np.inf, sims)

@@ -57,18 +57,39 @@ def minhash_ml_pairs(docs: DataFrame, max_jaccard_dist: float = 0.5) -> DataFram
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     words = F.split(F.lower(F.col("text")), "\\s+")
-    shingled = docs.select(
-        "doc_id",
+    # trigram shingling needs >= 3 words: on a shorter doc element_at
+    # (words, i+3) runs off the array (INVALID_ARRAY_INDEX under ANSI —
+    # degenerate-corpus sweep, round 6).  The CASE guard makes the
+    # expression TOTAL (WHEN branches evaluate lazily per row), which a
+    # plain upstream filter does not: approxSimilarityJoin re-plans the
+    # input subtree and the optimizer can re-evaluate the projection
+    # where the filter no longer precedes it (reproduced).  The filter
+    # still runs too — MinHashLSH requires >= 1 non-zero feature, and
+    # sub-trigram docs have no trigram near-dup signal by definition.
+    shingles_expr = F.when(
+        F.size(words) >= 3,
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+            F.sequence(F.lit(0), F.size(words) - 3),
             lambda i: F.concat_ws(
                 " ",
                 F.element_at(words, i + 1),
                 F.element_at(words, i + 2),
                 F.element_at(words, i + 3),
             ),
-        ).alias("shingles"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = docs.filter(F.size(words) >= 3).select(
+        "doc_id", shingles_expr.alias("shingles")
     )
+    # Materialize BEHIND the filter: approxSimilarityJoin re-plans its
+    # input subtree on both sides of the self-join, and the re-planned
+    # tree evaluated the shingle transform (and MinHashLSH's non-empty-
+    # vector require()) on pre-filter rows (reproduced on the degenerate
+    # corpus).  The checkpoint freezes the filtered table; the self-join
+    # also reuses the materialization instead of re-scanning the corpus.
+    from pyspark.storagelevel import StorageLevel
+
+    shingled = shingled.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )

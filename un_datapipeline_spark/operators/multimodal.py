@@ -108,8 +108,14 @@ def _decode_payload(payload: bytes, width: int, height: int):
     except ImportError:
         pass
     buf = np.frombuffer(payload, dtype=np.uint8)
+    if len(buf) == 0:
+        # empty payload decodes to an all-zero canvas (np.tile of an
+        # empty buffer stays empty and the reshape crashes — degenerate-
+        # corpus sweep, round 6); the oracle's greatest(n, 1) tiling
+        # yields ascii('') = 0 pixels, the same canvas.
+        buf = np.zeros(1, dtype=np.uint8)
     need = width * height
-    reps = -(-need // max(len(buf), 1))
+    reps = -(-need // len(buf))
     return np.tile(buf, reps)[:need].reshape(height, width)
 
 
@@ -120,21 +126,40 @@ def _decode_payload(payload: bytes, width: int, height: int):
 # operands — ROUND is applied to bit-identical doubles on both sides.
 _DECODE_ORACLE = """
 WITH dims AS (
-  SELECT doc_id, text, length(text) AS n, md5(text) AS m FROM documents
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n, md5(text) AS m FROM documents
 ), sized AS (
-  SELECT doc_id, text, n,
+  SELECT doc_id, hx, n,
          ((ascii(substr(m, 1, 1)) * 256 + ascii(substr(m, 2, 1))) % 64 + 16) AS width,
          ((ascii(substr(m, 3, 1)) * 256 + ascii(substr(m, 4, 1))) % 64 + 16) AS height
   FROM dims
-), px AS (
-  SELECT doc_id, width, height, n, j,
-         ascii(substr(text, CAST(j % n AS INT) + 1, 1)) AS b,
-         CASE WHEN j % width <> width - 1
-              THEN ascii(substr(text, CAST((j + 1) % n AS INT) + 1, 1))
-         END AS b_next
+), pos AS (
+  SELECT doc_id, width, height, n, hx, j,
+         CAST(j % greatest(n, 1) AS INT) AS p0,
+         CAST((j + 1) % greatest(n, 1) AS INT) AS p1
   FROM sized, LATERAL (
     SELECT unnest(generate_series(0, width * height - 1)) AS j
   )
+), px AS (
+  -- pixel = payload BYTE (UTF-8), decoded from the lowercase-hex lane:
+  -- ascii() returns the CODEPOINT, which diverges from the byte-tiling
+  -- kernel on any multi-byte char (degenerate-corpus sweep, round 6)
+  SELECT doc_id, width, height, n, j,
+         CASE WHEN n = 0 THEN 0 ELSE
+           (ascii(substr(hx, p0 * 2 + 1, 1))
+            - CASE WHEN substr(hx, p0 * 2 + 1, 1) <= '9' THEN 48 ELSE 87 END) * 16
+         + (ascii(substr(hx, p0 * 2 + 2, 1))
+            - CASE WHEN substr(hx, p0 * 2 + 2, 1) <= '9' THEN 48 ELSE 87 END)
+         END AS b,
+         CASE WHEN j % width <> width - 1 THEN
+           CASE WHEN n = 0 THEN 0 ELSE
+             (ascii(substr(hx, p1 * 2 + 1, 1))
+              - CASE WHEN substr(hx, p1 * 2 + 1, 1) <= '9' THEN 48 ELSE 87 END) * 16
+           + (ascii(substr(hx, p1 * 2 + 2, 1))
+              - CASE WHEN substr(hx, p1 * 2 + 2, 1) <= '9' THEN 48 ELSE 87 END)
+           END
+         END AS b_next
+  FROM pos
 ), mo AS (
   SELECT doc_id, width, height,
          width * height      AS need,
@@ -223,20 +248,27 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Frame sampling replayed in SQL: ASCII text ⇒ substr == byte slice, and
 # DuckDB md5(varchar) hashes the same utf-8 bytes Python's md5 sees.
+# Frames are sliced from the lowercase-HEX rendering of the payload
+# BYTES (2 hex chars per byte): DuckDB cannot substring/md5 a BLOB, and
+# slicing the raw text diverges from the byte-sliced kernel the moment a
+# document contains a multi-byte UTF-8 char (char count != byte count —
+# caught by the round-6 degenerate-corpus sweep).  The hex lane is
+# byte-exact on both engines for any text.
 _FRAME_ORACLE = """
 WITH sized AS (
-  SELECT doc_id, text, greatest(length(text) // 64, 1) AS n_frames
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         greatest(octet_length(encode(text)) // 64, 1) AS n_frames
   FROM documents
 ), frames AS (
   SELECT doc_id,
          CAST(idx AS INT) AS frame_idx,
-         substr(text, CAST(idx AS INT) * 64 + 1, 64) AS chunk
+         substr(hx, CAST(idx AS INT) * 128 + 1, 128) AS chunk
   FROM sized, LATERAL (
     SELECT unnest(generate_series(0, CAST(n_frames AS INT) - 1, 4)) AS idx
   )
 )
 SELECT doc_id, frame_idx,
-       CAST(length(chunk) AS INT) AS frame_bytes,
+       CAST(length(chunk) // 2 AS INT) AS frame_bytes,
        md5(chunk) AS frame_md5
 FROM frames
 """
@@ -248,7 +280,8 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames and keep every 4th — the strided-decode pattern for video
     corpora (bounded output per input row).  Emits one row per sampled
     frame with its digest.  mapInPandas over the binary column; the
-    oracle replays the slicing over the (ASCII) source text."""
+    digest runs over the frame's lowercase-hex rendering so the oracle
+    (which cannot hash a BLOB) replays the identical byte-exact lane."""
     m = documents_as_media(spark, sf_dir)
     FRAME = 64
     STRIDE = 4
@@ -260,11 +293,17 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
+                hx = b.hex()  # lowercase, 2 chars/byte — the shared lane
                 n_frames = max(len(b) // FRAME, 1)
                 for idx in range(0, n_frames, STRIDE):
-                    chunk = b[idx * FRAME : (idx + 1) * FRAME]
+                    chunk = hx[idx * FRAME * 2 : (idx + 1) * FRAME * 2]
                     rows.append(
-                        (doc_id, idx, len(chunk), hashlib.md5(chunk).hexdigest())
+                        (
+                            doc_id,
+                            idx,
+                            len(chunk) // 2,
+                            hashlib.md5(chunk.encode("ascii")).hexdigest(),
+                        )
                     )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_md5"]
@@ -289,18 +328,36 @@ AUDIO_DC = 80  # fixed DC offset removed from each 8-bit sample
 # identical IEEE expressions on identical operands in both engines.
 _AUDIO_ORACLE = f"""
 WITH sized AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
-), samples AS (
-  SELECT doc_id,
-         CAST(j // {AUDIO_WIN} AS INT) AS win,
-         j % {AUDIO_WIN} AS pos,
-         ascii(substr(text, CAST(j % n AS INT) + 1, 1)) - {AUDIO_DC} AS v,
-         CASE WHEN j % {AUDIO_WIN} <> {AUDIO_WIN - 1}
-              THEN ascii(substr(text, CAST((j + 1) % n AS INT) + 1, 1)) - {AUDIO_DC}
-         END AS v_next
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n FROM documents
+), pos AS (
+  SELECT doc_id, hx, n, j,
+         CAST(j % greatest(n, 1) AS INT) AS p0,
+         CAST((j + 1) % greatest(n, 1) AS INT) AS p1
   FROM sized, LATERAL (
     SELECT unnest(generate_series(0, {AUDIO_WIN * AUDIO_N_WIN - 1})) AS j
   )
+), samples AS (
+  -- sample = payload BYTE from the hex lane (ascii() is the codepoint,
+  -- wrong for multi-byte UTF-8 — degenerate-corpus sweep, round 6)
+  SELECT doc_id,
+         CAST(j // {AUDIO_WIN} AS INT) AS win,
+         j % {AUDIO_WIN} AS pos,
+         CASE WHEN n = 0 THEN 0 ELSE
+           (ascii(substr(hx, p0 * 2 + 1, 1))
+            - CASE WHEN substr(hx, p0 * 2 + 1, 1) <= '9' THEN 48 ELSE 87 END) * 16
+         + (ascii(substr(hx, p0 * 2 + 2, 1))
+            - CASE WHEN substr(hx, p0 * 2 + 2, 1) <= '9' THEN 48 ELSE 87 END)
+         END - {AUDIO_DC} AS v,
+         CASE WHEN j % {AUDIO_WIN} <> {AUDIO_WIN - 1} THEN
+           CASE WHEN n = 0 THEN 0 ELSE
+             (ascii(substr(hx, p1 * 2 + 1, 1))
+              - CASE WHEN substr(hx, p1 * 2 + 1, 1) <= '9' THEN 48 ELSE 87 END) * 16
+           + (ascii(substr(hx, p1 * 2 + 2, 1))
+              - CASE WHEN substr(hx, p1 * 2 + 2, 1) <= '9' THEN 48 ELSE 87 END)
+           END - {AUDIO_DC}
+         END AS v_next
+  FROM pos
 )
 SELECT doc_id, win,
        ROUND(sqrt(sum(v * v) / {AUDIO_WIN}.0), 6)            AS rms,
@@ -338,6 +395,12 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = np.frombuffer(bytes(payload), dtype=np.uint8).astype("int64")
+                if len(buf) == 0:
+                    # empty payload = silence (all-zero PCM); np.tile of
+                    # an empty buffer stays empty and the reshape crashes
+                    # (degenerate-corpus sweep, round 6).  Mirrors the
+                    # oracle's greatest(n, 1) tiling with ascii('') = 0.
+                    buf = np.zeros(1, dtype="int64")
                 need = AUDIO_WIN * AUDIO_N_WIN
                 reps = -(-need // max(len(buf), 1))
                 v = (np.tile(buf, reps)[:need] - AUDIO_DC).reshape(

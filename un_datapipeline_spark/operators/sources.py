@@ -667,10 +667,15 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# strlen(text) > 0 mirrors a documented quirk of Spark's binaryFile
+# datasource: ZERO-BYTE files are silently dropped at listing time
+# (probed on Spark 4.1.2 — a 0-byte .bin never becomes a row), so an
+# empty document has no ingest row to match.  A real pipeline must
+# audit empty objects from the listing side; see the op docstring.
 _BINARY_FILES_ORACLE = """
 SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS digest
 FROM documents
-WHERE doc_id < 20
+WHERE doc_id < 20 AND strlen(text) > 0
 ORDER BY doc_id
 """
 
@@ -718,7 +723,13 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     any byte is fetched.  The identity columns (doc_id parsed from the
     file name, byte length, md5 of the payload) hash-match the documents
     rows the fixture was written from, proving byte-exact round-trip
-    through the binary pipeline."""
+    through the binary pipeline.
+
+    Caveat (probed, Spark 4.1.2): binaryFile DROPS zero-byte files at
+    listing time — an empty object never becomes a row.  At 100 TB that
+    means truncated/placeholder objects vanish silently; reconcile the
+    ingest against a bucket listing (etl_data_profile-style audit) if
+    empty objects are meaningful.  The oracle mirrors the skip."""
     path = _binary_fixture_dir(spark, sf_dir)
     return (
         spark.read.format("binaryFile")
@@ -776,10 +787,26 @@ def src_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = tempfile.mkdtemp(prefix="udps_mlcsv_")
-    d.write.mode("overwrite").option("header", "true").csv(out)
+    # Faithful-field round trip (degenerate-corpus sweep, round 6): the
+    # CSV writer TRIMS whitespace-only fields by default (write-side
+    # ignore*WhiteSpace defaults to true) and an unquoted empty field
+    # reads back as NULL, so empty / whitespace-only documents did not
+    # survive.  quoteAll + ws-false on write, ws-false + a NUL nullValue
+    # sentinel on read make "" and " " round-trip byte-exactly.
+    (
+        d.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out)
+    )
     back = (
         spark.read.option("header", "true")
         .option("multiLine", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", "\x00")
         .schema("doc_id long, wrapped string")
         .csv(out)
     )

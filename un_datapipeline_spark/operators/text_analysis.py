@@ -24,11 +24,16 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 _QUALITY_ORACLE = f"""
 SELECT lang,
        count(*) AS n_docs,
-       ROUND(avg(n_tokens), 6)       AS avg_tokens,
-       ROUND(avg(avg_tok_len), 6)    AS avg_tok_len,
-       ROUND(avg(alpha_ratio), 6)    AS avg_alpha_ratio,
-       ROUND(avg(stop_ratio), 6)     AS avg_stop_ratio,
-       ROUND(avg(quality), 6)        AS avg_quality,
+       floor(CAST(sum(n_tokens) AS DOUBLE) / count(*) * 1000000 + 0.5)
+         / 1000000 AS avg_tokens,
+       floor(CAST(sum(CAST(floor(avg_tok_len * 100000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 100.0) + 0.5) / 1000000 AS avg_tok_len,
+       floor(CAST(sum(CAST(floor(alpha_ratio * 100000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 100.0) + 0.5) / 1000000 AS avg_alpha_ratio,
+       floor(CAST(sum(CAST(floor(stop_ratio * 100000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 100.0) + 0.5) / 1000000 AS avg_stop_ratio,
+       floor(CAST(sum(CAST(floor(quality * 100000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 100.0) + 0.5) / 1000000 AS avg_quality,
        CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
 FROM (
   SELECT lang,
@@ -87,13 +92,35 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ratio.alias("stop_ratio"),
         quality.alias("quality"),
     )
+    # Order-immune display averages: each per-row ratio is a bit-exact
+    # double on both engines (one division of exact ints, identical
+    # expression trees), but a plain avg() SUMS those doubles in engine-
+    # specific order — a 1-ulp spread that splits a .5-grid 6dp rounding
+    # (observed on the degenerate corpus).  So each row's value is first
+    # SNAPPED to integer 1e-8 units (identical BIGINT both sides), the
+    # sum is exact-integer and order-free, and one float division + the
+    # explicit floor(x+0.5) rounds for display — the PARITY.md lane.
+    def _snap8(c):
+        return F.floor(c * 100_000_000 + F.lit(0.5)).cast("long")
+
+    def _avg6(snapped_sum, n):
+        return F.floor(
+            snapped_sum.cast("double") / (n * 100.0) + F.lit(0.5)
+        ) / 1_000_000
+
+    n = F.count(F.lit(1))
     return scored.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-        F.round(F.avg("avg_tok_len"), 6).alias("avg_tok_len"),
-        F.round(F.avg("alpha_ratio"), 6).alias("avg_alpha_ratio"),
-        F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        n.alias("n_docs"),
+        (
+            F.floor(
+                F.sum("n_tokens").cast("double") / n * 1_000_000 + F.lit(0.5)
+            )
+            / 1_000_000
+        ).alias("avg_tokens"),
+        _avg6(F.sum(_snap8(F.col("avg_tok_len"))), n).alias("avg_tok_len"),
+        _avg6(F.sum(_snap8(F.col("alpha_ratio"))), n).alias("avg_alpha_ratio"),
+        _avg6(F.sum(_snap8(F.col("stop_ratio"))), n).alias("avg_stop_ratio"),
+        _avg6(F.sum(_snap8(F.col("quality"))), n).alias("avg_quality"),
         F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0))
         .cast("long")
         .alias("n_keep"),

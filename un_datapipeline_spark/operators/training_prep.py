@@ -102,7 +102,7 @@ WITH blocked AS (
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          levenshtein(a.text, b.text) AS edit_dist,
-         greatest(a.n_chars, b.n_chars) AS max_len
+         greatest(a.n_chars, b.n_chars, 1) AS max_len
   FROM blocked a JOIN blocked b
     ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
 )
@@ -140,7 +140,12 @@ def llm_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("edit_dist"),
-        F.greatest(F.col("a.n_chars"), F.col("b.n_chars")).alias("max_len"),
+        # the extra 1 arm: a pair of EMPTY documents has max_len 0 and
+        # edit_dist 0 — ANSI Spark would DIVIDE_BY_ZERO where DuckDB
+        # NULLs (degenerate-corpus sweep, round 6); with the guard the
+        # pair scores sim 1.0 on both engines, i.e. a duplicate, which
+        # is the right answer for two empty texts.
+        F.greatest(F.col("a.n_chars"), F.col("b.n_chars"), F.lit(1)).alias("max_len"),
     )
     sim = F.lit(1.0) - F.col("edit_dist") / F.col("max_len")
     return pairs.filter(sim >= 0.8).select(
@@ -1061,7 +1066,7 @@ _INTERLEAVE_N = 200
 _INTERLEAVE_ORACLE = f"""
 WITH weighted AS (
   SELECT doc_id, source,
-         (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4) + 1 AS w
+         (coalesce(CAST(nullif(regexp_extract(source, '([0-9]+)', 1), '') AS BIGINT), 0) % 4) + 1 AS w
   FROM documents
 ), strided AS (
   SELECT doc_id, source, w,
@@ -1101,8 +1106,20 @@ def llm_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     loader would stream the merge (k-way heap on vtime) rather than
     materialize it."""
     d = load_table(spark, sf_dir, "documents")
+    # nullif-then-coalesce: a source name with NO digit makes
+    # regexp_extract return '' and CAST('' AS BIGINT) is a
+    # CAST_INVALID_INPUT under ANSI Spark (and a conversion error in
+    # DuckDB) — degenerate-corpus sweep, round 6.  Digit-less sources
+    # take weight 1 on both engines.
     w = (
-        F.regexp_extract("source", "([0-9]+)", 1).cast("long") % 4 + 1
+        F.coalesce(
+            F.nullif(F.regexp_extract("source", "([0-9]+)", 1), F.lit("")).cast(
+                "long"
+            ),
+            F.lit(0),
+        )
+        % 4
+        + 1
     ).alias("w")
     weighted = d.select("doc_id", "source", w)
     rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
