@@ -63,7 +63,7 @@ def test_balance_downsamples_toward_min(spark, sf_smoke):
 
 def test_compact_preserves_rows_and_hits_layout(spark, sf_smoke):
     r = etl_compact_files(spark, sf_smoke).collect()[0]
-    assert r.files_before == 32 and r.files_after == 4
+    assert r.partitions_before == 32 and r.partitions_after == 4
     li = load_table(spark, sf_smoke, "lineitem")
     assert r.n_rows == li.count()
 

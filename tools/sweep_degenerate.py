@@ -22,9 +22,16 @@ NaN cells are expected for some vector ops here (zero-vector cosine is
 NaN on BOTH engines — the parity-safe behavior); strict_compare treats
 NaN==NaN as equal, so those pass as long as the engines agree.
 
+A second mode (--tiny) shrinks EVERY table to a referentially-intact
+handful of rows (2 customers' orders, their lineitems, 6 events, 4
+docs, 6 vectors) — the "first run on a new tiny dataset" class:
+windows/ntiles over fewer rows than buckets, aggregates over empty
+groups, k-means/PQ/HNSW with fewer points than centroids/codes/links.
+
 Usage:
     python tools/sweep_degenerate.py            # all operators
     python tools/sweep_degenerate.py llm_bm25_rank ...   # subset
+    python tools/sweep_degenerate.py --tiny [ops...]     # tiny tables
 """
 
 from __future__ import annotations
@@ -104,10 +111,58 @@ def build_dataset(d: str) -> None:
     pq.write_table(pa.Table.from_pandas(em, schema=schema), f"{d}/embeddings.parquet")
 
 
+def build_tiny_dataset(d: str) -> None:
+    """Referentially-intact minimal tables: joins still produce (few)
+    rows, empty groups exist, every sketch/model trains on fewer points
+    than its capacity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def shrink(t: str, frame: pd.DataFrame) -> None:
+        orig = pq.read_schema(f"{BASE}/{t}.parquet")
+        tbl = pa.Table.from_pandas(frame, schema=orig, preserve_index=False)
+        pq.write_table(tbl, f"{d}/{t}.parquet")
+
+    region = pd.read_parquet(f"{BASE}/region.parquet")
+    nation = pd.read_parquet(f"{BASE}/nation.parquet")
+    shrink("region", region)
+    shrink("nation", nation.head(6))
+    cust = pd.read_parquet(f"{BASE}/customer.parquet")
+    cust = cust[cust["c_nationkey"].isin(nation.head(6)["n_nationkey"])].head(2)
+    shrink("customer", cust)
+    supp = pd.read_parquet(f"{BASE}/supplier.parquet").head(2)
+    shrink("supplier", supp)
+    part = pd.read_parquet(f"{BASE}/part.parquet").head(3)
+    shrink("part", part)
+    orders = pd.read_parquet(f"{BASE}/orders.parquet")
+    orders = orders[orders["o_custkey"].isin(cust["c_custkey"])].head(4)
+    shrink("orders", orders)
+    li = pd.read_parquet(f"{BASE}/lineitem.parquet")
+    li = li[
+        li["l_orderkey"].isin(orders["o_orderkey"])
+        & li["l_suppkey"].isin(supp["s_suppkey"])
+        & li["l_partkey"].isin(part["p_partkey"])
+    ]
+    if len(li) < 2:  # keep at least a couple of lines even if keys miss
+        li = pd.read_parquet(f"{BASE}/lineitem.parquet")
+        li = li[li["l_orderkey"].isin(orders["o_orderkey"])].head(3)
+    shrink("lineitem", li)
+    ev = pd.read_parquet(f"{BASE}/events.parquet")
+    ev_hit = ev[ev["user_id"].isin(cust["c_custkey"])].head(4)
+    ev = pd.concat([ev_hit, ev.head(2)]).drop_duplicates("event_id")
+    shrink("events", ev)
+    docs = pd.read_parquet(f"{BASE}/documents.parquet").head(4)
+    shrink("documents", docs)
+    em = pd.read_parquet(f"{BASE}/embeddings.parquet").head(6)
+    shrink("embeddings", em)
+
+
 def main() -> int:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    tiny = "--tiny" in args
+    only = set(a for a in args if a != "--tiny")
     d = tempfile.mkdtemp(prefix="degen_")
-    build_dataset(d)
+    build_tiny_dataset(d) if tiny else build_dataset(d)
 
     from pyspark.sql import SparkSession
 

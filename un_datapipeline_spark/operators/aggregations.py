@@ -215,14 +215,21 @@ _STATS_MOMENTS = """
   GROUP BY l_returnflag
 """
 
+# nullif'd denominators: a single-row group (n=1) or a zero-variance
+# lane makes every sample statistic undefined — NULL on both engines
+# (ANSI Spark would throw where DuckDB already NULLs; round-6
+# tiny-tables sweep).
 _STATS_ORACLE = f"""
 SELECT l_returnflag,
-       ROUND(sqrt((1.0 * n * sqq - 1.0 * sq * sq) / (1.0 * n * (n - 1))), 6) AS sd_qty,
-       ROUND((1.0 * n * sqq - 1.0 * sq * sq) / (1.0 * n * (n - 1)), 6)       AS var_qty,
+       ROUND(sqrt((1.0 * n * sqq - 1.0 * sq * sq)
+             / nullif(1.0 * n * (n - 1), 0)), 6)                             AS sd_qty,
+       ROUND((1.0 * n * sqq - 1.0 * sq * sq)
+             / nullif(1.0 * n * (n - 1), 0), 6)                              AS var_qty,
        ROUND((1.0 * n * sqp - 1.0 * sq * sp)
-             / (sqrt(1.0 * n * sqq - 1.0 * sq * sq)
-              * sqrt(1.0 * n * spp - 1.0 * sp * sp)), 6)                     AS corr_qp,
-       ROUND((1.0 * n * sqp - 1.0 * sq * sp) / (100.0 * n * (n - 1)), 6)     AS covar_qp,
+             / nullif(sqrt(1.0 * n * sqq - 1.0 * sq * sq)
+              * sqrt(1.0 * n * spp - 1.0 * sp * sp), 0), 6)                  AS corr_qp,
+       ROUND((1.0 * n * sqp - 1.0 * sq * sp)
+             / nullif(100.0 * n * (n - 1), 0), 6)                            AS covar_qp,
        cheapest_order, priciest_order
 FROM ({_STATS_MOMENTS})
 """
@@ -252,21 +259,28 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sq, sqq = F.col("n"), F.col("sq"), F.col("sqq")
     sp, spp, sqp = F.col("sp"), F.col("spp"), F.col("sqp")
-    var_q = (1.0 * n * sqq - 1.0 * sq * sq) / (1.0 * n * (n - 1))
+    # nullif'd denominators — sample statistics of a 1-row group are
+    # undefined: NULL on both engines (see _STATS_ORACLE note)
+    var_q = (1.0 * n * sqq - 1.0 * sq * sq) / F.nullif(
+        1.0 * n * (n - 1), F.lit(0.0)
+    )
     return m.select(
         "l_returnflag",
         F.round(F.sqrt(var_q), 6).alias("sd_qty"),
         F.round(var_q, 6).alias("var_qty"),
         F.round(
             (1.0 * n * sqp - 1.0 * sq * sp)
-            / (
+            / F.nullif(
                 F.sqrt(1.0 * n * sqq - 1.0 * sq * sq)
-                * F.sqrt(1.0 * n * spp - 1.0 * sp * sp)
+                * F.sqrt(1.0 * n * spp - 1.0 * sp * sp),
+                F.lit(0.0),
             ),
             6,
         ).alias("corr_qp"),
         F.round(
-            (1.0 * n * sqp - 1.0 * sq * sp) / (100.0 * n * (n - 1)), 6
+            (1.0 * n * sqp - 1.0 * sq * sp)
+            / F.nullif(100.0 * n * (n - 1), F.lit(0.0)),
+            6,
         ).alias("covar_qp"),
         "cheapest_order",
         "priciest_order",
@@ -992,12 +1006,12 @@ WITH m AS (
 SELECT l_returnflag, CAST(n AS BIGINT) AS n,
        ROUND((1.0 * n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1)
              / (1.0 * n * n * n)
-             / pow((1.0 * n * s2 - 1.0 * s1 * s1) / (1.0 * n * n), 1.5), 6)
+             / nullif(pow((1.0 * n * s2 - 1.0 * s1 * s1) / (1.0 * n * n), 1.5), 0), 6)
          AS skewness,
        ROUND((1.0 * n * n * n * s4 - 4.0 * n * n * s1 * s3
               + 6.0 * n * s1 * s1 * s2 - 3.0 * s1 * s1 * s1 * s1)
              / (1.0 * n * n * n * n)
-             / pow((1.0 * n * s2 - 1.0 * s1 * s1) / (1.0 * n * n), 2.0) - 3.0, 6)
+             / nullif(pow((1.0 * n * s2 - 1.0 * s1 * s1) / (1.0 * n * n), 2.0), 0) - 3.0, 6)
          AS excess_kurtosis
 FROM m
 ORDER BY l_returnflag
@@ -1035,11 +1049,18 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 6.0 * n * s1 * s1 * s2
         - 3.0 * s1 * s1 * s1 * s1
     ) / (1.0 * n * n * n * n)
+    # nullif: a constant (or 1-row) group has zero population variance
+    # — shape moments are undefined there, NULL on both engines
+    # (round-6 tiny-tables sweep)
     return m.select(
         "l_returnflag",
         n.cast("long").alias("n"),
-        F.round(m3 / F.pow(var_pop, 1.5), 6).alias("skewness"),
-        F.round(m4 / F.pow(var_pop, 2.0) - 3.0, 6).alias("excess_kurtosis"),
+        F.round(
+            m3 / F.nullif(F.pow(var_pop, 1.5), F.lit(0.0)), 6
+        ).alias("skewness"),
+        F.round(
+            m4 / F.nullif(F.pow(var_pop, 2.0), F.lit(0.0)) - 3.0, 6
+        ).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
 
 

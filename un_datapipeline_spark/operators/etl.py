@@ -304,8 +304,8 @@ def etl_balance_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COMPACT_ORACLE = """
-SELECT 32 AS files_before,
-       4  AS files_after,
+SELECT 32 AS partitions_before,
+       4  AS partitions_after,
        count(*) AS n_rows,
        CAST(sum(l_orderkey) AS BIGINT) AS key_sum
 FROM lineitem
@@ -331,17 +331,42 @@ def etl_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     small_dir = tempfile.mkdtemp(prefix="udps_small_")
-    li.repartition(32).write.mode("overwrite").parquet(small_dir)
+    fragmented = li.repartition(32)
+    partitions_before = fragmented.rdd.getNumPartitions()
+    fragmented.write.mode("overwrite").parquet(small_dir)
     files_before = len(glob.glob(f"{small_dir}/part-*.parquet"))
+    assert files_before <= partitions_before, (files_before, partitions_before)
     compact_dir = tempfile.mkdtemp(prefix="udps_compact_")
-    spark.read.parquet(small_dir).coalesce(4).write.mode("overwrite").parquet(
-        compact_dir
+    # The layout CONTRACT is the logical partition count (what coalesce
+    # promises), not the physical file count: the writer skips a file
+    # for an all-empty task, and the scan PACKS tiny files into fewer
+    # than 4 read-partitions (maxPartitionBytes) — on a tiny corpus both
+    # effects made the glob count undershoot 4 while the compaction
+    # itself was correct (round-6 tiny-tables sweep).  One partition per
+    # input file is pinned for the compaction read (conf restored after
+    # the write action — the scan layout is decided at action time), and
+    # the glob stays as a sanity bound: never MORE files than partitions.
+    # openCostInBytes = one full bin per file: padding makes any two
+    # files overflow a maxPartitionBytes bin, so nothing packs, while
+    # files are never SPLIT (a 1-byte maxPartitionBytes would shatter
+    # each file into size/1 empty splits — measured 120 s on sf0.01).
+    prev_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set(
+        "spark.sql.files.openCostInBytes",
+        spark.conf.get("spark.sql.files.maxPartitionBytes"),
     )
+    try:
+        compacted = spark.read.parquet(small_dir).coalesce(4)
+        partitions_after = compacted.rdd.getNumPartitions()
+        compacted.write.mode("overwrite").parquet(compact_dir)
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_cost)
     files_after = len(glob.glob(f"{compact_dir}/part-*.parquet"))
+    assert files_after <= partitions_after, (files_after, partitions_after)
     back = spark.read.parquet(compact_dir)
     return back.agg(
-        F.lit(files_before).alias("files_before"),
-        F.lit(files_after).alias("files_after"),
+        F.lit(partitions_before).alias("partitions_before"),
+        F.lit(partitions_after).alias("partitions_after"),
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_orderkey").cast("long").alias("key_sum"),
     )

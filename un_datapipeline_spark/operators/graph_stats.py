@@ -643,9 +643,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.orderBy("d", "node")).alias("rn"),
         F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
     )
-    k = ranked.filter(
+    k_rows = ranked.filter(
         F.col("rn") == F.ceil(F.col("n") * 3 / 4).cast("int")
-    ).collect()[0]["d"]
+    ).collect()
+    if not k_rows:
+        # a tiny corpus can have NO co-purchase edge with weight >= 2 —
+        # the graph is empty and so is every core (round-6 tiny-tables
+        # sweep; the old collect()[0] was an IndexError here)
+        return spark.createDataFrame([], "node long, core_deg long, k int")
+    k = k_rows[0]["d"]
 
     while True:
         cur = edges

@@ -547,7 +547,12 @@ def train_pq_codebooks(corpus, sample: int = 512, n_iters: int = 5, seed: int = 
     rng = np.random.RandomState(seed)
     for s in range(PQ_SUBSPACES):
         xs = x[:, s * sub_dim : (s + 1) * sub_dim]
-        cent = xs[rng.choice(len(xs), size=PQ_CODEBOOK, replace=False)]
+        # a corpus smaller than the codebook trains one centroid per
+        # point (fewer codes used, codes stay valid) instead of crashing
+        # rng.choice with sample > population (round-6 tiny-tables sweep)
+        cent = xs[rng.choice(len(xs), size=min(PQ_CODEBOOK, len(xs)), replace=False)]
+        if len(cent) < PQ_CODEBOOK:
+            cent = np.vstack([cent] * (-(-PQ_CODEBOOK // len(cent))))[:PQ_CODEBOOK]
         for _ in range(n_iters):
             d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)

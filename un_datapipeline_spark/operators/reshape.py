@@ -150,5 +150,19 @@ def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The driver's hash canonicalization sorts columns case-SENSITIVELY
     # ('A','N','R','key' vs 'a','key','n','r'), so a case mismatch
     # misaligns the value columns even when every cell is bit-identical
-    # (CORRECTNESS_r05 reshape_transpose FAIL).  Rename explicitly.
-    return s.transpose("f").toDF("key", "a", "n", "r")
+    # (CORRECTNESS_r05 reshape_transpose FAIL).  Rename explicitly —
+    # and emit the FIXED (a, n, r) schema with NULLs for flags absent
+    # from the data, matching the oracle's CASE columns (a tiny corpus
+    # with two flags made the old fixed-arity toDF crash — round-6
+    # tiny-tables sweep).
+    t = s.transpose("f")
+    present = {c.lower(): c for c in t.columns}
+    return t.select(
+        F.col(present["key"]).alias("key"),
+        *[
+            (
+                F.col(present[f]) if f in present else F.lit(None).cast("double")
+            ).alias(f)
+            for f in ("a", "n", "r")
+        ],
+    )

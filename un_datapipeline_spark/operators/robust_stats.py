@@ -362,9 +362,10 @@ WITH base AS (
 SELECT event_type, n1, n2,
        ROUND((r1_2 - n1 * (n1 + 1)) / 2.0, 1) AS u_a,
        ROUND(((r1_2 - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
-             / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
-                    - tie_sum * 1.0 / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z,
-       ROUND(1.0 - 2.0 * ((r1_2 - n1 * (n1 + 1)) / 2.0) / (n1 * n2), 6)
+             / nullif(sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                    - tie_sum * 1.0
+                      / nullif((n1 + n2) * (n1 + n2 - 1.0), 0))), 0), 6) AS z,
+       ROUND(1.0 - 2.0 * ((r1_2 - n1 * (n1 + 1)) / 2.0) / nullif(n1 * n2, 0), 6)
          AS rank_biserial
 FROM agg
 """
@@ -411,9 +412,19 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u_a = (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)) / 2.0
     n = F.col("n1") + F.col("n2")
-    sigma = F.sqrt(
-        F.col("n1") * F.col("n2") / 12.0
-        * ((n + 1) - F.col("tie_sum") * 1.0 / (n * (n - 1.0)))
+    # nullif guards: an empty A or B arm (n1·n2 = 0) or a single
+    # observation (n = 1) makes U's σ / the effect size undefined —
+    # NULL on both engines (round-6 tiny-tables sweep)
+    sigma = F.nullif(
+        F.sqrt(
+            F.col("n1") * F.col("n2") / 12.0
+            * (
+                (n + 1)
+                - F.col("tie_sum") * 1.0
+                / F.nullif(n * (n - 1.0), F.lit(0.0))
+            )
+        ),
+        F.lit(0.0),
     )
     return agg.select(
         "event_type",
@@ -422,7 +433,7 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u_a, 1).alias("u_a"),
         F.round((u_a - F.col("n1") * F.col("n2") / 2.0) / sigma, 6).alias("z"),
         F.round(
-            1.0 - 2.0 * u_a / (F.col("n1") * F.col("n2")), 6
+            1.0 - 2.0 * u_a / F.nullif(F.col("n1") * F.col("n2"), F.lit(0)), 6
         ).alias("rank_biserial"),
     )
 
@@ -449,8 +460,10 @@ WITH base AS (
   FROM vals GROUP BY event_type
 )
 SELECT c.event_type, t.n1, t.n2,
-       ROUND(max(abs(c.ca * t.n2 - c.cb * t.n1)) * 1.0 / (t.n1 * t.n2), 6) AS d,
-       ROUND(max(abs(c.ca * t.n2 - c.cb * t.n1)) * 1.0 / (t.n1 * t.n2)
+       ROUND(max(abs(c.ca * t.n2 - c.cb * t.n1)) * 1.0
+             / nullif(t.n1 * t.n2, 0), 6) AS d,
+       ROUND(max(abs(c.ca * t.n2 - c.cb * t.n1)) * 1.0
+             / nullif(t.n1 * t.n2, 0)
              * sqrt(t.n1 * 1.0 * t.n2 / (t.n1 + t.n2)), 6) AS ks_stat
 FROM cums c JOIN tot t USING (event_type)
 GROUP BY c.event_type, t.n1, t.n2
@@ -500,9 +513,16 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n1",
             "n2",
-            F.round(F.col("max_gap") * 1.0 / (F.col("n1") * F.col("n2")), 6).alias("d"),
+            # nullif: an empty A or B arm makes D undefined — NULL on
+            # both engines (round-6 tiny-tables sweep)
             F.round(
-                F.col("max_gap") * 1.0 / (F.col("n1") * F.col("n2"))
+                F.col("max_gap") * 1.0
+                / F.nullif(F.col("n1") * F.col("n2"), F.lit(0)),
+                6,
+            ).alias("d"),
+            F.round(
+                F.col("max_gap") * 1.0
+                / F.nullif(F.col("n1") * F.col("n2"), F.lit(0))
                 * F.sqrt(
                     F.col("n1") * 1.0 * F.col("n2") / (F.col("n1") + F.col("n2"))
                 ),
@@ -850,12 +870,15 @@ WITH daily AS (
   FROM idx GROUP BY event_type
 )
 SELECT event_type, n,
-       ROUND((n * sxy - sx * sy) * 1.0 / ((n * sxx - sx * sx) * 100.0), 6)
+       ROUND((n * sxy - sx * sy) * 1.0
+             / nullif((n * sxx - sx * sx) * 100.0, 0), 6)
          AS slope,
-       ROUND((sy * sxx - sx * sxy) * 1.0 / ((n * sxx - sx * sx) * 100.0), 6)
+       ROUND((sy * sxx - sx * sxy) * 1.0
+             / nullif((n * sxx - sx * sx) * 100.0, 0), 6)
          AS intercept,
        ROUND((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy)
-             / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6) AS r2
+             / nullif((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy), 0), 6)
+         AS r2
 FROM m
 """
 
@@ -892,16 +915,22 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     den = n * sxx - sx * sx
     num = n * sxy - sx * sy
+    # nullif: a 1-day series (or constant y) makes the fit undefined —
+    # NULL on both engines (round-6 tiny-tables sweep)
     return m.select(
         "event_type",
         "n",
-        F.round(num * 1.0 / (den * 100.0), 6).alias("slope"),
-        F.round((sy * sxx - sx * sxy) * 1.0 / (den * 100.0), 6).alias(
-            "intercept"
+        F.round(num * 1.0 / F.nullif(den * 100.0, F.lit(0.0)), 6).alias(
+            "slope"
         ),
-        F.round(num * 1.0 * num / (den * 1.0 * (n * syy - sy * sy)), 6).alias(
-            "r2"
-        ),
+        F.round(
+            (sy * sxx - sx * sxy) * 1.0 / F.nullif(den * 100.0, F.lit(0.0)), 6
+        ).alias("intercept"),
+        F.round(
+            num * 1.0 * num
+            / F.nullif(den * 1.0 * (n * syy - sy * sy), F.lit(0.0)),
+            6,
+        ).alias("r2"),
     )
 
 

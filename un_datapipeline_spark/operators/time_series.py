@@ -583,7 +583,7 @@ WITH pts AS (
          count(*)    OVER (PARTITION BY event_type)             AS n
   FROM pts
 ), firstp AS (SELECT event_type, x, y FROM seq WHERE rn = 1),
-lastp  AS (SELECT event_type, x, y FROM seq WHERE rn = n),
+lastp  AS (SELECT event_type, x, y FROM seq WHERE rn = n AND n > 1),
 interior AS (
   SELECT event_type, x, y,
          CAST(((rn - 2) * {b_cnt}) // (n - 2) AS BIGINT) AS b
@@ -682,7 +682,26 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         y = pdf["y"].to_numpy(np.int64)
         n = len(x)
         if n <= K:
+            # short series keep every point, LABELED the way the
+            # oracle's bucket machinery labels them (first=0, interior
+            # point i -> its bucket+1, last=K-1) so both engines agree
+            # on sel_order when n <= K (round-6 tiny-tables sweep); for
+            # n=1 the single point is 'first' only (no duplicate last)
             sel = list(range(n))
+            m = n - 2
+            orders = [0]
+            orders += [int((i * (K - 2)) // m) + 1 for i in range(m)]
+            if n > 1:
+                orders.append(K - 1)
+            out = pdf.iloc[sel].reset_index(drop=True)
+            return pd.DataFrame(
+                {
+                    "event_type": out["event_type"],
+                    "sel_order": np.array(orders, dtype=np.int64),
+                    "x_day": out["x"].to_numpy(np.int64),
+                    "y_cents": out["y"].to_numpy(np.int64),
+                }
+            )
         else:
             m = n - 2
             B = K - 2

@@ -170,9 +170,10 @@ WITH cents AS (
   FROM cents GROUP BY event_type
 )
 SELECT event_id, e.event_type, value,
-       ROUND((c - s / n) / sqrt((ss - s * s / n) / n), 6) AS z
+       ROUND((c - s / n) / nullif(sqrt((ss - s * s / n) / n), 0), 6) AS z
 FROM cents e JOIN mo USING (event_type)
-ORDER BY abs((c - s / n) / sqrt((ss - s * s / n) / n)) DESC, event_id
+ORDER BY abs((c - s / n) / nullif(sqrt((ss - s * s / n) / n), 0))
+         DESC NULLS LAST, event_id
 LIMIT 50
 """
 
@@ -201,8 +202,14 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).alias("ss"),
     )
     j = cents.join(F.broadcast(mo), "event_type")
-    z = (F.col("c") - F.col("s") / F.col("n")) / F.sqrt(
-        (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    # nullif: a single-event type has zero variance — z undefined, NULL
+    # on both engines, explicitly ranked last (round-6 tiny-tables
+    # sweep; DuckDB's and Spark's default DESC null order differ)
+    z = (F.col("c") - F.col("s") / F.col("n")) / F.nullif(
+        F.sqrt(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+        ),
+        F.lit(0.0),
     )
     return (
         j.select(
@@ -212,7 +219,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z"),
             F.abs(z).alias("_absz"),
         )
-        .orderBy(F.desc("_absz"), "event_id")
+        .orderBy(F.desc_nulls_last("_absz"), "event_id")
         .limit(50)
         .drop("_absz")
     )
@@ -241,8 +248,8 @@ WITH lanes AS (
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n,
        ROUND((sxy / n - (sx / n) * (sy / n))
-             / (sqrt(sxx / n - (sx / n) * (sx / n))
-                * sqrt(CAST(syy_h AS DOUBLE) / n - (sy / n) * (sy / n))), 6)
+             / nullif(sqrt(sxx / n - (sx / n) * (sx / n))
+                * sqrt(CAST(syy_h AS DOUBLE) / n - (sy / n) * (sy / n)), 0), 6)
          AS corr_qty_price
 FROM mo
 """
@@ -275,9 +282,13 @@ def agg_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy_d"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    corr = (F.col("sxy") / n - (sx / n) * (sy / n)) / (
+    # nullif: zero variance on either lane (constant or 1-row group)
+    # makes the correlation undefined — NULL both engines (round-6
+    # tiny-tables sweep)
+    corr = (F.col("sxy") / n - (sx / n) * (sy / n)) / F.nullif(
         F.sqrt(F.col("sxx") / n - (sx / n) * (sx / n))
-        * F.sqrt(F.col("syy_d").cast("double") / n - (sy / n) * (sy / n))
+        * F.sqrt(F.col("syy_d").cast("double") / n - (sy / n) * (sy / n)),
+        F.lit(0.0),
     )
     return mo.select(
         "l_returnflag", n.alias("n"), F.round(corr, 6).alias("corr_qty_price")
