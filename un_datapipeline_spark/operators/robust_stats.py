@@ -172,7 +172,7 @@ WITH daily AS (
          CAST(sum(CASE WHEN d3 IS NOT NULL THEN d * d3 END) AS BIGINT) AS n3
   FROM led GROUP BY event_type
 )
-SELECT event_type, lag, ROUND(num * 1.0 / den, 6) AS acf
+SELECT event_type, lag, ROUND(num * 1.0 / nullif(den, 0), 6) AS acf
 FROM (
   SELECT event_type, 1 AS lag, n1 AS num, den FROM agg
   UNION ALL SELECT event_type, 2, n2, den FROM agg
@@ -220,7 +220,12 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = agg.select(
             "event_type",
             F.lit(k).alias("lag"),
-            F.round(F.col(f"n{k}") * 1.0 / F.col("den"), 6).alias("acf"),
+            # nullif: a constant daily series has zero denominator —
+            # ACF undefined, NULL on both engines (same class as the
+            # round-6 tiny-tables fixes)
+            F.round(
+                F.col(f"n{k}") * 1.0 / F.nullif(F.col("den"), F.lit(0)), 6
+            ).alias("acf"),
         )
         out = part if out is None else out.unionAll(part)
     return out
