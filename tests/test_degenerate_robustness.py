@@ -1,0 +1,102 @@
+"""Fast regressions for the round-6 degenerate-input hazard classes.
+
+tools/sweep_degenerate.py (and --tiny) run the FULL registry on
+pathological corpora once per round (~20 min each); this file pins a
+representative op per fixed failure class so a regression shows up in
+the ordinary pytest loop.  See ROUND_NOTES.md round-6 for the catalog.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _tool():
+    spec = importlib.util.spec_from_file_location(
+        "sweep_degenerate", REPO / "tools" / "sweep_degenerate.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("sweep_degenerate", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tinysf")
+    _tool().build_tiny_dataset(str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def degen_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("degensf")
+    _tool().build_dataset(str(d))
+    return str(d)
+
+
+def _both(spark, sf, name):
+    """Run op + oracle on the same dir through the driver-mirror diff."""
+    from tests.strict_diff import canon, strict_compare
+    from un_datapipeline_spark.registry import all_operators
+
+    op = all_operators()[name]
+    spdf = op.fn(spark, sf).toPandas()
+    if op.oracle is None:
+        canon(spdf)  # must at least survive the driver's canonicalizer
+        return None
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    problems = strict_compare(spdf, con.execute(op.oracle).df())
+    con.close()
+    assert not problems, f"{name}: {problems[:3]}"
+    return spdf
+
+
+# one representative per fixed class (the full sweeps cover the rest)
+TINY_OPS = [
+    "agg_stats",             # undefined sample stats of a 1-row group
+    "agg_linear_regression", # 1-day series OLS
+    "reshape_transpose",     # missing flag value -> fixed (a,n,r) schema
+    "ts_lttb_downsample",    # n <= K labeling parity
+    "etl_compact_files",     # logical-partition-count contract
+]
+
+DEGEN_OPS = [
+    "llm_quality_score",     # empty text + order-immune snapped averages
+    "mm_frame_sample",       # byte-vs-codepoint hex lane
+    "llm_simsearch_cosine_topk",  # zero-norm exclusion, both engines
+    "llm_dedup_fuzzy_edit",  # two-empty-docs max_len guard
+]
+
+
+@pytest.mark.parametrize("name", TINY_OPS)
+def test_tiny_tables_class(spark, tiny_sf, name):
+    _both(spark, tiny_sf, name)
+
+
+@pytest.mark.parametrize("name", DEGEN_OPS)
+def test_degenerate_corpus_class(spark, degen_sf, name):
+    _both(spark, degen_sf, name)
+
+
+def test_minhash_ml_survives_short_docs(spark, degen_sf):
+    """The optimizer-re-evaluation class: approxSimilarityJoin re-plans
+    its input subtree, so the shingle expression must be TOTAL and the
+    filtered table frozen — a plain upstream filter regressed here."""
+    _both(spark, degen_sf, "llm_dedup_minhash_ml")
