@@ -16,7 +16,10 @@ two "heavy" queries collapse: running_sum 1.106 → ~0.07 s, cosine_topk
 1.120 → ~0.21 s).  Any ratio against the *published* numbers therefore
 inherits ~4× of ambient drift.  So this harness now ALSO runs the 12
 BASELINE.md SQL texts verbatim through DuckDB in the SAME process,
-same minute (warm best-of-3, the published method), and emits
+INTERLEAVED with the Spark reps (one DuckDB pass per Spark pass, warm
+minima on both sides — a tail-end DuckDB leg sampled a different
+minute of box drift than the 2-minute Spark leg and swung the ratio
+4.9-6.4 on an identical HEAD), and emits
 ``duckdb_total`` + ``ratio_same_run`` — the ratio to judge and optimize,
 immune to box drift by construction.
 
@@ -381,10 +384,8 @@ ORDER BY e.event_id LIMIT 100;
 }
 
 
-def run_duckdb_baseline(d: str) -> dict[str, float]:
-    """The published BASELINE.md method, replayed in-process: views over
-    the same parquet files, one warm pass, best-of-3 timed executions.
-    Returns per-query warm minima (seconds)."""
+def duckdb_connection(d: str):
+    """Views over the same parquet files — BASELINE.md's catalog setup."""
     import duckdb
 
     con = duckdb.connect()
@@ -393,17 +394,15 @@ def run_duckdb_baseline(d: str) -> dict[str, float]:
             f"CREATE OR REPLACE VIEW {t} AS "
             f"SELECT * FROM read_parquet('{d}/{t}.parquet')"
         )
-    times: dict[str, float] = {}
+    return con
+
+
+def duckdb_pass(con, best: dict[str, float]) -> None:
+    """One timed execution of every BASELINE.md text, folding minima."""
     for name, sql in DUCKDB_SQL.items():
-        con.execute(sql).fetchall()  # warm (IO cache, JIT'd scans)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
-    con.close()
-    return times
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        best[name] = min(best.get(name, float("inf")), time.perf_counter() - t0)
 
 
 def _sf_of(d: str) -> float:
@@ -443,6 +442,14 @@ def main() -> None:
     for name, fn in QUERIES.items():
         spark.conf.set("spark.sql.shuffle.partitions", str(REDUCE_WIDTH[name]))
         fn(spark, SF_DIR).collect()
+    # The DuckDB replay is INTERLEAVED with the Spark reps — one full
+    # DuckDB pass after each Spark pass — so both engines sample the
+    # same minutes of box drift (a tail-end DuckDB leg measured the
+    # ratio anywhere from 4.9 to 6.4 on an identical HEAD as the box
+    # sped up or slowed down between the two legs).
+    con = duckdb_connection(SF_DIR)
+    duck: dict[str, float] = {}
+    duckdb_pass(con, duck)  # warm pass (IO cache), minima kept anyway
     times: dict[str, float] = {name: float("inf") for name in QUERIES}
     for _ in range(7):
         for name, fn in QUERIES.items():
@@ -453,10 +460,10 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             times[name] = min(times[name], time.perf_counter() - t0)
+        duckdb_pass(con, duck)
+    con.close()
     times = {name: round(t, 4) for name, t in times.items()}
-    # Same-process, same-minute DuckDB replay of the published baseline
-    # texts — the drift-immune denominator (see module docstring).
-    duck = run_duckdb_baseline(SF_DIR)
+    duck = {name: round(t, 4) for name, t in duck.items()}
     spark_total = round(sum(times.values()), 4)
     duck_total = round(sum(duck.values()), 4)
     out = {
