@@ -12,15 +12,9 @@ import importlib.util
 import sys
 from pathlib import Path
 
-import duckdb
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 
 def _tool():
@@ -49,6 +43,7 @@ def degen_sf(tmp_path_factory):
 
 def _both(spark, sf, name):
     """Run op + oracle on the same dir through the driver-mirror diff."""
+    from tests.oracle_diff import duck_connect
     from tests.strict_diff import canon, strict_compare
     from un_datapipeline_spark.registry import all_operators
 
@@ -57,11 +52,7 @@ def _both(spark, sf, name):
     if op.oracle is None:
         canon(spdf)  # must at least survive the driver's canonicalizer
         return None
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-        )
+    con = duck_connect(sf)
     problems = strict_compare(spdf, con.execute(op.oracle).df())
     con.close()
     assert not problems, f"{name}: {problems[:3]}"

@@ -47,7 +47,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import pandas as pd
 
-BASE = "/root/testdata/sf0.001"
+# same env override convention as tests/conftest.py's SF_SMOKE
+BASE = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
 
 # A corpus of nothing but edge shapes; a few multi-word docs remain so
 # profile/threshold ops (lang-id, quality bands, k-means) have material.
@@ -177,14 +178,10 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
-        )
+    # the one canonical table list + view setup (don't fork a copy here)
+    from tests.oracle_diff import duck_connect
+
+    con = duck_connect(d)
 
     fails: list[str] = []
     n_ok = n_ro = 0

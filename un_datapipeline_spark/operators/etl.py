@@ -305,7 +305,7 @@ def etl_balance_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COMPACT_ORACLE = """
 SELECT 32 AS partitions_before,
-       4  AS partitions_after,
+       CAST(LEAST(4, GREATEST(count(*), 1)) AS INT) AS partitions_after,
        count(*) AS n_rows,
        CAST(sum(l_orderkey) AS BIGINT) AS key_sum
 FROM lineitem
@@ -364,9 +364,17 @@ def etl_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     files_after = len(glob.glob(f"{compact_dir}/part-*.parquet"))
     assert files_after <= partitions_after, (files_after, partitions_after)
     back = spark.read.parquet(compact_dir)
+    # Contract: coalesce(4) promises AT MOST 4 — with fewer rows than 4
+    # the writer's empty-task skipping makes the measured count
+    # placement-dependent (rows or rows+1 files), so the reported value
+    # caps the measurement at the row count: LEAST(4, GREATEST(rows, 1))
+    # on both engines (round-6 review).
     return back.agg(
         F.lit(partitions_before).alias("partitions_before"),
-        F.lit(partitions_after).alias("partitions_after"),
+        F.least(
+            F.lit(partitions_after),
+            F.greatest(F.count(F.lit(1)), F.lit(1)).cast("int"),
+        ).alias("partitions_after"),
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_orderkey").cast("long").alias("key_sum"),
     )

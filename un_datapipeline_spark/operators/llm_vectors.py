@@ -170,13 +170,18 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# coalesce(.., 0): DuckDB list_aggregate([], 'sum') is NULL (the row
+# would silently drop out of avg) while Spark's F.aggregate seeds 0.0 —
+# a zero-LENGTH embedding must contribute 0 on both engines (round-6
+# review; the greatest() guard alone only fixed the division).
 _NORMS_ORACLE = """
 SELECT label,
        count(*) AS n,
-       ROUND(avg(sqrt(list_aggregate(list_transform(embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS avg_l2,
-       ROUND(avg(list_aggregate(list_transform(embedding,
-             x -> CAST(x AS DOUBLE)), 'sum')
+       ROUND(avg(sqrt(coalesce(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 0))), 6)
+         AS avg_l2,
+       ROUND(avg(coalesce(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)), 'sum'), 0)
              / greatest(len(embedding), 1)), 6)                        AS avg_mean_el,
        min(len(embedding)) AS min_dim,
        max(len(embedding)) AS max_dim

@@ -124,7 +124,21 @@ def _decode_payload(payload: bytes, width: int, height: int):
 # len(text), features from exact integer moments.  The float math is the
 # LITERAL same expression the UDF evaluates, on identical integer
 # operands — ROUND is applied to bit-identical doubles on both sides.
-_DECODE_ORACLE = """
+
+def _hex_byte_sql(pos: str) -> str:
+    """SQL for the byte value at 0-based byte offset ``pos`` of the
+    lowercase-hex column ``hx`` (2 chars per byte).  ONE definition so
+    the decode/audio oracles can never drift apart (round-6 review:
+    four hand-maintained copies must stay byte-identical for parity)."""
+    c1 = f"substr(hx, {pos} * 2 + 1, 1)"
+    c2 = f"substr(hx, {pos} * 2 + 2, 1)"
+    return (
+        f"(ascii({c1}) - CASE WHEN {c1} <= '9' THEN 48 ELSE 87 END) * 16 "
+        f"+ (ascii({c2}) - CASE WHEN {c2} <= '9' THEN 48 ELSE 87 END)"
+    )
+
+
+_DECODE_ORACLE = f"""
 WITH dims AS (
   SELECT doc_id, lower(hex(encode(text))) AS hx,
          octet_length(encode(text)) AS n, md5(text) AS m FROM documents
@@ -145,19 +159,9 @@ WITH dims AS (
   -- ascii() returns the CODEPOINT, which diverges from the byte-tiling
   -- kernel on any multi-byte char (degenerate-corpus sweep, round 6)
   SELECT doc_id, width, height, n, j,
-         CASE WHEN n = 0 THEN 0 ELSE
-           (ascii(substr(hx, p0 * 2 + 1, 1))
-            - CASE WHEN substr(hx, p0 * 2 + 1, 1) <= '9' THEN 48 ELSE 87 END) * 16
-         + (ascii(substr(hx, p0 * 2 + 2, 1))
-            - CASE WHEN substr(hx, p0 * 2 + 2, 1) <= '9' THEN 48 ELSE 87 END)
-         END AS b,
+         CASE WHEN n = 0 THEN 0 ELSE {_hex_byte_sql('p0')} END AS b,
          CASE WHEN j % width <> width - 1 THEN
-           CASE WHEN n = 0 THEN 0 ELSE
-             (ascii(substr(hx, p1 * 2 + 1, 1))
-              - CASE WHEN substr(hx, p1 * 2 + 1, 1) <= '9' THEN 48 ELSE 87 END) * 16
-           + (ascii(substr(hx, p1 * 2 + 2, 1))
-              - CASE WHEN substr(hx, p1 * 2 + 2, 1) <= '9' THEN 48 ELSE 87 END)
-           END
+           CASE WHEN n = 0 THEN 0 ELSE {_hex_byte_sql('p1')} END
          END AS b_next
   FROM pos
 ), mo AS (
@@ -343,19 +347,11 @@ WITH sized AS (
   SELECT doc_id,
          CAST(j // {AUDIO_WIN} AS INT) AS win,
          j % {AUDIO_WIN} AS pos,
-         CASE WHEN n = 0 THEN 0 ELSE
-           (ascii(substr(hx, p0 * 2 + 1, 1))
-            - CASE WHEN substr(hx, p0 * 2 + 1, 1) <= '9' THEN 48 ELSE 87 END) * 16
-         + (ascii(substr(hx, p0 * 2 + 2, 1))
-            - CASE WHEN substr(hx, p0 * 2 + 2, 1) <= '9' THEN 48 ELSE 87 END)
-         END - {AUDIO_DC} AS v,
+         CASE WHEN n = 0 THEN 0 ELSE {_hex_byte_sql('p0')} END
+           - {AUDIO_DC} AS v,
          CASE WHEN j % {AUDIO_WIN} <> {AUDIO_WIN - 1} THEN
-           CASE WHEN n = 0 THEN 0 ELSE
-             (ascii(substr(hx, p1 * 2 + 1, 1))
-              - CASE WHEN substr(hx, p1 * 2 + 1, 1) <= '9' THEN 48 ELSE 87 END) * 16
-           + (ascii(substr(hx, p1 * 2 + 2, 1))
-              - CASE WHEN substr(hx, p1 * 2 + 2, 1) <= '9' THEN 48 ELSE 87 END)
-           END - {AUDIO_DC}
+           CASE WHEN n = 0 THEN 0 ELSE {_hex_byte_sql('p1')} END
+             - {AUDIO_DC}
          END AS v_next
   FROM pos
 )
@@ -399,10 +395,10 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # empty payload = silence (all-zero PCM); np.tile of
                     # an empty buffer stays empty and the reshape crashes
                     # (degenerate-corpus sweep, round 6).  Mirrors the
-                    # oracle's greatest(n, 1) tiling with ascii('') = 0.
+                    # oracle's greatest(n, 1) tiling.
                     buf = np.zeros(1, dtype="int64")
                 need = AUDIO_WIN * AUDIO_N_WIN
-                reps = -(-need // max(len(buf), 1))
+                reps = -(-need // len(buf))
                 v = (np.tile(buf, reps)[:need] - AUDIO_DC).reshape(
                     AUDIO_N_WIN, AUDIO_WIN
                 )

@@ -582,12 +582,20 @@ WITH pts AS (
          row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
          count(*)    OVER (PARTITION BY event_type)             AS n
   FROM pts
-), firstp AS (SELECT event_type, x, y FROM seq WHERE rn = 1),
-lastp  AS (SELECT event_type, x, y FROM seq WHERE rn = n AND n > 1),
+), shortseries AS (
+  -- n <= K series are kept VERBATIM (sel_order = rn - 1): with fewer
+  -- interior points than buckets the chained-argmax CTEs below collapse
+  -- on the first empty bucket (anchor/prev joins produce nothing), so
+  -- the bucket machinery is restricted to n > K where every bucket is
+  -- provably non-empty (m = n - 2 > {b_cnt})
+  SELECT event_type, CAST(rn - 1 AS BIGINT) AS sel_order, x, y
+  FROM seq WHERE n <= {_LTTB_K}
+), firstp AS (SELECT event_type, x, y FROM seq WHERE rn = 1 AND n > {_LTTB_K}),
+lastp  AS (SELECT event_type, x, y FROM seq WHERE rn = n AND n > {_LTTB_K}),
 interior AS (
   SELECT event_type, x, y,
          CAST(((rn - 2) * {b_cnt}) // (n - 2) AS BIGINT) AS b
-  FROM seq WHERE rn > 1 AND rn < n
+  FROM seq WHERE rn > 1 AND rn < n AND n > {_LTTB_K}
 ), cent AS (
   SELECT event_type, b, CAST(count(*) AS BIGINT) AS c,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
@@ -620,7 +628,10 @@ interior AS (
   ) WHERE rk = 1
 )"""
         )
-    unions = ["SELECT event_type, CAST(0 AS BIGINT) AS sel_order, x AS x_day, y AS y_cents FROM firstp"]
+    unions = [
+        "SELECT event_type, sel_order, x AS x_day, y AS y_cents FROM shortseries",
+        "SELECT event_type, CAST(0 AS BIGINT) AS sel_order, x AS x_day, y AS y_cents FROM firstp",
+    ]
     unions += [
         f"SELECT event_type, CAST({b + 1} AS BIGINT), x, y FROM s{b}"
         for b in range(b_cnt)
@@ -682,22 +693,18 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         y = pdf["y"].to_numpy(np.int64)
         n = len(x)
         if n <= K:
-            # short series keep every point, LABELED the way the
-            # oracle's bucket machinery labels them (first=0, interior
-            # point i -> its bucket+1, last=K-1) so both engines agree
-            # on sel_order when n <= K (round-6 tiny-tables sweep); for
-            # n=1 the single point is 'first' only (no duplicate last)
+            # short series are kept VERBATIM, sel_order 0..n-1 — the
+            # oracle's dedicated shortseries branch (its chained-argmax
+            # CTEs collapse on empty buckets, so they only run for
+            # n > K, where every bucket is provably non-empty; the
+            # round-6 review caught 3 <= n <= 9 diverging under the
+            # earlier bucket-relabeling scheme)
             sel = list(range(n))
-            m = n - 2
-            orders = [0]
-            orders += [int((i * (K - 2)) // m) + 1 for i in range(m)]
-            if n > 1:
-                orders.append(K - 1)
             out = pdf.iloc[sel].reset_index(drop=True)
             return pd.DataFrame(
                 {
                     "event_type": out["event_type"],
-                    "sel_order": np.array(orders, dtype=np.int64),
+                    "sel_order": np.arange(n, dtype=np.int64),
                     "x_day": out["x"].to_numpy(np.int64),
                     "y_cents": out["y"].to_numpy(np.int64),
                 }
