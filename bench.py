@@ -385,16 +385,11 @@ ORDER BY e.event_id LIMIT 100;
 
 
 def duckdb_connection(d: str):
-    """Views over the same parquet files — BASELINE.md's catalog setup."""
-    import duckdb
+    """Views over the same parquet files — BASELINE.md's catalog setup
+    (the one canonical table list + view setup; don't fork a copy)."""
+    from tests.oracle_diff import duck_connect
 
-    con = duckdb.connect()
-    for t in (*_VIEW_TABLES, "embeddings"):
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{d}/{t}.parquet')"
-        )
-    return con
+    return duck_connect(d)
 
 
 def duckdb_pass(con, best: dict[str, float]) -> None:

@@ -91,3 +91,56 @@ def test_minhash_ml_survives_short_docs(spark, degen_sf):
     its input subtree, so the shingle expression must be TOTAL and the
     filtered table frozen — a plain upstream filter regressed here."""
     _both(spark, degen_sf, "llm_dedup_minhash_ml")
+
+
+def test_vector_norms_empty_and_null_embeddings(spark, tmp_path):
+    """Round-6 review, twice: (a) a zero-LENGTH embedding must
+    contribute 0 to the averages on BOTH engines (DuckDB's
+    list_aggregate([], 'sum') is NULL and would silently drop the row
+    where Spark's aggregate seeds 0.0); (b) a NULL embedding must stay
+    NULL on both (Spark drops it from avg — the oracle's coalesce must
+    not resurrect it as 0).  No shipped corpus has either shape, so
+    this fixture exists to exercise the guards."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.strict_diff import strict_compare
+    from un_datapipeline_spark.operators.llm_vectors import (
+        _NORMS_ORACLE,
+        llm_vector_norms,
+    )
+
+    em = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [[], [3.0, 4.0], None, [1.0, 1.0]],
+            "label": [0, 0, 0, 1],
+        }
+    )
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(em, schema=schema), tmp_path / "embeddings.parquet"
+    )
+    sf = str(tmp_path)
+
+    import duckdb
+
+    sp = llm_vector_norms(spark, sf).toPandas()
+    con = duckdb.connect()  # only embeddings exists in this fixture dir
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    oc = con.execute(_NORMS_ORACLE).df()
+    con.close()
+    assert not strict_compare(sp, oc)
+    r0 = sp[sp["label"] == 0].iloc[0]
+    # label 0 = {empty -> l2 0, [3,4] -> l2 5, NULL -> dropped}: avg 2.5
+    assert float(r0["avg_l2"]) == 2.5 and int(r0["min_dim"]) == 0

@@ -167,7 +167,6 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    import duckdb
     from tests.strict_diff import canon, strict_compare
     from un_datapipeline_spark.registry import all_operators
 

@@ -364,17 +364,23 @@ def etl_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     files_after = len(glob.glob(f"{compact_dir}/part-*.parquet"))
     assert files_after <= partitions_after, (files_after, partitions_after)
     back = spark.read.parquet(compact_dir)
-    # Contract: coalesce(4) promises AT MOST 4 — with fewer rows than 4
-    # the writer's empty-task skipping makes the measured count
-    # placement-dependent (rows or rows+1 files), so the reported value
-    # caps the measurement at the row count: LEAST(4, GREATEST(rows, 1))
-    # on both engines (round-6 review).
+    # Contract: coalesce(4) promises AT MOST 4, and below 4 rows the
+    # physical count is placement-dependent (the writer skips all-empty
+    # tasks) — the hash row reports the measured logical count capped at
+    # the contract LEAST(4, GREATEST(rows, 1)) so the empty-file pad
+    # cannot overshoot it.  Residual (round-6 review): a corpus whose
+    # >=4 rows arrive in multiple tiny input partitions could round-robin
+    # -collide below 4 output files and undershoot the oracle — accepted;
+    # it needs rows/partition < 4 across several partitions, pathological
+    # even for the --tiny sweep (single-file tables).
     return back.agg(
         F.lit(partitions_before).alias("partitions_before"),
         F.least(
-            F.lit(partitions_after),
-            F.greatest(F.count(F.lit(1)), F.lit(1)).cast("int"),
-        ).alias("partitions_after"),
+            F.lit(min(partitions_after, 4)).cast("long"),
+            F.greatest(F.count(F.lit(1)), F.lit(1)),
+        )
+        .cast("int")
+        .alias("partitions_after"),
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_orderkey").cast("long").alias("key_sum"),
     )

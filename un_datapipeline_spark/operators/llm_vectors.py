@@ -174,15 +174,20 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # would silently drop out of avg) while Spark's F.aggregate seeds 0.0 —
 # a zero-LENGTH embedding must contribute 0 on both engines (round-6
 # review; the greatest() guard alone only fixed the division).
+# NULL embeddings stay NULL (both engines drop them from avg — Spark's
+# aggregate over a NULL array is NULL); only a present-but-EMPTY list
+# coalesces to 0, mirroring Spark's 0.0 seed (round-6 review, twice).
 _NORMS_ORACLE = """
 SELECT label,
        count(*) AS n,
-       ROUND(avg(sqrt(coalesce(list_aggregate(list_transform(embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 0))), 6)
+       ROUND(avg(CASE WHEN embedding IS NULL THEN NULL ELSE
+             sqrt(coalesce(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 0)) END), 6)
          AS avg_l2,
-       ROUND(avg(coalesce(list_aggregate(list_transform(embedding,
+       ROUND(avg(CASE WHEN embedding IS NULL THEN NULL ELSE
+             coalesce(list_aggregate(list_transform(embedding,
              x -> CAST(x AS DOUBLE)), 'sum'), 0)
-             / greatest(len(embedding), 1)), 6)                        AS avg_mean_el,
+             / greatest(len(embedding), 1) END), 6)                    AS avg_mean_el,
        min(len(embedding)) AS min_dim,
        max(len(embedding)) AS max_dim
 FROM embeddings
