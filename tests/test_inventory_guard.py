@@ -178,11 +178,22 @@ def test_regen_priority_tool_matches_checked_in_lists():
     assert set(mod.DRIVER_GREEN) == set(priority.DRIVER_GREEN)
     # every currently-listed never-verified name must not be green
     assert not (set(priority.NEVER_VERIFIED) & set(mod.DRIVER_GREEN))
-    # STALE_REFRESH: REFRESH_COUNT greens, one per name family (the
-    # refresh must span modules, not re-check five neighbours), ordered
-    # stalest-first — and the checked-in list matches the tool's output
+    # STALE_REFRESH: REFRESH_COUNT greens, FORCE_REFRESH (greens re-edited
+    # after their last driver stamp — their old stamp is void) leading,
+    # then stalest-first auto picks whose families are distinct from each
+    # other AND from every earlier name (the refresh must span modules,
+    # not re-check five neighbours) — and the checked-in list matches the
+    # tool's output.
     assert tuple(mod.STALE_REFRESH) == tuple(priority.STALE_REFRESH)
     assert len(mod.STALE_REFRESH) == regen_priority.REFRESH_COUNT
+    forced = [
+        n for n in regen_priority.FORCE_REFRESH if n in set(mod.DRIVER_GREEN)
+    ][: regen_priority.REFRESH_COUNT]
+    assert list(mod.STALE_REFRESH[: len(forced)]) == forced
     fams = [n.split("_", 1)[0] for n in mod.STALE_REFRESH]
-    assert len(set(fams)) == len(fams), f"family collision: {fams}"
+    auto_fams = fams[len(forced):]
+    assert len(set(auto_fams)) == len(auto_fams), f"family collision: {fams}"
+    assert not (set(auto_fams) & set(fams[: len(forced)])), (
+        f"auto refresh re-checks a forced family: {fams}"
+    )
     assert set(mod.STALE_REFRESH) <= set(mod.DRIVER_GREEN)

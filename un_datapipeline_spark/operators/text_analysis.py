@@ -197,9 +197,11 @@ SELECT lang,
        CAST(sum(len(regexp_extract_all(text,
             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS bpe_ish_tokens,
        CAST(sum(len(string_split(text, ' '))) AS BIGINT)   AS ws_tokens,
-       ROUND(avg(CAST(length(text) AS DOUBLE)
+       floor(CAST(sum(CAST(floor(CAST(length(text) AS DOUBLE)
              / greatest(len(regexp_extract_all(text,
-                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 1)), 6) AS chars_per_token
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 1)
+             * 100000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 100.0) + 0.5) / 1000000 AS chars_per_token
 FROM documents
 GROUP BY lang
 """
@@ -220,12 +222,27 @@ def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # greatest(size, 1): empty text has zero BPE-ish tokens — ANSI
         # Spark would DIVIDE_BY_ZERO where DuckDB NULLs; guarded on both
         # engines so an empty doc contributes 0.0 chars-per-token to avg.
-        F.round(
-            F.avg(
-                F.length("text").cast("double")
-                / F.greatest(F.size(bpe), F.lit(1))
-            ),
-            6,
+        # Order-immune display average (ADVICE r06 — same lane as
+        # llm_quality_score): each per-row ratio is a bit-exact double on
+        # both engines, but a plain avg() sums doubles in engine-specific
+        # order — a 1-ulp spread that can split a .5-grid 6dp rounding.
+        # Snap each row to integer 1e-8 units (identical BIGINT both
+        # sides), exact-integer sum, ONE float division + explicit
+        # floor(x+0.5) for display — the PARITY.md lane.
+        (
+            F.floor(
+                F.sum(
+                    F.floor(
+                        F.length("text").cast("double")
+                        / F.greatest(F.size(bpe), F.lit(1))
+                        * 100_000_000
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / (F.count(F.lit(1)) * 100.0)
+                + F.lit(0.5)
+            )
+            / 1_000_000
         ).alias("chars_per_token"),
     )
 

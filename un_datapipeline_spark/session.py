@@ -52,16 +52,23 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     Idempotent and cheap; called by every table loader so the engine works
     against the driver's session (which we don't construct).
     """
-    from pyspark.errors import AnalysisException, IllegalArgumentException
-
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except (AnalysisException, IllegalArgumentException):
+        except Exception as e:  # noqa: BLE001 — matched on error class below
             # CANNOT_MODIFY_CONFIG: a conf may be non-runtime-settable in
             # some deployments; the session factory path sets it at build
-            # time instead.  Anything else should surface.
-            pass
+            # time instead.  Matched on the error-class STRING rather than
+            # a fixed exception tuple because the same condition surfaces
+            # as AnalysisException (classic), a Py4J wrapper (JVM static
+            # conf), or a SparkConnectGrpcException (Connect) depending on
+            # deployment — a type match would crash every table loader on
+            # the deployments it didn't anticipate (ADVICE r06).  Anything
+            # that is not the cannot-modify class still surfaces.
+            msg = str(e)
+            if "CANNOT_MODIFY_CONFIG" in msg or "Cannot modify the value" in msg:
+                continue
+            raise
     return spark
 
 
