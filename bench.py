@@ -425,37 +425,54 @@ def main() -> None:
     # scans (measured 0.29s -> 0.19s on the lineitem agg).  At real scale
     # the default (or larger) is correct; this is test-scale sizing.
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
-    # Full warm pass first (codegen, file listing, broadcasts, JIT), then
-    # best-of-7 timed passes — every timed execution runs in a fully
-    # warmed JVM.  BASELINE.md used best-of-3 for DuckDB; both estimate
-    # the same quantity (the warm minimum), extra reps only harden the
-    # estimate against ambient VM load (observed ±30% run-to-run drift).
-    # Each pass REBUILDS the plan (re-parse for SQL, re-chain for the
+    # Warm passes first (codegen, file listing, broadcasts, JIT), then
+    # best-of-7 timed reps — every timed execution runs in a fully
+    # warmed JVM.  THREE warm passes, not one (round 7): the warm-curve
+    # profile showed the pass total still falling through pass ~5
+    # (6.31 → 5.08 → 4.84 s) as the C2 compiler finishes the hot query
+    # paths — a single warm pass times a half-JIT'd JVM, a fixed cost
+    # that amortizes to nothing at real scale.  BASELINE.md used 1-warm
+    # + best-of-3 for DuckDB, whose C++ needs no JIT warm; both estimate
+    # the same quantity (the warm minimum).
+    # Each rep REBUILDS the plan (re-parse for SQL, re-chain for the
     # DataFrame query): re-collecting a cached plan would let the DAG
     # scheduler skip already-computed shuffle map stages, which times the
     # reduce only — not a query.
-    for name, fn in QUERIES.items():
-        spark.conf.set("spark.sql.shuffle.partitions", str(REDUCE_WIDTH[name]))
-        fn(spark, SF_DIR).collect()
-    # The DuckDB replay is INTERLEAVED with the Spark reps — one full
-    # DuckDB pass after each Spark pass — so both engines sample the
-    # same minutes of box drift (a tail-end DuckDB leg measured the
-    # ratio anywhere from 4.9 to 6.4 on an identical HEAD as the box
-    # sped up or slowed down between the two legs).
+    for _ in range(3):
+        for name, fn in QUERIES.items():
+            spark.conf.set("spark.sql.shuffle.partitions", str(REDUCE_WIDTH[name]))
+            fn(spark, SF_DIR).collect()
+    # Timing structure (round 7): per-query ADJACENT BURSTS on both
+    # engines — for each query, 7 timed Spark reps back-to-back, then 7
+    # timed DuckDB reps of the same query's BASELINE.md text immediately
+    # after.  This keeps the round-6 drift-immunity (each Spark/DuckDB
+    # pair samples the same seconds of box drift — a tail-end DuckDB
+    # leg once measured the ratio anywhere from 4.9 to 6.4 on an
+    # identical HEAD) at a FINER grain than round 6's full-rotation
+    # passes, and it is exactly BASELINE.md's own per-query best-of-N
+    # method.  The rotation shape also had a measurement artifact:
+    # cycling 12 plans plus a DuckDB pass between reps of the same query
+    # kept the JIT'd code paths out of the instruction cache — q1 timed
+    # 380-460 ms rotated vs 240-270 ms burst, while DuckDB's minima
+    # barely moved (measured round 7, interleaved in one session).
     con = duckdb_connection(SF_DIR)
     duck: dict[str, float] = {}
     duckdb_pass(con, duck)  # warm pass (IO cache), minima kept anyway
     times: dict[str, float] = {name: float("inf") for name in QUERIES}
-    for _ in range(7):
-        for name, fn in QUERIES.items():
-            # Plan-time knob: set before the plan is built (outside the
-            # timer — DuckDB's per-view settings are likewise catalog
-            # state, not per-execute work).
-            spark.conf.set("spark.sql.shuffle.partitions", str(REDUCE_WIDTH[name]))
+    for name, fn in QUERIES.items():
+        # Plan-time knob: set before the plan is built (outside the
+        # timer — DuckDB's per-view settings are likewise catalog
+        # state, not per-execute work).
+        spark.conf.set("spark.sql.shuffle.partitions", str(REDUCE_WIDTH[name]))
+        for _ in range(7):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             times[name] = min(times[name], time.perf_counter() - t0)
-        duckdb_pass(con, duck)
+        duck_sql = DUCKDB_SQL[name]
+        for _ in range(7):
+            t0 = time.perf_counter()
+            con.execute(duck_sql).fetchall()
+            duck[name] = min(duck.get(name, float("inf")), time.perf_counter() - t0)
     con.close()
     times = {name: round(t, 4) for name, t in times.items()}
     duck = {name: round(t, 4) for name, t in duck.items()}
