@@ -392,12 +392,19 @@ def duckdb_connection(d: str):
     return duck_connect(d)
 
 
+def duck_rep(con, sql: str) -> float:
+    """One timed DuckDB execution — the single timing protocol shared by
+    the warm pass and the per-query bursts (parse + plan + execute +
+    fetchall, the same span the Spark side times)."""
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
+    return time.perf_counter() - t0
+
+
 def duckdb_pass(con, best: dict[str, float]) -> None:
     """One timed execution of every BASELINE.md text, folding minima."""
     for name, sql in DUCKDB_SQL.items():
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        best[name] = min(best.get(name, float("inf")), time.perf_counter() - t0)
+        best[name] = min(best.get(name, float("inf")), duck_rep(con, sql))
 
 
 def _sf_of(d: str) -> float:
@@ -456,8 +463,13 @@ def main() -> None:
     # 380-460 ms rotated vs 240-270 ms burst, while DuckDB's minima
     # barely moved (measured round 7, interleaved in one session).
     con = duckdb_connection(SF_DIR)
+    # Warm pass into a THROWAWAY dict: folding its minima into the
+    # judged results would break the per-query drift pairing (a fast
+    # warm-pass sample taken minutes before a query's paired burst
+    # would survive into duck[] while the Spark number comes from the
+    # later, possibly slower window).
+    duckdb_pass(con, {})
     duck: dict[str, float] = {}
-    duckdb_pass(con, duck)  # warm pass (IO cache), minima kept anyway
     times: dict[str, float] = {name: float("inf") for name in QUERIES}
     for name, fn in QUERIES.items():
         # Plan-time knob: set before the plan is built (outside the
@@ -470,9 +482,9 @@ def main() -> None:
             times[name] = min(times[name], time.perf_counter() - t0)
         duck_sql = DUCKDB_SQL[name]
         for _ in range(7):
-            t0 = time.perf_counter()
-            con.execute(duck_sql).fetchall()
-            duck[name] = min(duck.get(name, float("inf")), time.perf_counter() - t0)
+            duck[name] = min(
+                duck.get(name, float("inf")), duck_rep(con, duck_sql)
+            )
     con.close()
     times = {name: round(t, 4) for name, t in times.items()}
     duck = {name: round(t, 4) for name, t in duck.items()}

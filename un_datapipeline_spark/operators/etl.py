@@ -366,12 +366,14 @@ def etl_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Loud internal check, not a reported value (ADVICE r06): with
     # openCostInBytes pinned the compaction scan takes one partition per
     # input file, so coalesce(4) must land on exactly min(4, files).  Any
-    # other count means the pinning failed and the op should crash here,
-    # not silently diverge from the oracle downstream.
-    assert partitions_after == min(4, files_before), (
-        partitions_after,
-        files_before,
-    )
+    # other count means the pinning failed and the op must crash here,
+    # not silently diverge from the oracle downstream — a hard raise, not
+    # an assert, so python -O cannot compile the guard away.
+    if partitions_after != min(4, files_before):
+        raise RuntimeError(
+            "compaction layout drifted from the coalesce contract: "
+            f"partitions_after={partitions_after}, files_before={files_before}"
+        )
     back = spark.read.parquet(compact_dir)
     # Contract: coalesce(4) promises AT MOST 4, and below 4 rows the
     # physical count is placement-dependent (the writer skips all-empty

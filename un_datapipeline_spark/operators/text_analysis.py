@@ -21,6 +21,23 @@ from un_datapipeline_spark.tables import load_table
 # a real pipeline plugs a per-language lexicon in here).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 
+
+# Order-immune display-average lane (PARITY.md), shared by every op in
+# this module that reports a mean of per-row doubles: each per-row ratio
+# is a bit-exact double on both engines (one division of exact ints,
+# identical expression trees), but a plain avg() SUMS those doubles in
+# engine-specific order — a 1-ulp spread that can split a .5-grid 6dp
+# rounding (observed on the degenerate corpus).  So each row's value is
+# first SNAPPED to integer 1e-8 units (identical BIGINT both sides), the
+# sum is exact-integer and order-free, and one float division + the
+# explicit floor(x+0.5) rounds for display.
+def _snap8(c):
+    return F.floor(c * 100_000_000 + F.lit(0.5)).cast("long")
+
+
+def _avg6(snapped_sum, n):
+    return F.floor(snapped_sum.cast("double") / (n * 100.0) + F.lit(0.5)) / 1_000_000
+
 _QUALITY_ORACLE = f"""
 SELECT lang,
        count(*) AS n_docs,
@@ -92,22 +109,8 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ratio.alias("stop_ratio"),
         quality.alias("quality"),
     )
-    # Order-immune display averages: each per-row ratio is a bit-exact
-    # double on both engines (one division of exact ints, identical
-    # expression trees), but a plain avg() SUMS those doubles in engine-
-    # specific order — a 1-ulp spread that splits a .5-grid 6dp rounding
-    # (observed on the degenerate corpus).  So each row's value is first
-    # SNAPPED to integer 1e-8 units (identical BIGINT both sides), the
-    # sum is exact-integer and order-free, and one float division + the
-    # explicit floor(x+0.5) rounds for display — the PARITY.md lane.
-    def _snap8(c):
-        return F.floor(c * 100_000_000 + F.lit(0.5)).cast("long")
-
-    def _avg6(snapped_sum, n):
-        return F.floor(
-            snapped_sum.cast("double") / (n * 100.0) + F.lit(0.5)
-        ) / 1_000_000
-
+    # Display averages go through the module-level _snap8/_avg6
+    # order-immune lane (see its comment for why plain avg() diverges).
     n = F.count(F.lit(1))
     return scored.groupBy("lang").agg(
         n.alias("n_docs"),
@@ -222,27 +225,16 @@ def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # greatest(size, 1): empty text has zero BPE-ish tokens — ANSI
         # Spark would DIVIDE_BY_ZERO where DuckDB NULLs; guarded on both
         # engines so an empty doc contributes 0.0 chars-per-token to avg.
-        # Order-immune display average (ADVICE r06 — same lane as
-        # llm_quality_score): each per-row ratio is a bit-exact double on
-        # both engines, but a plain avg() sums doubles in engine-specific
-        # order — a 1-ulp spread that can split a .5-grid 6dp rounding.
-        # Snap each row to integer 1e-8 units (identical BIGINT both
-        # sides), exact-integer sum, ONE float division + explicit
-        # floor(x+0.5) for display — the PARITY.md lane.
-        (
-            F.floor(
-                F.sum(
-                    F.floor(
-                        F.length("text").cast("double")
-                        / F.greatest(F.size(bpe), F.lit(1))
-                        * 100_000_000
-                        + F.lit(0.5)
-                    ).cast("long")
-                ).cast("double")
-                / (F.count(F.lit(1)) * 100.0)
-                + F.lit(0.5)
-            )
-            / 1_000_000
+        # Display average through the shared _snap8/_avg6 order-immune
+        # lane (ADVICE r06 — the same lane llm_quality_score uses).
+        _avg6(
+            F.sum(
+                _snap8(
+                    F.length("text").cast("double")
+                    / F.greatest(F.size(bpe), F.lit(1))
+                )
+            ),
+            F.count(F.lit(1)),
         ).alias("chars_per_token"),
     )
 
