@@ -86,6 +86,54 @@ def test_degenerate_corpus_class(spark, degen_sf, name):
     _both(spark, degen_sf, name)
 
 
+@pytest.fixture(scope="module")
+def unicode_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("unisf")
+    _tool().build_unicode_dataset(str(d))
+    return str(d)
+
+
+# one representative per round-7 --unicode class
+UNICODE_OPS = [
+    "fn_mask_redact",        # Java char classes vs RE2 \p{Lu}/\p{Ll}/\p{Nd}
+    "llm_token_count_bpe",   # codepoint counting + ASCII regex classes
+    "mm_frame_sample",       # multi-byte payload byte tiling (hex lane)
+]
+
+
+@pytest.mark.parametrize("name", UNICODE_OPS)
+def test_unicode_corpus_class(spark, unicode_sf, name):
+    """Round-7 hazard class: Spark masks/measures by UNICODE character
+    semantics (Character.isLowerCase, codepoint length) while an
+    ASCII-class oracle silently diverges on any non-ASCII letter —
+    fn_mask_redact masked 'é' as 'x' where the old '[a-z]' oracle left
+    it bare.  Oracles now use RE2 unicode categories; this pins the
+    class on the multi-byte corpus."""
+    _both(spark, unicode_sf, name)
+
+
+def test_mask_redact_unicode_semantics(spark, tmp_path):
+    """Value-level pin: unicode uppercase/lowercase/digit all mask, and
+    the n_digits column deliberately stays an ASCII [0-9] count."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["café İı ٣ 7"],  # é İı ٣ 7
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [10],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from un_datapipeline_spark.operators.functions import fn_mask_redact
+
+    row = fn_mask_redact(spark, str(tmp_path)).collect()[0]
+    assert row.masked_head == "xxxx Xx n n"  # ٣ is Nd -> 'n'
+    assert row.n_digits == 1  # ASCII digits only: just the '7'
+
+
 def test_minhash_ml_survives_short_docs(spark, degen_sf):
     """The optimizer-re-evaluation class: approxSimilarityJoin re-plans
     its input subtree, so the shingle expression must be TOTAL and the

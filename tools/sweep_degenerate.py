@@ -28,10 +28,20 @@ docs, 6 vectors) — the "first run on a new tiny dataset" class:
 windows/ntiles over fewer rows than buckets, aggregates over empty
 groups, k-means/PQ/HNSW with fewer points than centroids/codes/links.
 
+A third mode (--unicode) swaps `documents` for a corpus of multi-byte
+shapes — emoji (incl. multi-codepoint ZWJ sequences), CJK, combining
+diacritics, RTL scripts, astral-plane (surrogate-pair) chars, full-width
+forms — the class where byte-counting, UTF-16 code-unit counting, and
+codepoint counting diverge, and where the two regex engines (Java util
+vs DuckDB's RE2) can disagree.  The shipped testdata is pure ASCII
+(verified round 7), so this class can never driver-red; the sweep
+guards the 100 TB-real-corpus claim instead.
+
 Usage:
     python tools/sweep_degenerate.py            # all operators
     python tools/sweep_degenerate.py llm_bm25_rank ...   # subset
     python tools/sweep_degenerate.py --tiny [ops...]     # tiny tables
+    python tools/sweep_degenerate.py --unicode [ops...]  # multi-byte corpus
 """
 
 from __future__ import annotations
@@ -112,6 +122,52 @@ def build_dataset(d: str) -> None:
     pq.write_table(pa.Table.from_pandas(em, schema=schema), f"{d}/embeddings.parquet")
 
 
+# Multi-byte shapes: every entry chosen to make SOME counting basis
+# (bytes / UTF-16 code units / codepoints / grapheme clusters) disagree
+# with another, plus plain anchors so threshold ops keep material.
+# Escapes, not literals, so the shapes survive any editor/transport.
+_UNICODE_DOCS = [
+    "caf\u00e9 na\u00efve r\u00e9sum\u00e9",       # 2-byte latin accents (NFC)
+    "cafe\u0301 nai\u0308ve",                    # combining marks (NFD)
+    "\u4e2d\u6587\u6587\u6863 \u5927\u89c4\u6a21\u5904\u7406",  # CJK, 3-byte
+    "\U0001f600\U0001f680\U0001f4a9",              # astral emoji, 4-byte
+    "\U0001f469\u200d\U0001f4bb works",            # ZWJ sequence + ascii
+    "\u0645\u0631\u062d\u0628\u0627 \u05e9\u05dc\u05d5\u05dd",  # RTL arabic+hebrew
+    "\u0391\u0392\u0393 \u0430\u0431\u0432",        # greek + cyrillic case pairs
+    "\uff28\uff25\uff2c\uff2c\uff2f \uff57\uff4f",  # full-width forms
+    "mixed \u4e2d ascii \U0001f600 tail",        # mixed widths in one doc
+    "\u00df\u0130\u0131",                         # sharp-s, dotted/dotless i
+    "\u0663\u0664 \u0665 id9",                     # arabic-indic digits (Nd, not [0-9])
+    "plain words appear here often enough to score",
+    "the of and to in plain anchor",
+]
+
+
+def build_unicode_dataset(d: str) -> None:
+    """Same table layout as build_dataset but the corpus is multi-byte;
+    embeddings come straight from the base SF (text is the focus)."""
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    langs = ["en", "de", "fr"]
+    srcs = ["web", "books"]
+    rows = []
+    for i in range(24):
+        text = _UNICODE_DOCS[i % len(_UNICODE_DOCS)]
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": langs[i % 3],
+                "source": srcs[i % 2],
+                # generator semantics: python len() = codepoints
+                "n_chars": len(text),
+            }
+        )
+    pd.DataFrame(rows).to_parquet(f"{d}/documents.parquet", index=False)
+
+
 def build_tiny_dataset(d: str) -> None:
     """Referentially-intact minimal tables: joins still produce (few)
     rows, empty groups exist, every sketch/model trains on fewer points
@@ -161,9 +217,15 @@ def build_tiny_dataset(d: str) -> None:
 def main() -> int:
     args = sys.argv[1:]
     tiny = "--tiny" in args
-    only = set(a for a in args if a != "--tiny")
+    unicode_mode = "--unicode" in args
+    only = set(a for a in args if a not in ("--tiny", "--unicode"))
     d = tempfile.mkdtemp(prefix="degen_")
-    build_tiny_dataset(d) if tiny else build_dataset(d)
+    if tiny:
+        build_tiny_dataset(d)
+    elif unicode_mode:
+        build_unicode_dataset(d)
+    else:
+        build_dataset(d)
 
     from pyspark.sql import SparkSession
 

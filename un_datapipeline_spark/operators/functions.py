@@ -481,11 +481,20 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MASK_ORACLE = """
+# Unicode-category classes, not [A-Z]/[a-z]/[0-9]: Spark's mask() masks
+# by Character.isUpperCase/isLowerCase/isDigit, which are UNICODE
+# categories (é→x, İ→X, ٣→n), so an ASCII-class oracle silently diverges
+# on any non-ASCII letter (caught by the round-7 --unicode sweep).  RE2's
+# \p{Lu}/\p{Ll}/\p{Nd} match Java's definitions on all of Lu/Ll/Nd;
+# the residual is the tiny contributory sets (Other_Uppercase /
+# Other_Lowercase, e.g. ª º and Roman-numeral Nl) where Java says
+# upper/lower but the category class does not — excluded from the sweep
+# corpus and documented here rather than papered over.
+_MASK_ORACLE = r"""
 SELECT doc_id,
        regexp_replace(regexp_replace(regexp_replace(
-         substr(text, 1, 40), '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
-         '[0-9]', 'n', 'g') AS masked_head,
+         substr(text, 1, 40), '\p{Lu}', 'X', 'g'), '\p{Ll}', 'x', 'g'),
+         '\p{Nd}', 'n', 'g') AS masked_head,
        CAST(length(regexp_replace(substr(text, 1, 40), '[^0-9]', '', 'g')) AS INT)
          AS n_digits
 FROM documents
@@ -500,9 +509,11 @@ def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     heads via Spark's built-in `mask` — the display-redaction primitive
     for logs/samples of sensitive corpora (llm_pii_redact is the
     pattern-level cousin).  DuckDB has no mask(), so the oracle applies
-    the same three character-class regexp_replace passes; other
-    characters pass through on both engines (mask's other-char default).
-    Row-local expressions only."""
+    the same three character-class regexp_replace passes with UNICODE
+    category classes (see _MASK_ORACLE's comment); other characters pass
+    through on both engines (mask's other-char default).  n_digits stays
+    an ASCII [0-9] count on both sides (a deliberate contrast with the
+    \\p{Nd} masking lane).  Row-local expressions only."""
     d = load_table(spark, sf_dir, "documents")
     head = F.substring("text", 1, 40)
     return (
