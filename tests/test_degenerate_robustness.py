@@ -101,6 +101,62 @@ UNICODE_OPS = [
 ]
 
 
+@pytest.fixture(scope="module")
+def ties_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiessf")
+    _tool().build_ties_dataset(str(d))
+    return str(d)
+
+
+# one representative per round-7 --ties class
+TIES_OPS = [
+    "llm_knn_join",              # tie-arbitrary argpartition in partial top-k
+    "llm_hard_negatives",        # same class, label-masked kernel copy
+    "stream_session_dynamic_gap",  # session boundary inclusive, oracle said >=
+    "ts_cross_correlation_lagged",  # zero-variance series ANSI DIVIDE_BY_ZERO
+]
+
+
+@pytest.mark.parametrize("name", TIES_OPS)
+def test_ties_corpus_class(spark, ties_sf, name):
+    """Round-7 hazard class: tied values at ranking boundaries.  Exact-
+    duplicate vectors give bitwise-equal similarities, so a partial
+    top-k that selects ties arbitrarily (argpartition) can drop the
+    candidate the global (sim DESC, nn_id) order would keep; grid-
+    aligned timestamps land events exactly on session ends, where
+    Spark's session_window is INCLUSIVE; a ties-collapsed series has
+    zero variance, where Pearson r must be NULL on both engines."""
+    _both(spark, ties_sf, name)
+
+
+def test_session_window_boundary_is_inclusive(spark):
+    """Value-level pin of the empirical session_window semantics: an
+    event at EXACTLY last_ts + gap extends the session; 1 µs past it
+    starts a new one.  The dynamic-gap oracle's strict > depends on
+    this staying true across Spark upgrades."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, t0), (1, t0 + dt.timedelta(minutes=5)),
+            (2, t0), (2, t0 + dt.timedelta(minutes=5, microseconds=1)),
+        ],
+        "user_id int, ts timestamp",
+    )
+    out = (
+        df.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    sessions = {r.user_id: r["count"] for r in out}
+    assert sessions == {1: 1, 2: 2}
+
+
 @pytest.mark.parametrize("name", UNICODE_OPS)
 def test_unicode_corpus_class(spark, unicode_sf, name):
     """Round-7 hazard class: Spark masks/measures by UNICODE character

@@ -51,12 +51,17 @@ FORCE_REFRESH = (
     "etl_compact_files",    # r06 row-cap + r07 contract-value partitions_after
     "mm_frame_sample",      # r07 frame_hex_md5 rename (ADVICE r06)
     "llm_quality_score",    # r07 _snap8/_avg6 hoisted to module level (pure refactor)
-    # 6th entry — truncated out of the r07 window (REFRESH_COUNT=5);
-    # leads the r08 refresh once the five names above get their r07
-    # stamps and are cleared.  ASCII-neutral edit (unicode-category
-    # oracle classes equal the old ASCII classes on the driver's pure-
-    # ASCII corpus), found by the r07 --unicode sweep.
-    "fn_mask_redact",       # r07 oracle \p{Lu}/\p{Ll}/\p{Nd} classes
+    # Entries below are truncated out of the r07 window (REFRESH_COUNT=5)
+    # and form the r08 refresh once the five names above get their r07
+    # stamps and are cleared.  All five are data-neutral on the shipped
+    # corpora (proven by strict 3-SF re-runs) — found by the r07
+    # --unicode and --ties sweeps, which hit input shapes the driver
+    # tables never produce.
+    "fn_mask_redact",       # r07 oracle \p{Lu}/\p{Ll}/\p{Nd} classes (--unicode)
+    "llm_simsearch_cosine_topk",  # r07 tie-safe partial top-k in cosine_topk (--ties)
+    "llm_knn_join",         # r07 same shared-kernel fix (--ties)
+    "llm_dedup_embedding",  # r07 same shared-kernel fix (--ties)
+    "llm_hard_negatives",   # r07 tie-safe partial top-k, own kernel copy (--ties)
 )
 
 

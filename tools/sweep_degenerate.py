@@ -42,6 +42,7 @@ Usage:
     python tools/sweep_degenerate.py llm_bm25_rank ...   # subset
     python tools/sweep_degenerate.py --tiny [ops...]     # tiny tables
     python tools/sweep_degenerate.py --unicode [ops...]  # multi-byte corpus
+    python tools/sweep_degenerate.py --ties [ops...]     # tie-stress corpus
 """
 
 from __future__ import annotations
@@ -168,6 +169,83 @@ def build_unicode_dataset(d: str) -> None:
     pd.DataFrame(rows).to_parquet(f"{d}/documents.parquet", index=False)
 
 
+def build_ties_dataset(d: str) -> None:
+    """Tie-stress corpus: every rankable statistic collides.  Documents
+    are a few distinct texts each repeated many times (tied word counts,
+    tied dedup scores, tied quality bands at every k boundary);
+    embeddings contain exact-duplicate and sign-flipped vectors (tied
+    and anti-tied cosine similarities); events repeat (user_id, value,
+    ts) combos (tied window ranks, tied as-of candidates).  Unlike the
+    unicode class, ties CAN occur in real driver data — an op whose
+    top-k picks depend on engine sort stability instead of an explicit
+    total order is a latent driver red, and this corpus makes every such
+    boundary a coin flip."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in "region nation customer supplier part orders lineitem".split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+
+    # 4 distinct texts x 6 copies each = ties in every count statistic
+    texts = [
+        "alpha beta gamma delta words",
+        "alpha beta gamma delta words",  # same as 0: exact-dup class too
+        "epsilon zeta eta theta words",
+        "iota kappa lambda mu words",
+    ]
+    langs = ["en", "de", "fr"]
+    rows = []
+    for i in range(24):
+        text = texts[i % 4]
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": langs[i % 3],
+                "source": ["web", "books"][i % 2],
+                "n_chars": len(text),
+            }
+        )
+    pd.DataFrame(rows).to_parquet(f"{d}/documents.parquet", index=False)
+
+    # embeddings: 5 distinct base vectors; each appears 4x verbatim and
+    # 2x sign-flipped, plus two axis-aligned vectors tied in norm
+    rng = np.random.RandomState(11)
+    base = [rng.randn(8).astype(np.float32) for _ in range(5)]
+    vecs, k = [], 0
+    for b in base:
+        vecs += [b.copy() for _ in range(4)] + [(-b).copy() for _ in range(2)]
+    vecs += [np.eye(8, dtype=np.float32)[0], np.eye(8, dtype=np.float32)[1]]
+    em = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [list(v) for v in vecs],
+            "label": np.arange(len(vecs), dtype=np.int32) % 4,
+        }
+    )
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(em, schema=schema), f"{d}/embeddings.parquet")
+
+    # events: collapse values and timestamps onto a tiny grid so window
+    # ranks, as-of candidates, and session gaps tie constantly
+    ev = pd.read_parquet(f"{BASE}/events.parquet").head(60).copy()
+    ev["value"] = [float(v % 3) for v in range(len(ev))]
+    ev["user_id"] = [int(u % 5) + 1 for u in range(len(ev))]
+    ts0 = ev["ts"].iloc[0]
+    ev["ts"] = [ts0 + pd.Timedelta(minutes=(i % 4) * 10) for i in range(len(ev))]
+    orig = pq.read_schema(f"{BASE}/events.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(ev, schema=orig, preserve_index=False),
+        f"{d}/events.parquet",
+    )
+
+
 def build_tiny_dataset(d: str) -> None:
     """Referentially-intact minimal tables: joins still produce (few)
     rows, empty groups exist, every sketch/model trains on fewer points
@@ -218,12 +296,15 @@ def main() -> int:
     args = sys.argv[1:]
     tiny = "--tiny" in args
     unicode_mode = "--unicode" in args
-    only = set(a for a in args if a not in ("--tiny", "--unicode"))
+    ties_mode = "--ties" in args
+    only = set(a for a in args if a not in ("--tiny", "--unicode", "--ties"))
     d = tempfile.mkdtemp(prefix="degen_")
     if tiny:
         build_tiny_dataset(d)
     elif unicode_mode:
         build_unicode_dataset(d)
+    elif ties_mode:
+        build_ties_dataset(d)
     else:
         build_dataset(d)
 

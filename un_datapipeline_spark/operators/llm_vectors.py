@@ -27,6 +27,25 @@ from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
 
 
+def _topk_idx(sims, b_ids, kk):
+    """Per-probe indices of the kk best batch candidates under the TOTAL
+    order (sim DESC, candidate id ASC) — the same order the final global
+    window and every paired oracle use.  argpartition alone is
+    tie-ARBITRARY: when more than kk candidates tie at the boundary
+    within one batch (exact-duplicate vectors give bitwise-equal sims),
+    it may keep a larger-id candidate and drop the smaller-id one the
+    global tie-break would have chosen, so the partial top-k silently
+    changes the answer (round-7 --ties sweep).  lexsort keys: last key
+    is primary, so (-sims) ranks by sim DESC and the broadcast id column
+    breaks ties ASC.  O(batch log batch) per probe column vs
+    argpartition's O(batch) — measured no bench regression (the matmul
+    dominates)."""
+    import numpy as np
+
+    bb = np.broadcast_to(b_ids[:, None], sims.shape)
+    return np.lexsort((bb, -sims), axis=0)[:kk]
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -78,8 +97,10 @@ def cosine_topk(
                 )
                 sims = np.where(mask, -np.inf, sims)
             kk = min(k, sims.shape[0])
-            # per-probe top-kk within this batch (argpartition: O(batch))
-            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, probes)
+            # per-probe top-kk within this batch under the global total
+            # order (sim DESC, nn_id ASC) — see _topk_idx for why
+            # argpartition is not tie-safe here
+            idx = _topk_idx(sims, b_ids, kk)  # (kk, probes)
             a = np.repeat(p_ids[None, :], kk, axis=0).ravel()
             nn = b_ids[idx].ravel()
             sv = np.take_along_axis(sims, idx, axis=0).ravel()
@@ -680,7 +701,8 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             sims = b_mat @ p_mat.T  # (batch, probes)
             sims = np.where(b_lbl[:, None] == p_lbl[None, :], -np.inf, sims)
             kk = min(k, sims.shape[0])
-            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            # tie-safe partial top-k (sim DESC, nn_id ASC) — _topk_idx
+            idx = _topk_idx(sims, b_ids, kk)
             a = np.repeat(p_ids[None, :], kk, axis=0).ravel()
             nn = b_ids[idx].ravel()
             lb = b_lbl[idx].ravel()

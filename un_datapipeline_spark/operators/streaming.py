@@ -453,7 +453,7 @@ WITH e AS (
   FROM events
 ), flagged AS (
   SELECT user_id, ts, t_us, gap_us,
-         CASE WHEN t_us >= max(t_us + gap_us) OVER (
+         CASE WHEN t_us > max(t_us + gap_us) OVER (
                 PARTITION BY user_id ORDER BY t_us, gap_us
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
               OR max(t_us + gap_us) OVER (
@@ -481,13 +481,18 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a Column gap): purchases hold a session open 30 minutes,
     everything else 5 — the e-commerce reality fixed-gap sessionization
     flattens (stream_session_window is the fixed-gap twin).  Each event
-    contributes the interval [ts, ts+gap(event)); overlapping intervals
-    per user merge, the boundary being EXCLUSIVE (an event at exactly
-    the previous session's end starts a NEW session).  The batch oracle
-    derives the same islands from first principles: a session break is
-    `t ≥ running-max of previous (t + gap)` over µs-epoch integers —
-    running-MAX, not lag, because a long-gap event can outlast several
-    later short-gap ones.  Streaming state per key is one open session
+    contributes the interval [ts, ts+gap(event)]; overlapping intervals
+    per user merge, the boundary being INCLUSIVE — an event at exactly
+    the previous session's end EXTENDS the session (pinned empirically
+    on Spark 4.1: {t, t+5min} with a 5-minute gap is ONE session,
+    {t, t+5min+1µs} is two; the round-7 --ties sweep caught the oracle
+    claiming the opposite, which only a grid-aligned corpus can see).
+    The batch oracle derives the same islands from first principles: a
+    session break is `t > running-max of previous (t + gap)` over
+    µs-epoch integers — running-MAX, not lag, because a long-gap event
+    can outlast several later short-gap ones; strict >, because the
+    boundary is inclusive (the fixed-gap twin's `gap > 30 min` flag is
+    the same convention).  Streaming state per key is one open session
     (merged on arrival), evicted by the watermark — the same bounded-
     state contract as the fixed-gap op."""
     s = read_events_stream(spark, sf_dir)

@@ -774,8 +774,8 @@ joined AS (
 )
 SELECT lag, n,
        ROUND((n * sab - sa * sb)
-             / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
-                    * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS r
+             / NULLIF(sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                    * CAST(n * sbb - sb * sb AS DOUBLE)), 0), 6) AS r
 FROM mom ORDER BY lag
 """
 
@@ -825,8 +825,12 @@ def ts_cross_correlation_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
         * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
     )
+    # nullif: a constant series (zero variance — e.g. both series have
+    # one day of data at some lag) has UNDEFINED r; ANSI Spark throws
+    # DIVIDE_BY_ZERO where DuckDB NaNs, so both texts return NULL
+    # (round-7 --ties sweep, the same guard class as ts_autocorrelation).
     return mom.select(
-        "lag", "n", F.round(num / den, 6).alias("r")
+        "lag", "n", F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("r")
     ).orderBy("lag")
 
 
