@@ -141,7 +141,20 @@ _UNICODE_DOCS = [
     "\u0663\u0664 \u0665 id9",                     # arabic-indic digits (Nd, not [0-9])
     "plain words appear here often enough to score",
     "the of and to in plain anchor",
+    "\u0926\u0947\u0935 \u0966\u0967\u0968 digits",          # devanagari letters + Nd digits
 ]
+
+# len(_UNICODE_DOCS) must stay COPRIME to 13, 19 and 23 — functions.py
+# filters documents by doc_id % {13,19,23} == 0, and a length sharing a
+# factor with a modulus feeds those ops a single repeated text (caught
+# in round-7 review: at len 13, fn_mask_redact only ever saw doc 0).
+# Also: NO astral CASED letters or astral digits here — Spark's mask()
+# classifies per UTF-16 code unit, so supplementary-plane Lu/Ll/Nd pass
+# through as surrogates while RE2's codepoint classes would mask them;
+# that documented engine limitation (functions.py _MASK_ORACLE) makes
+# astral cased text a true, unfixable divergence for mask-based ops.
+# Astral EMOJI (category So) are fine — both engines skip them.
+assert len(_UNICODE_DOCS) % 13 and len(_UNICODE_DOCS) % 19 and len(_UNICODE_DOCS) % 23
 
 
 def build_unicode_dataset(d: str) -> None:
@@ -212,7 +225,7 @@ def build_ties_dataset(d: str) -> None:
     # 2x sign-flipped, plus two axis-aligned vectors tied in norm
     rng = np.random.RandomState(11)
     base = [rng.randn(8).astype(np.float32) for _ in range(5)]
-    vecs, k = [], 0
+    vecs = []
     for b in base:
         vecs += [b.copy() for _ in range(4)] + [(-b).copy() for _ in range(2)]
     vecs += [np.eye(8, dtype=np.float32)[0], np.eye(8, dtype=np.float32)[1]]
@@ -235,7 +248,13 @@ def build_ties_dataset(d: str) -> None:
     # events: collapse values and timestamps onto a tiny grid so window
     # ranks, as-of candidates, and session gaps tie constantly
     ev = pd.read_parquet(f"{BASE}/events.parquet").head(60).copy()
-    ev["value"] = [float(v % 3) for v in range(len(ev))]
+    # periods 5 (user), 2 (value), 4 (ts) share no factor with each other
+    # EXCEPT value/ts (gcd 2), so the full (user_id, value, ts) triple
+    # repeats every lcm(5,2,4)=20 rows — 60 rows carry each combo 3x.
+    # (The first cut used value = i % 3; 5*3*4 are pairwise coprime, so
+    # all 60 triples were DISTINCT and no fully-duplicate event existed —
+    # round-7 review catch.)
+    ev["value"] = [float(v % 2) for v in range(len(ev))]
     ev["user_id"] = [int(u % 5) + 1 for u in range(len(ev))]
     ts0 = ev["ts"].iloc[0]
     ev["ts"] = [ts0 + pd.Timedelta(minutes=(i % 4) * 10) for i in range(len(ev))]

@@ -482,14 +482,18 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Unicode-category classes, not [A-Z]/[a-z]/[0-9]: Spark's mask() masks
-# by Character.isUpperCase/isLowerCase/isDigit, which are UNICODE
-# categories (é→x, İ→X, ٣→n), so an ASCII-class oracle silently diverges
-# on any non-ASCII letter (caught by the round-7 --unicode sweep).  RE2's
-# \p{Lu}/\p{Ll}/\p{Nd} match Java's definitions on all of Lu/Ll/Nd;
-# the residual is the tiny contributory sets (Other_Uppercase /
-# Other_Lowercase, e.g. ª º and Roman-numeral Nl) where Java says
-# upper/lower but the category class does not — excluded from the sweep
-# corpus and documented here rather than papered over.
+# by strict Unicode general category (pinned empirically on 4.1.2:
+# é→x, İ→X, Arabic-Indic ٣→n, while contributory-set chars like ª º
+# stay UNMASKED), so an ASCII-class oracle silently diverges on any
+# non-ASCII letter (caught by the round-7 --unicode sweep).  RE2's
+# \p{Lu}/\p{Ll}/\p{Nd} match that on the whole BMP, including ª º
+# (category Lo — neither engine masks them).  The real residual
+# (round-7 review): mask() classifies per UTF-16 CODE UNIT, so
+# supplementary-plane cased letters and digits (𝐀 U+1D400 math-bold,
+# Adlam/Deseret/Osage) appear to it as two uncased surrogates and pass
+# through, while RE2's codepoint classes mask them — the oracle
+# contract is therefore BMP text; the --unicode sweep corpus keeps its
+# astral entries to emoji (So), which both engines skip.
 _MASK_ORACLE = r"""
 SELECT doc_id,
        regexp_replace(regexp_replace(regexp_replace(
