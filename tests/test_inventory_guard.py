@@ -185,10 +185,14 @@ def test_regen_priority_tool_matches_checked_in_lists():
     # not re-check five neighbours) — and the checked-in list matches the
     # tool's output.
     assert tuple(mod.STALE_REFRESH) == tuple(priority.STALE_REFRESH)
-    assert len(mod.STALE_REFRESH) == regen_priority.REFRESH_COUNT
     forced = [
         n for n in regen_priority.FORCE_REFRESH if n in set(mod.DRIVER_GREEN)
-    ][: regen_priority.REFRESH_COUNT]
+    ]
+    # ALL forced names get slots (never truncated — ADVICE r07); auto
+    # stalest-green picks only fill up to the REFRESH_COUNT total.
+    assert len(mod.STALE_REFRESH) == max(
+        regen_priority.REFRESH_COUNT, len(forced)
+    )
     assert list(mod.STALE_REFRESH[: len(forced)]) == forced
     fams = [n.split("_", 1)[0] for n in mod.STALE_REFRESH]
     auto_fams = fams[len(forced):]

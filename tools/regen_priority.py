@@ -35,7 +35,9 @@ import json
 import re
 import sys
 
-# How many of the stalest greens each round's window re-confirms.
+# Target size of each round's green re-confirm window.  FORCE_REFRESH
+# names always ALL get slots (stamp-void re-edits are never truncated —
+# ADVICE r07); stalest-green auto picks only fill UP TO this total.
 REFRESH_COUNT = 5
 
 # Ops RE-EDITED after their latest driver stamp take the first refresh
@@ -45,18 +47,17 @@ REFRESH_COUNT = 5
 # op; REMOVE it once its fresh stamp lands in CORRECTNESS_rNN.json.
 # Forced names may share a family (they are need-driven); the AUTO
 # stalest-first picks still span distinct families not already covered.
+# ADVICE r07: order entries by RISK — oracle/kernel semantic changes
+# first, pure refactors last — so a truncated window (REFRESH_COUNT
+# names only) drops the safest entries, not the riskiest.
 FORCE_REFRESH = (
-    "llm_vector_norms",     # r06 NULL/empty-embedding lanes (llm_vectors.py)
-    "llm_token_count_bpe",  # r07 snapped-integer chars_per_token lane (ADVICE r06)
-    "etl_compact_files",    # r06 row-cap + r07 contract-value partitions_after
-    "mm_frame_sample",      # r07 frame_hex_md5 rename (ADVICE r06)
-    "llm_quality_score",    # r07 _snap8/_avg6 hoisted to module level (pure refactor)
-    # Entries below are truncated out of the r07 window (REFRESH_COUNT=5)
-    # and form the r08 refresh once the five names above get their r07
-    # stamps and are cleared.  All five are data-neutral on the shipped
-    # corpora (proven by strict 3-SF re-runs) — found by the r07
-    # --unicode and --ties sweeps, which hit input shapes the driver
-    # tables never produce.
+    # r07-stamped names (llm_vector_norms, llm_token_count_bpe,
+    # etl_compact_files, mm_frame_sample, llm_quality_score) cleared
+    # per procedure; the five below were re-edited in r07 AFTER their
+    # last driver stamps (--unicode / --ties sweep fixes) and take the
+    # r08 refresh slots.  All five are data-neutral on the shipped
+    # corpora (proven by strict 3-SF re-runs) — the sweeps hit input
+    # shapes the driver tables never produce.
     "fn_mask_redact",       # r07 oracle \p{Lu}/\p{Ll}/\p{Nd} classes (--unicode)
     "llm_simsearch_cosine_topk",  # r07 tie-safe partial top-k in cosine_topk (--ties)
     "llm_knn_join",         # r07 same shared-kernel fix (--ties)
@@ -95,9 +96,12 @@ def main(paths: list[str]) -> None:
     )
 
     green_names = {name for _, _, name in green}
-    refresh: list[str] = [n for n in FORCE_REFRESH if n in green_names][
-        :REFRESH_COUNT
-    ]
+    # ALL forced names take refresh slots — never truncated (ADVICE r07:
+    # truncating stamp-void re-edits out of the window leaves changed
+    # code under a stale-green stamp for a full round, strictly worse
+    # than skipping a routine stalest-green re-confirm).  Only the
+    # stalest-first AUTO fill is bounded by REFRESH_COUNT.
+    refresh: list[str] = [n for n in FORCE_REFRESH if n in green_names]
     seen_families: set[str] = {n.split("_", 1)[0] for n in refresh}
     for _, _, name in green:
         if len(refresh) >= REFRESH_COUNT:

@@ -58,13 +58,27 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception as e:  # noqa: BLE001 — matched on error class below
             # CANNOT_MODIFY_CONFIG: a conf may be non-runtime-settable in
             # some deployments; the session factory path sets it at build
-            # time instead.  Matched on the error-class STRING rather than
-            # a fixed exception tuple because the same condition surfaces
-            # as AnalysisException (classic), a Py4J wrapper (JVM static
-            # conf), or a SparkConnectGrpcException (Connect) depending on
-            # deployment — a type match would crash every table loader on
-            # the deployments it didn't anticipate (ADVICE r06).  Anything
-            # that is not the cannot-modify class still surfaces.
+            # time instead.  Matched on the structured error class first
+            # (ADVICE r07 — survives reworded/localized messages), falling
+            # back to the message substring because the same condition
+            # surfaces as AnalysisException (classic, has getErrorClass),
+            # a Py4J wrapper (JVM static conf; no error-class accessor),
+            # or a SparkConnectGrpcException (Connect) depending on
+            # deployment — a fixed exception-type match would crash every
+            # table loader on the deployments it didn't anticipate
+            # (ADVICE r06).  Anything else still surfaces.
+            err_class = None
+            for attr in ("getErrorClass", "getCondition"):
+                getter = getattr(e, attr, None)
+                if callable(getter):
+                    try:
+                        err_class = getter()
+                    except Exception:  # noqa: BLE001 — accessor is best-effort
+                        err_class = None
+                    if err_class:
+                        break
+            if err_class == "CANNOT_MODIFY_CONFIG":
+                continue
             msg = str(e)
             if "CANNOT_MODIFY_CONFIG" in msg or "Cannot modify the value" in msg:
                 continue
