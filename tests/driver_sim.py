@@ -78,6 +78,7 @@ def main() -> int:
     import time
 
     n_match = n_rows_only = n_fail = 0
+    n_run = 0
     # VERIFY_LIMIT=50 mirrors the driver's 50-slot window (first N
     # queries() entries only) — used for quick in-window double-run
     # stability checks between full-registry sweeps.
@@ -127,6 +128,17 @@ def main() -> int:
             # py4j maps java.util.Map to a dict-like view
             for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 jrdd.unpersist(False)
+            # Unpersist frees RDD blocks, but dead BROADCAST blocks are
+            # only released after ContextCleaner sees their weak refs
+            # die — i.e. after a JVM GC, and Spark's own periodic GC
+            # (spark.cleaner.periodicGC.interval) fires every 30 min.
+            # A 351-op marathon builds hundreds of broadcasts in the
+            # shared 1 GB local-mode heap first; the r08 sf0.1 sweep
+            # OOM'd a graph-op task (heap at 95%) exactly this way.
+            # Forcing a GC every 10 ops keeps the cleaner current.
+            n_run += 1
+            if n_run % 10 == 0:
+                spark.sparkContext._jvm.System.gc()
     out.write(
         f"TOTAL declared={len(names)} match={n_match} rows_only={n_rows_only} fail={n_fail}\n"
     )

@@ -48,8 +48,8 @@ REFRESH_COUNT = 5
 # Forced names may share a family (they are need-driven); the AUTO
 # stalest-first picks still span distinct families not already covered.
 # ADVICE r07: order entries by RISK — oracle/kernel semantic changes
-# first, pure refactors last — so a truncated window (REFRESH_COUNT
-# names only) drops the safest entries, not the riskiest.
+# first, pure refactors last.  (Forced entries are never truncated —
+# see main() — so ordering is about review priority, not survival.)
 FORCE_REFRESH = (
     # r07-stamped names (llm_vector_norms, llm_token_count_bpe,
     # etl_compact_files, mm_frame_sample, llm_quality_score) cleared
