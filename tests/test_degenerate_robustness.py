@@ -129,6 +129,94 @@ def test_ties_corpus_class(spark, ties_sf, name):
     _both(spark, ties_sf, name)
 
 
+@pytest.fixture(scope="module")
+def nonfinite_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nonfinsf")
+    _tool().build_nonfinite_dataset(str(d))
+    return str(d)
+
+
+# one representative per round-8 --nonfinite class
+NONFINITE_OPS = [
+    "agg_mann_whitney",       # NULL measurement group: NULLS FIRST (Spark)
+    #                           vs NULLS LAST (DuckDB) in the rank window
+    "agg_trimmed_winsorized", # same NULL-rank class shifting tail cuts
+    "ts_hampel_outliers",     # collect_list skips NULLs vs list() keeps
+    "ts_lttb_downsample",     # all-NULL day: NULL point vs NaN→INT64_MIN
+    "ts_anomaly_zscore",      # pre-contract CAST_OVERFLOW class (Inf·1e8)
+]
+
+
+@pytest.mark.parametrize("name", NONFINITE_OPS)
+def test_nonfinite_corpus_class(spark, nonfinite_sf, name):
+    """Round-8 hazard class: non-finite measurements.  The ingest
+    contract (tables.normalize_events_value) maps NaN/±Inf → NULL at
+    the scan boundary — without it 38 ops diverged (ANSI CAST_OVERFLOW
+    on Inf·1e8 snap lanes, DuckDB stddev out-of-range) — and the
+    rank/CDF/trim/rolling/series statistics additionally DROP missing
+    measurements on both engines, because NULL ordering and NULL-list
+    semantics differ between them."""
+    _both(spark, nonfinite_sf, name)
+
+
+def test_ingest_contract_nonfinite_to_null(spark, tmp_path):
+    """Value-level pin of the ingest contract: load_table maps NaN and
+    ±Inf in events.value to NULL while passing every finite double
+    through bit-identically (including -0.0), and the oracle harness's
+    events view applies the same rule."""
+    import math
+
+    import pandas as pd
+
+    from tests.oracle_diff import duck_connect
+    from un_datapipeline_spark.tables import load_table
+
+    base = Path("/root/testdata/sf0.001")
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        (d / f"{t}.parquet").write_bytes((base / f"{t}.parquet").read_bytes())
+    ev = pd.read_parquet(base / "events.parquet").head(6).copy()
+    ev["value"] = [
+        float("nan"), float("inf"), float("-inf"), -0.0, 0.0, 1.25
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            ev, schema=pq.read_schema(base / "events.parquet"), preserve_index=False
+        ),
+        str(d / "events.parquet"),
+    )
+
+    got = [
+        r.value
+        for r in load_table(spark, str(d), "events")
+        .orderBy("event_id")
+        .select("value")
+        .collect()
+    ]
+    assert got[:3] == [None, None, None]
+    assert got[3] == 0.0 and math.copysign(1.0, got[3]) == -1.0  # -0.0 intact
+    assert got[4] == 0.0 and math.copysign(1.0, got[4]) == 1.0
+    assert got[5] == 1.25
+
+    con = duck_connect(str(d))
+    duck = [
+        v
+        for (v,) in con.execute(
+            "SELECT value FROM events ORDER BY event_id"
+        ).fetchall()
+    ]
+    con.close()
+    assert duck[:3] == [None, None, None]
+    assert duck[3] == 0.0 and math.copysign(1.0, duck[3]) == -1.0
+    assert duck[4:] == [0.0, 1.25]
+
+
 def test_session_window_boundary_is_inclusive(spark):
     """Value-level pin of the empirical session_window semantics: an
     event at EXACTLY last_ts + gap extends the session; 1 µs past it

@@ -63,6 +63,16 @@ FORCE_REFRESH = (
     "llm_knn_join",         # r07 same shared-kernel fix (--ties)
     "llm_dedup_embedding",  # r07 same shared-kernel fix (--ties)
     "llm_hard_negatives",   # r07 tie-safe partial top-k, own kernel copy (--ties)
+    # r08 --nonfinite sweep fixes: missing measurements dropped before
+    # rank/CDF/trim/rolling/series statistics (NULL ordering and NULL-
+    # list semantics differ between engines; the LTTB kernel cast NaN to
+    # INT64_MIN).  All five proven value-neutral on the shipped finite
+    # corpora by strict 3-SF re-runs.
+    "ts_lttb_downsample",     # NULL-y day point: NaN→INT64_MIN in kernel
+    "ts_hampel_outliers",     # collect_list skips NULLs vs list() keeps
+    "agg_trimmed_winsorized", # NULLS FIRST/LAST shifts both tail cuts
+    "agg_mann_whitney",       # NULL v group ranks first vs last
+    "agg_ks_test",            # same NULL-rank class as mann_whitney
 )
 
 

@@ -37,12 +37,24 @@ vs DuckDB's RE2) can disagree.  The shipped testdata is pure ASCII
 (verified round 7), so this class can never driver-red; the sweep
 guards the 100 TB-real-corpus claim instead.
 
+A fifth mode (--nonfinite) injects NaN / +Inf / -Inf / -0.0 into
+``events.value`` (real measurement feeds carry them: sensor glitches,
+upstream 0/0).  The engine's ingest contract (tables.py
+normalize_events_value) maps non-finite to NULL at the scan boundary —
+SQL's missing-value machinery is the one representation both engines
+treat identically — and the oracle's events view mirrors it
+(oracle_diff.duck_connect), so this sweep verifies every value-consuming
+op downstream of ingest.  Without the contract, 38 ops diverged
+(Spark ANSI CAST_OVERFLOW on Inf·1e8 snap lanes, DuckDB stddev
+"out of range" on Inf — probed round 8).
+
 Usage:
     python tools/sweep_degenerate.py            # all operators
     python tools/sweep_degenerate.py llm_bm25_rank ...   # subset
     python tools/sweep_degenerate.py --tiny [ops...]     # tiny tables
     python tools/sweep_degenerate.py --unicode [ops...]  # multi-byte corpus
     python tools/sweep_degenerate.py --ties [ops...]     # tie-stress corpus
+    python tools/sweep_degenerate.py --nonfinite [ops...] # NaN/Inf measures
 """
 
 from __future__ import annotations
@@ -265,6 +277,32 @@ def build_ties_dataset(d: str) -> None:
     )
 
 
+def build_nonfinite_dataset(d: str) -> None:
+    """Every table verbatim except events, whose value column carries
+    NaN / +Inf / -Inf / -0.0 on a deterministic stripe (4 of every 11
+    rows) with the ORIGINAL finite values in between — distributions,
+    keys and timestamps stay intact so the only new stress is the
+    non-finite class itself (a truncated/synthetic value column would
+    also manufacture count/sum ties, a different sweep's job)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    ev = pd.read_parquet(f"{BASE}/events.parquet").copy()
+    specials = {0: float("nan"), 1: float("inf"), 2: float("-inf"), 3: -0.0}
+    ev["value"] = [
+        specials.get(i % 11, v) for i, v in enumerate(ev["value"].tolist())
+    ]
+    orig = pq.read_schema(f"{BASE}/events.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(ev, schema=orig, preserve_index=False),
+        f"{d}/events.parquet",
+    )
+
+
 def build_tiny_dataset(d: str) -> None:
     """Referentially-intact minimal tables: joins still produce (few)
     rows, empty groups exist, every sketch/model trains on fewer points
@@ -316,7 +354,10 @@ def main() -> int:
     tiny = "--tiny" in args
     unicode_mode = "--unicode" in args
     ties_mode = "--ties" in args
-    only = set(a for a in args if a not in ("--tiny", "--unicode", "--ties"))
+    nonfinite_mode = "--nonfinite" in args
+    only = set(
+        a for a in args if a not in ("--tiny", "--unicode", "--ties", "--nonfinite")
+    )
     d = tempfile.mkdtemp(prefix="degen_")
     if tiny:
         build_tiny_dataset(d)
@@ -324,6 +365,8 @@ def main() -> int:
         build_unicode_dataset(d)
     elif ties_mode:
         build_ties_dataset(d)
+    elif nonfinite_mode:
+        build_nonfinite_dataset(d)
     else:
         build_dataset(d)
 

@@ -346,6 +346,7 @@ WITH base AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
          CAST(user_id % 2 = 0 AS INT) AS is_a
   FROM events
+  WHERE value IS NOT NULL
 ), vals AS (
   SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt,
          CAST(sum(is_a) AS BIGINT) AS cnt_a
@@ -387,9 +388,14 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exact BIGINTs: U, the tie-correction Σ(t³−t), and the
     rank-biserial effect size all derive from integer sums with a
     handful of final literal-formula float ops, identical on both
-    engines.  Shuffle grain is distinct values per type, not rows."""
+    engines.  Shuffle grain is distinct values per type, not rows.
+
+    Missing measurements are DROPPED before ranking (both texts): a
+    rank statistic over unobserved values is undefined, and a NULL v
+    group would otherwise rank NULLS FIRST on Spark but NULLS LAST on
+    DuckDB — the r08 --nonfinite sweep caught exactly that."""
     e = load_table(spark, sf_dir, "events")
-    base = e.select(
+    base = e.filter(F.col("value").isNotNull()).select(
         "event_type",
         _cents().alias("v"),
         (F.col("user_id") % 2 == 0).cast("int").alias("is_a"),
@@ -448,6 +454,7 @@ WITH base AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
          CAST(user_id % 2 = 0 AS INT) AS is_a
   FROM events
+  WHERE value IS NOT NULL
 ), vals AS (
   SELECT event_type, v, CAST(sum(is_a) AS BIGINT) AS cnt_a,
          CAST(count(*) - sum(is_a) AS BIGINT) AS cnt_b
@@ -485,9 +492,14 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     |ca·n2 − cb·n1| — exact BIGINT throughout, one division for D and
     one literal-formula normalization for the KS statistic.  Same
     value-collapsed grain as the U test: distinct cents per type, not
-    rows."""
+    rows.
+
+    Missing measurements are DROPPED before the CDFs (both texts): an
+    empirical CDF has no position for an unobserved value, and a NULL
+    v group ranks NULLS FIRST on Spark / NULLS LAST on DuckDB (r08
+    --nonfinite sweep)."""
     e = load_table(spark, sf_dir, "events")
-    base = e.select(
+    base = e.filter(F.col("value").isNotNull()).select(
         "event_type",
         _cents().alias("v"),
         (F.col("user_id") % 2 == 0).cast("int").alias("is_a"),
@@ -948,6 +960,7 @@ WITH c AS (
   SELECT event_type, ts, event_id,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
+  WHERE value IS NOT NULL
 ), fr1 AS (
   SELECT *, list_sort(list(cents) OVER w) AS fr
   FROM c
@@ -1006,9 +1019,15 @@ def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle + one sort feed the whole operator, then a bounded per-type
     rollup.  At 100 TB a single event_type is a skew unit; the
     production form sub-partitions by (event_type, day) with a 3-row
-    halo per boundary — noted in SCALING.md §windows."""
+    halo per boundary — noted in SCALING.md §windows.
+
+    Missing samples are DROPPED from the series before windowing (both
+    texts): the rolling neighborhood is over OBSERVED samples.  With
+    NULLs kept, Spark's collect_list silently skips them (shrinking
+    frames asymmetrically) while DuckDB's list() keeps them — divergent
+    medians (r08 --nonfinite sweep)."""
     e = load_table(spark, sf_dir, "events")
-    c = e.select(
+    c = e.filter(F.col("value").isNotNull()).select(
         "event_type",
         "ts",
         "event_id",
@@ -1054,6 +1073,7 @@ WITH c AS (
   SELECT event_type, event_id,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
+  WHERE value IS NOT NULL
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY event_type
                                ORDER BY cents, event_id) AS rn,
@@ -1097,9 +1117,14 @@ def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle on event_type; the rank window, the cut
     extraction, and the conditional sums all reuse that partitioning;
-    output grain = #event types."""
+    output grain = #event types.
+
+    Missing measurements are DROPPED before ranking (both texts): a
+    trimmed mean is over observed values, and a NULL cents group ranks
+    NULLS FIRST on Spark / NULLS LAST on DuckDB, shifting every tail
+    cut (r08 --nonfinite sweep)."""
     e = load_table(spark, sf_dir, "events")
-    c = e.select(
+    c = e.filter(F.col("value").isNotNull()).select(
         "event_type",
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),

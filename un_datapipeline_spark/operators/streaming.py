@@ -88,7 +88,10 @@ def _events_stream_schema(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as a Structured Streaming file source, ts normalized to
-    µs timestamps exactly like the batch loader (tables.load_table)."""
+    µs timestamps and the non-finite measurement contract applied,
+    exactly like the batch loader (tables.load_table)."""
+    from un_datapipeline_spark.tables import normalize_events_value
+
     ensure_runtime_confs(spark)
     schema, ts_dtype = _events_stream_schema(spark, sf_dir)
     # File stream sources need a directory; pathGlobFilter narrows the
@@ -98,6 +101,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    raw = normalize_events_value(raw)
     if ts_dtype == "bigint":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if ts_dtype == "timestamp_ntz":

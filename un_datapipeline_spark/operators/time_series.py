@@ -572,11 +572,16 @@ def _lttb_oracle() -> str:
     parts = [
         f"""
 WITH pts AS (
+  -- days with NO observed measurement are NOT series points: without
+  -- the filter an all-NULL day yields y = NULL, which DuckDB carries
+  -- as a NULL point while the numpy kernel silently casts the NaN to
+  -- INT64_MIN — divergent picks (r08 --nonfinite sweep)
   SELECT event_type,
          CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
            AS x,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM events GROUP BY event_type, CAST(ts AS DATE)
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
 ), seq AS (
   SELECT event_type, x, y,
          row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
@@ -675,8 +680,11 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load_table(spark, sf_dir, "events")
+    # days with no observed measurement are dropped on BOTH sides (see
+    # the oracle's pts comment — NULL y vs NaN→INT64_MIN divergence)
     daily = (
-        e.groupBy(
+        e.filter(F.col("value").isNotNull())
+        .groupBy(
             "event_type",
             F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
             .cast("long")

@@ -60,9 +60,9 @@ _LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
-    ``events`` gets the ns→µs timestamp normalization applied; every other
-    table is a plain parquet scan (schemas travel in the footers and match
-    FIXTURES.md).
+    ``events`` gets the ns→µs timestamp normalization and the non-finite
+    measurement contract applied; every other table is a plain parquet
+    scan (schemas travel in the footers and match FIXTURES.md).
     """
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _LOAD_CACHE.get(key)
@@ -71,9 +71,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = _normalize_events_ts(df)
+        df = normalize_events_value(_normalize_events_ts(df))
     _LOAD_CACHE[key] = df
     return df
+
+
+# Ingest contract (engine-wide): NON-FINITE measurements are MISSING.
+# A real 100 TB event feed carries NaN/±Inf in its float measure column
+# (sensor glitches, upstream 0/0) and the two engines disagree wildly
+# downstream of one: Spark's ANSI snap lanes crash (CAST_OVERFLOW on
+# Inf·1e8), DuckDB's stddev raises "out of range" on Inf, and NaN
+# ordering differs by context.  SQL's missing-value machinery (NULL is
+# skipped by every aggregate on both engines) is the one representation
+# with identical semantics everywhere, so the loader maps non-finite →
+# NULL at the scan boundary — the standard sanitize-at-ingest rule.
+# Bitwise-neutral on finite data: the ELSE branch returns the stored
+# double unchanged (including -0.0: isnan(-0.0)=false, abs(-0.0)≠Inf),
+# which is why the shipped (all-finite) corpora and every driver stamp
+# are unaffected.  tests/oracle_diff.duck_connect applies the same
+# contract to the oracle's events view (isnan/isinf REPLACE), so parity
+# sweeps over non-finite corpora exercise operator semantics downstream
+# of ingest rather than each engine's non-finite quirks.
+_FINITE_VALUE = (
+    "CASE WHEN isnan(value) OR abs(value) = double('Infinity') "
+    "THEN NULL ELSE value END"
+)
+
+
+def normalize_events_value(df: DataFrame) -> DataFrame:
+    """Apply the non-finite→NULL measurement contract to ``events.value``
+    (shared by the batch loader and the streaming source)."""
+    return df.withColumn("value", F.expr(_FINITE_VALUE))
 
 
 def _normalize_events_ts(df: DataFrame) -> DataFrame:
