@@ -166,8 +166,6 @@ def test_ingest_contract_nonfinite_to_null(spark, tmp_path):
     events view applies the same rule."""
     import math
 
-    import pandas as pd
-
     from tests.oracle_diff import duck_connect
     from un_datapipeline_spark.tables import load_table
 
@@ -178,19 +176,22 @@ def test_ingest_contract_nonfinite_to_null(spark, tmp_path):
         "region nation customer supplier part orders lineitem documents embeddings"
     ).split():
         (d / f"{t}.parquet").write_bytes((base / f"{t}.parquet").read_bytes())
-    ev = pd.read_parquet(base / "events.parquet").head(6).copy()
-    ev["value"] = [
-        float("nan"), float("inf"), float("-inf"), -0.0, 0.0, 1.25
-    ]
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pq.write_table(
-        pa.Table.from_pandas(
-            ev, schema=pq.read_schema(base / "events.parquet"), preserve_index=False
-        ),
-        str(d / "events.parquet"),
+    # Rebuild value via pa.array on a python list, NOT pandas:
+    # Table.from_pandas writes float NaN as parquet NULL, which would
+    # make the NaN assertion below pin NULL-stays-NULL instead of the
+    # contract's headline NaN→NULL case (round-8 review catch).
+    tbl = pq.read_table(base / "events.parquet").slice(0, 6)
+    idx = tbl.schema.get_field_index("value")
+    arr = pa.array(
+        [float("nan"), float("inf"), float("-inf"), -0.0, 0.0, 1.25],
+        type=tbl.schema.field("value").type,
     )
+    tbl = tbl.set_column(idx, tbl.schema.field("value"), arr)
+    assert pa.compute.sum(pa.compute.is_nan(tbl.column("value"))).as_py() == 1
+    pq.write_table(tbl, str(d / "events.parquet"))
 
     got = [
         r.value

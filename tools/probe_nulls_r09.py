@@ -13,9 +13,9 @@ ops exceed the 50-slot round-8 driver window, and the round-8 priority
 (VERDICT r07 item 1) was the full-registry stamp-out.  Round 9's window
 is pure refresh budget, which a 42-op wave fits.
 
-Failure classes found by this probe (fix the CLASS, then promote this
-file to a `--nulls` mode of sweep_degenerate.py and pin representatives
-in tests/test_degenerate_robustness.py):
+Failure classes found by this probe (fix the CLASS, then promote the
+builder below to a `--nulls` mode of sweep_degenerate.py and pin
+representatives in tests/test_degenerate_robustness.py):
 
 1. NULL embedding → every numpy kernel crashes on the ragged array
    (np.stack of list-with-None): cosine_topk / knn / dedup_embedding /
@@ -41,32 +41,35 @@ Usage:
     python tools/probe_nulls_r09.py op1 op2    # subset
 """
 
+import os
 import shutil
 import sys
 import tempfile
 
-import os
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 BASE = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
-ONLY = set(sys.argv[1:])
 
 
 def build_nulls(d: str) -> None:
     """Inject NULLs into every nullable non-key column on deterministic
-    stripes; keys stay intact so joins keep their shape."""
+    stripes; keys stay intact so joins keep their shape.  (Pandas-write
+    is fine here: the injected sentinel IS the missing value, unlike the
+    nonfinite builder where NaN must survive as a real float.)"""
     for t in "region nation customer supplier part".split():
         shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
 
     def write(t: str, frame: pd.DataFrame) -> None:
         pq.write_table(
             pa.Table.from_pandas(
-                frame, schema=pq.read_schema(f"{BASE}/{t}.parquet"), preserve_index=False
+                frame,
+                schema=pq.read_schema(f"{BASE}/{t}.parquet"),
+                preserve_index=False,
             ),
             f"{d}/{t}.parquet",
         )
@@ -116,60 +119,13 @@ def build_nulls(d: str) -> None:
 
 
 def main() -> int:
+    from sweep_degenerate import run_registry  # the ONE harness loop
+
     d = tempfile.mkdtemp(prefix="probe_nulls_")
     build_nulls(d)
-
-    from pyspark.sql import SparkSession
-
-    from tests.oracle_diff import duck_connect
-    from tests.strict_diff import canon, strict_compare
-    from un_datapipeline_spark.registry import all_operators
-
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("probe-nulls")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    con = duck_connect(d)
-
-    fails: list[str] = []
-    n_ok = n_ro = 0
-    for name, op in all_operators().items():
-        if ONLY and name not in ONLY:
-            continue
-        try:
-            spdf = op.fn(spark, d).toPandas()
-        except Exception as ex:  # noqa: BLE001 — probe records, never raises
-            print(f"FAIL {name}: SPARK CRASH {str(ex).splitlines()[0][:160]}")
-            fails.append(name)
-            continue
-        if op.oracle is None:
-            try:
-                canon(spdf)
-                n_ro += 1
-            except TypeError as ex:
-                print(f"FAIL {name}: canon {ex}")
-                fails.append(name)
-            continue
-        try:
-            ocdf = con.execute(op.oracle).df()
-        except Exception as ex:  # noqa: BLE001
-            print(f"FAIL {name}: DUCKDB CRASH {str(ex).splitlines()[0][:160]}")
-            fails.append(name)
-            continue
-        problems = strict_compare(spdf, ocdf)
-        if problems:
-            print(f"FAIL {name}: {problems[0][:160]}")
-            fails.append(name)
-        else:
-            n_ok += 1
-    print(f"TOTAL ok={n_ok} rows_only={n_ro} fail={len(fails)}")
-    print("FAILS:", fails)
-    spark.stop()
+    run_registry(d, set(sys.argv[1:]), app_name="probe-nulls")
     shutil.rmtree(d, ignore_errors=True)
-    return 0
+    return 0  # a worklist generator, not a gate — fails are the output
 
 
 if __name__ == "__main__":

@@ -283,7 +283,14 @@ def build_nonfinite_dataset(d: str) -> None:
     rows) with the ORIGINAL finite values in between — distributions,
     keys and timestamps stay intact so the only new stress is the
     non-finite class itself (a truncated/synthetic value column would
-    also manufacture count/sum ties, a different sweep's job)."""
+    also manufacture count/sum ties, a different sweep's job).
+
+    The value column is rebuilt via pa.array on a plain python list,
+    NOT through pandas: Table.from_pandas treats float NaN as the
+    pandas missing sentinel and writes parquet NULL, which would make
+    the NaN stripe phantom and leave the contract's isnan branch
+    untested (round-8 review catch — verified: the pandas path wrote
+    0 NaNs)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -291,16 +298,20 @@ def build_nonfinite_dataset(d: str) -> None:
         "region nation customer supplier part orders lineitem documents embeddings"
     ).split():
         shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
-    ev = pd.read_parquet(f"{BASE}/events.parquet").copy()
+    tbl = pq.read_table(f"{BASE}/events.parquet")
     specials = {0: float("nan"), 1: float("inf"), 2: float("-inf"), 3: -0.0}
-    ev["value"] = [
-        specials.get(i % 11, v) for i, v in enumerate(ev["value"].tolist())
+    vals = [
+        specials.get(i % 11, v)
+        for i, v in enumerate(tbl.column("value").to_pylist())
     ]
-    orig = pq.read_schema(f"{BASE}/events.parquet")
-    pq.write_table(
-        pa.Table.from_pandas(ev, schema=orig, preserve_index=False),
-        f"{d}/events.parquet",
+    idx = tbl.schema.get_field_index("value")
+    arr = pa.array(vals, type=tbl.schema.field("value").type)
+    tbl = tbl.set_column(idx, tbl.schema.field("value"), arr)
+    assert pa.compute.sum(pa.compute.is_nan(tbl.column("value"))).as_py() > 0, (
+        "NaN stripe did not survive the parquet write — the isnan branch "
+        "of the ingest contract would be untested"
     )
+    pq.write_table(tbl, f"{d}/events.parquet")
 
 
 def build_tiny_dataset(d: str) -> None:
@@ -349,27 +360,12 @@ def build_tiny_dataset(d: str) -> None:
     shrink("embeddings", em)
 
 
-def main() -> int:
-    args = sys.argv[1:]
-    tiny = "--tiny" in args
-    unicode_mode = "--unicode" in args
-    ties_mode = "--ties" in args
-    nonfinite_mode = "--nonfinite" in args
-    only = set(
-        a for a in args if a not in ("--tiny", "--unicode", "--ties", "--nonfinite")
-    )
-    d = tempfile.mkdtemp(prefix="degen_")
-    if tiny:
-        build_tiny_dataset(d)
-    elif unicode_mode:
-        build_unicode_dataset(d)
-    elif ties_mode:
-        build_ties_dataset(d)
-    elif nonfinite_mode:
-        build_nonfinite_dataset(d)
-    else:
-        build_dataset(d)
-
+def run_registry(d: str, only: set[str], app_name: str = "degen-sweep"):
+    """Run every registered op on the corpus at ``d`` through the
+    driver-mirror strict compare on both engines; returns
+    (n_ok, n_rows_only, fails).  The ONE harness loop — the corpus
+    probes (tools/probe_nulls_r09.py) reuse it instead of forking a
+    copy that would drift (round-8 review catch)."""
     from pyspark.sql import SparkSession
 
     from tests.strict_diff import canon, strict_compare
@@ -377,7 +373,7 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.master("local[8]")
-        .appName("degen-sweep")
+        .appName(app_name)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -421,6 +417,30 @@ def main() -> int:
             n_ok += 1
     print(f"TOTAL ok={n_ok} rows_only={n_ro} fail={len(fails)} {fails}")
     spark.stop()
+    return n_ok, n_ro, fails
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    tiny = "--tiny" in args
+    unicode_mode = "--unicode" in args
+    ties_mode = "--ties" in args
+    nonfinite_mode = "--nonfinite" in args
+    only = set(
+        a for a in args if a not in ("--tiny", "--unicode", "--ties", "--nonfinite")
+    )
+    d = tempfile.mkdtemp(prefix="degen_")
+    if tiny:
+        build_tiny_dataset(d)
+    elif unicode_mode:
+        build_unicode_dataset(d)
+    elif ties_mode:
+        build_ties_dataset(d)
+    elif nonfinite_mode:
+        build_nonfinite_dataset(d)
+    else:
+        build_dataset(d)
+    _, _, fails = run_registry(d, only)
     shutil.rmtree(d, ignore_errors=True)
     return 1 if fails else 0
 
