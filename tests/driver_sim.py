@@ -74,6 +74,22 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
+    # Precondition notice (round-8 review): the engine's ingest contract
+    # maps non-finite events.value → NULL, but THIS harness mirrors the
+    # grading driver's PLAIN views.  On every shipped corpus (verified:
+    # 0 non-finite values) the two agree bitwise; if a future testdata
+    # generation ships NaN/Inf, every value-consuming op will mismatch
+    # below — this line says why, instead of 38 mysterious reds.
+    n_nonfinite = con.execute(
+        "SELECT count(*) FROM events WHERE isnan(value) OR isinf(value)"
+    ).fetchone()[0]
+    if n_nonfinite:
+        out.write(
+            f"NOTE: corpus has {n_nonfinite} non-finite events.value rows; "
+            "the engine ingests them as NULL (tables.normalize_events_value) "
+            "but the driver's plain oracle views do not — expect mismatches "
+            "on every value-consuming op until the contract is revisited\n"
+        )
 
     import time
 

@@ -121,8 +121,12 @@ def build_nulls(d: str) -> None:
 def main() -> int:
     from sweep_degenerate import run_registry  # the ONE harness loop
 
+    bad = [a for a in sys.argv[1:] if a.startswith("--")]
+    if bad:
+        raise SystemExit(f"unknown flag(s) {bad}; args are op names only")
     d = tempfile.mkdtemp(prefix="probe_nulls_")
     build_nulls(d)
+    # run_registry rejects unknown op names (zero-op runs must be loud)
     run_registry(d, set(sys.argv[1:]), app_name="probe-nulls")
     shutil.rmtree(d, ignore_errors=True)
     return 0  # a worklist generator, not a gate — fails are the output

@@ -383,9 +383,16 @@ def run_registry(d: str, only: set[str], app_name: str = "degen-sweep"):
 
     con = duck_connect(d)
 
+    ops = all_operators()
+    unknown = only - set(ops)
+    if unknown:
+        # A zero-op sweep exits 0 and looks green — a typo'd op name (or
+        # a mistyped --flag falling through to the name filter) must be
+        # loud, not silently vacuous (round-8 review catch).
+        raise SystemExit(f"unknown operator name(s) in filter: {sorted(unknown)}")
     fails: list[str] = []
     n_ok = n_ro = 0
-    for name, op in all_operators().items():
+    for name, op in ops.items():
         if only and name not in only:
             continue
         try:
@@ -422,13 +429,17 @@ def run_registry(d: str, only: set[str], app_name: str = "degen-sweep"):
 
 def main() -> int:
     args = sys.argv[1:]
+    flags = ("--tiny", "--unicode", "--ties", "--nonfinite")
+    bad = [a for a in args if a.startswith("--") and a not in flags]
+    if bad:
+        # A mistyped flag must not fall through to the op-name filter,
+        # where it would select zero ops and exit 0 (round-8 review).
+        raise SystemExit(f"unknown flag(s) {bad}; modes: {flags}")
     tiny = "--tiny" in args
     unicode_mode = "--unicode" in args
     ties_mode = "--ties" in args
     nonfinite_mode = "--nonfinite" in args
-    only = set(
-        a for a in args if a not in ("--tiny", "--unicode", "--ties", "--nonfinite")
-    )
+    only = set(a for a in args if a not in flags)
     d = tempfile.mkdtemp(prefix="degen_")
     if tiny:
         build_tiny_dataset(d)
