@@ -1,5 +1,5 @@
 """ROUND-9 WORKLIST GENERATOR — NULL-bulk robustness probe (not part of
-the per-round battery; its corpus is EXPECTED to red ~42 ops until the
+the per-round battery; its corpus is EXPECTED to red ~45 ops until the
 round-9 fix wave lands).
 
 Round 8 shipped the non-finite measurement class (ingest contract +
@@ -7,11 +7,11 @@ Round 8 shipped the non-finite measurement class (ingest contract +
 nullable column (NULL text/lang/source, NULL value/props/event_type,
 NULL embedding/label, NULL o_totalprice/o_orderpriority,
 NULL l_discount/l_tax/l_returnflag) — was probed the same round:
-**42 of 351 ops diverge or crash** (catalog in ROUND_NOTES.md round-8).
-The wave was DEFERRED: 42 stamp-void re-edits plus the 16 never-verified
+**45 of 351 ops diverge or crash** (catalog in R09_NULLS_PLAN.md).
+The wave was DEFERRED: 45 stamp-void re-edits plus the 16 never-verified
 ops exceed the 50-slot round-8 driver window, and the round-8 priority
 (VERDICT r07 item 1) was the full-registry stamp-out.  Round 9's window
-is pure refresh budget, which a 42-op wave fits.
+is pure refresh budget, which a 45-op wave fits.
 
 Failure classes found by this probe (fix the CLASS, then promote the
 builder below to a `--nulls` mode of sweep_degenerate.py and pin
@@ -100,7 +100,12 @@ def build_nulls(d: str) -> None:
     em = pd.read_parquet(f"{BASE}/embeddings.parquet").copy()
     emb = list(em["embedding"])
     for i in range(0, len(emb), 6):
-        emb[i] = None
+        emb[i] = None  # whole-vector NULL
+    for i in range(3, len(emb), 9):
+        if emb[i] is not None:  # element-level NULL: [x0, NULL, x2, ...]
+            v = list(emb[i])
+            v[1] = None
+            emb[i] = v
     em["embedding"] = emb
     em.loc[em.index % 7 == 0, "label"] = None
     schema = pa.schema(
