@@ -84,11 +84,18 @@ def main() -> int:
         "SELECT count(*) FROM events WHERE isnan(value) OR isinf(value)"
     ).fetchone()[0]
     if n_nonfinite:
-        out.write(
-            f"NOTE: corpus has {n_nonfinite} non-finite events.value rows; "
-            "the engine ingests them as NULL (tables.normalize_events_value) "
-            "but the driver's plain oracle views do not — expect mismatches "
-            "on every value-consuming op until the contract is revisited\n"
+        # Hard error (ADVICE r08): silently running a mirror whose oracle
+        # views disagree with the engine's ingest contract would print 38
+        # mysterious reds; stop and make the operator decide.  The
+        # --nonfinite sweep (tools/sweep_degenerate.py) is the sanctioned
+        # path — it reconciles the oracle views with the contract.
+        raise SystemExit(
+            f"corpus has {n_nonfinite} non-finite events.value rows; the "
+            "engine ingests them as NULL (tables.normalize_events_value) "
+            "but this harness mirrors the grading driver's PLAIN oracle "
+            "views, so every value-consuming op would mismatch by design. "
+            "Use tools/sweep_degenerate.py --nonfinite (contract-aware "
+            "views) for non-finite corpora."
         )
 
     import time

@@ -177,6 +177,7 @@ def test_ingest_contract_nonfinite_to_null(spark, tmp_path):
     ).split():
         (d / f"{t}.parquet").write_bytes((base / f"{t}.parquet").read_bytes())
     import pyarrow as pa
+    import pyarrow.compute as pc  # pa.compute is NOT lazily exposed (ADVICE r08)
     import pyarrow.parquet as pq
 
     # Rebuild value via pa.array on a python list, NOT pandas:
@@ -190,7 +191,7 @@ def test_ingest_contract_nonfinite_to_null(spark, tmp_path):
         type=tbl.schema.field("value").type,
     )
     tbl = tbl.set_column(idx, tbl.schema.field("value"), arr)
-    assert pa.compute.sum(pa.compute.is_nan(tbl.column("value"))).as_py() == 1
+    assert pc.sum(pc.is_nan(tbl.column("value"))).as_py() == 1
     pq.write_table(tbl, str(d / "events.parquet"))
 
     got = [

@@ -51,28 +51,11 @@ REFRESH_COUNT = 5
 # first, pure refactors last.  (Forced entries are never truncated —
 # see main() — so ordering is about review priority, not survival.)
 FORCE_REFRESH = (
-    # r07-stamped names (llm_vector_norms, llm_token_count_bpe,
-    # etl_compact_files, mm_frame_sample, llm_quality_score) cleared
-    # per procedure; the five below were re-edited in r07 AFTER their
-    # last driver stamps (--unicode / --ties sweep fixes) and take the
-    # r08 refresh slots.  All five are data-neutral on the shipped
-    # corpora (proven by strict 3-SF re-runs) — the sweeps hit input
-    # shapes the driver tables never produce.
-    "fn_mask_redact",       # r07 oracle \p{Lu}/\p{Ll}/\p{Nd} classes (--unicode)
-    "llm_simsearch_cosine_topk",  # r07 tie-safe partial top-k in cosine_topk (--ties)
-    "llm_knn_join",         # r07 same shared-kernel fix (--ties)
-    "llm_dedup_embedding",  # r07 same shared-kernel fix (--ties)
-    "llm_hard_negatives",   # r07 tie-safe partial top-k, own kernel copy (--ties)
-    # r08 --nonfinite sweep fixes: missing measurements dropped before
-    # rank/CDF/trim/rolling/series statistics (NULL ordering and NULL-
-    # list semantics differ between engines; the LTTB kernel cast NaN to
-    # INT64_MIN).  All five proven value-neutral on the shipped finite
-    # corpora by strict 3-SF re-runs.
-    "ts_lttb_downsample",     # NULL-y day point: NaN→INT64_MIN in kernel
-    "ts_hampel_outliers",     # collect_list skips NULLs vs list() keeps
-    "agg_trimmed_winsorized", # NULLS FIRST/LAST shifts both tail cuts
-    "agg_mann_whitney",       # NULL v group ranks first vs last
-    "agg_ks_test",            # same NULL-rank class as mann_whitney
+    # r08-stamped names (the 5 r07 ties/unicode fixes + 5 r08 nonfinite
+    # fixes) cleared per procedure — all ten landed hash-match green in
+    # CORRECTNESS_r08.json.  Round 9 entries below are the NULL-bulk
+    # robustness wave (R09_NULLS_PLAN.md): every op edited for NULL
+    # parity gets a slot here as its class lands.
 )
 
 

@@ -292,6 +292,7 @@ def build_nonfinite_dataset(d: str) -> None:
     untested (round-8 review catch — verified: the pandas path wrote
     0 NaNs)."""
     import pyarrow as pa
+    import pyarrow.compute as pc  # pa.compute is NOT lazily exposed (ADVICE r08)
     import pyarrow.parquet as pq
 
     for t in (
@@ -307,7 +308,7 @@ def build_nonfinite_dataset(d: str) -> None:
     idx = tbl.schema.get_field_index("value")
     arr = pa.array(vals, type=tbl.schema.field("value").type)
     tbl = tbl.set_column(idx, tbl.schema.field("value"), arr)
-    assert pa.compute.sum(pa.compute.is_nan(tbl.column("value"))).as_py() > 0, (
+    assert pc.sum(pc.is_nan(tbl.column("value"))).as_py() > 0, (
         "NaN stripe did not survive the parquet write — the isnan branch "
         "of the ingest contract would be untested"
     )
