@@ -159,6 +159,82 @@ def test_nonfinite_corpus_class(spark, nonfinite_sf, name):
     _both(spark, nonfinite_sf, name)
 
 
+@pytest.fixture(scope="module")
+def nulls_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nullssf")
+    _tool().build_nulls_dataset(str(d))
+    return str(d)
+
+
+# one representative per round-9 --nulls class (R09_NULLS_PLAN.md)
+NULLS_OPS = [
+    "llm_simsearch_cosine_topk",  # class 1: NULL / NULL-element vectors
+    #                               excluded from similarity semantics
+    #                               (filter + oracle predicate + kernel)
+    "llm_vector_norms",       # class 1b: element-NULL → NULL stats lane
+    #                           (Spark aggregate propagates, DuckDB list
+    #                           aggregate skips — CASE mirror in oracle)
+    "etl_table_fingerprint",  # class 2: coalesce-to-NUL-sentinel keeps
+    #                           (a,NULL,c) distinct from (a,c,NULL)
+    "src_text_lines",         # class 2: a NULL doc has no line (writer
+    #                           would emit an ambiguous empty line)
+    "win_percent_rank_cume",  # class 3: NULLS LAST pinned on both sides
+    "win_moving_median",      # class 3: all-NULL frame → empty array →
+    #                           INVALID_INDEX_OF_ZERO without the guard
+    "fn_map",                 # class 4: NULL map key is illegal in Spark
+    #                           — coalesce(lang,'<null>') on both sides
+    "udf_python_scalar",      # class 4: None-total plain-UDF body
+]
+
+
+@pytest.mark.parametrize("name", NULLS_OPS)
+def test_nulls_corpus_class(spark, nulls_sf, name):
+    """Round-9 hazard class: bulk NULLs in every nullable non-key column
+    — the shape a real 100 TB feed always carries.  45/351 ops crashed
+    or diverged on it before the class fixes (R09_NULLS_PLAN.md): numpy
+    kernels crash on ragged arrays from NULL vectors, text writers crash
+    on None payloads, DuckDB concat/list aggregates skip NULLs where
+    Spark propagates them, and window rank keys order NULLS FIRST in
+    Spark vs NULLS LAST in DuckDB."""
+    _both(spark, nulls_sf, name)
+
+
+def test_fingerprint_sentinel_disambiguates_null_position(spark, tmp_path):
+    """Value-level pin of the class-2 serialization contract: two rows
+    identical except for WHICH field is NULL must fingerprint
+    differently.  Raw concat_ws would skip the NULL argument and
+    serialize (a,NULL,c) and (a,c,NULL) to the same bytes."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from un_datapipeline_spark.registry import all_operators
+
+    base = Path("/root/testdata/sf0.001")
+    schema = pq.read_schema(base / "documents.parquet")
+
+    def fingerprint(lang, source):
+        d = tmp_path / f"fp_{lang or 'N'}_{source or 'N'}"
+        d.mkdir()
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events embeddings"
+        ).split():
+            (d / f"{t}.parquet").write_bytes((base / f"{t}.parquet").read_bytes())
+        frame = pd.DataFrame(
+            [{"doc_id": 0, "text": "same", "lang": lang, "source": source,
+              "n_chars": 4}]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(frame, schema=schema, preserve_index=False),
+            d / "documents.parquet",
+        )
+        op = all_operators()["etl_table_fingerprint"]
+        return op.fn(spark, str(d)).collect()[0].bucket_digest
+
+    assert fingerprint("web", None) != fingerprint(None, "web")
+
+
 def test_ingest_contract_nonfinite_to_null(spark, tmp_path):
     """Value-level pin of the ingest contract: load_table maps NaN and
     ±Inf in events.value to NULL while passing every finite double

@@ -49,78 +49,19 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import pandas as pd
-import pyarrow as pa
-import pyarrow.parquet as pq
-
-BASE = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
-
+# ROUND-9 STATUS: the fix wave landed (45/45 green on this corpus) and
+# the builder was promoted to `sweep_degenerate.py --nulls`, which is now
+# the permanent per-round gate.  This probe remains as the historical
+# worklist generator and a convenience alias (same corpus, same loop).
 
 def build_nulls(d: str) -> None:
-    """Inject NULLs into every nullable non-key column on deterministic
-    stripes; keys stay intact so joins keep their shape.  (Pandas-write
-    is fine here: the injected sentinel IS the missing value, unlike the
-    nonfinite builder where NaN must survive as a real float.)"""
-    for t in "region nation customer supplier part".split():
-        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    """Thin alias — the corpus builder was PROMOTED to
+    sweep_degenerate.build_nulls_dataset when --nulls became a permanent
+    sweep mode (round 9); one definition, no drift (the round-8 review
+    rule for the harness loop applies to corpus builders too)."""
+    from sweep_degenerate import build_nulls_dataset
 
-    def write(t: str, frame: pd.DataFrame) -> None:
-        pq.write_table(
-            pa.Table.from_pandas(
-                frame,
-                schema=pq.read_schema(f"{BASE}/{t}.parquet"),
-                preserve_index=False,
-            ),
-            f"{d}/{t}.parquet",
-        )
-
-    orders = pd.read_parquet(f"{BASE}/orders.parquet").copy()
-    orders.loc[orders.index % 5 == 0, "o_totalprice"] = None
-    orders.loc[orders.index % 7 == 0, "o_orderpriority"] = None
-    write("orders", orders)
-
-    li = pd.read_parquet(f"{BASE}/lineitem.parquet").copy()
-    li.loc[li.index % 5 == 0, "l_discount"] = None
-    li.loc[li.index % 7 == 0, "l_tax"] = None
-    li.loc[li.index % 6 == 0, "l_returnflag"] = None
-    write("lineitem", li)
-
-    ev = pd.read_parquet(f"{BASE}/events.parquet").copy()
-    ev.loc[ev.index % 4 == 0, "value"] = None
-    ev.loc[ev.index % 5 == 0, "props"] = None
-    ev.loc[ev.index % 6 == 0, "event_type"] = None
-    write("events", ev)
-
-    docs = pd.read_parquet(f"{BASE}/documents.parquet").copy()
-    docs.loc[docs.index % 5 == 0, "text"] = None
-    docs.loc[docs.index % 7 == 0, "lang"] = None
-    docs.loc[docs.index % 9 == 0, "source"] = None
-    write("documents", docs)
-
-    em = pd.read_parquet(f"{BASE}/embeddings.parquet").copy()
-    emb = list(em["embedding"])
-    for i in range(0, len(emb), 6):
-        emb[i] = None  # whole-vector NULL
-    for i in range(3, len(emb), 9):
-        if emb[i] is not None:  # element-level NULL: [x0, NULL, x2, ...]
-            v = list(emb[i])
-            v[1] = None
-            emb[i] = v
-    em["embedding"] = emb
-    em.loc[em.index % 7 == 0, "label"] = None
-    schema = pa.schema(
-        [
-            ("vec_id", pa.int64()),
-            ("embedding", pa.list_(pa.float32())),
-            ("label", pa.int32()),
-        ]
-    )
-    pq.write_table(
-        pa.Table.from_pandas(
-            em[["vec_id", "embedding", "label"]], schema=schema, preserve_index=False
-        ),
-        f"{d}/embeddings.parquet",
-    )
+    build_nulls_dataset(d)
 
 
 def main() -> int:

@@ -53,9 +53,59 @@ REFRESH_COUNT = 5
 FORCE_REFRESH = (
     # r08-stamped names (the 5 r07 ties/unicode fixes + 5 r08 nonfinite
     # fixes) cleared per procedure — all ten landed hash-match green in
-    # CORRECTNESS_r08.json.  Round 9 entries below are the NULL-bulk
-    # robustness wave (R09_NULLS_PLAN.md): every op edited for NULL
-    # parity gets a slot here as its class lands.
+    # CORRECTNESS_r08.json.  Round 9: the NULL-bulk robustness wave
+    # (R09_NULLS_PLAN.md) re-edited all 45 ops below; every one is
+    # strict-green on the shipped corpora AND on the new --nulls sweep.
+    # Ordered by risk: oracle/semantic changes first, pure guards last.
+    # -- class 2/4: oracle TEXT changed (semantic NULL contracts) -------
+    "etl_table_fingerprint",    # coalesce-to-NUL-sentinel serialization
+    "etl_scd3_prev_value",      # oracle max_by sentinel (positional SCD3)
+    "llm_lang_id",              # profiles exclude NULL lang (both sides)
+    "llm_line_dedup_reconstruct",  # null-safe source joins + 0-line groups
+    "llm_filter_funnel",        # LEFT join keeps NULL-text docs in n_total
+    "fn_url_parse",             # source IS NOT NULL + optional query param
+    "fn_xml_roundtrip",         # NULL priority = empty element + NULLIF
+    "fn_aes_roundtrip",         # roundtrip_ok NULL for NULL plaintext
+    "fn_sql_scripting",         # coverage over PRICED orders (both sides)
+    "fn_map",                   # coalesce(lang,'<null>') map key
+    "fn_struct_nested",         # to_json ignoreNullFields=false
+    "fn_regex_extract",         # caps coalesced to '' on both sides
+    "udf_python_scalar",        # NULL bucket branch in oracle + UDF
+    "udtf_dynamic_schema",      # NUL-sentinel pack/unpack keeps arity
+    "udtf_table_arg",           # SUM-of-all-NULL group is NULL not 0
+    "udf_pandas_iter",          # nullable Int64 lane (NaN→<NA>→NULL)
+    # -- class 3: NULLS LAST pins / empty-frame guards ------------------
+    "win_percent_rank_cume",
+    "agg_quantile_bands",
+    "stream_sliding_topk",
+    "win_moving_median",        # n=0 frame → NULL med5
+    "ts_lttb_downsample",       # null-safe series joins in the oracle
+    # -- class 1: NULL-vector contract (filters + oracle predicates) ----
+    "llm_vector_norms",         # element-NULL → NULL stats lane (oracle)
+    "llm_embed_join_docs",      # same CASE mirror
+    "fn_array",                 # valid-vector filter both sides
+    "llm_embedding_mean_pool",  # valid-vector filter both sides
+    "llm_simsearch_cosine_topk",
+    "llm_knn_join",
+    "llm_dedup_embedding",
+    "llm_hard_negatives",       # + label IS NOT NULL
+    "llm_simsearch_ivf",
+    "llm_simsearch_hnsw",
+    "llm_vector_pq",
+    "llm_kmeans_cluster",
+    "llm_semdedup",
+    "llm_ann_brp_lsh",          # total projection + checkpointed filter
+    # -- class 2: NULL-text writers / shingles / payload guards ---------
+    "src_text_lines",
+    "src_text_wholetext",
+    "src_binary_files",
+    "src_csv_multiline",
+    "src_recursive_listing",    # eqNullSafe lang routing
+    "llm_dedup_near_minhash",   # _shingled drops NULL docs
+    "llm_neardup_cluster",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_audio_windows",
 )
 
 

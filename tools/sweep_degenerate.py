@@ -48,6 +48,14 @@ op downstream of ingest.  Without the contract, 38 ops diverged
 (Spark ANSI CAST_OVERFLOW on Inf·1e8 snap lanes, DuckDB stddev
 "out of range" on Inf — probed round 8).
 
+A sixth mode (--nulls, promoted round 9 from tools/probe_nulls_r09.py)
+stripes NULLs into every nullable non-key column — the shape a real
+100 TB feed always carries.  It found 45 divergent/crashing ops in
+round 8 (catalog: R09_NULLS_PLAN.md); the round-9 class fixes (NULL
+vectors excluded from similarity semantics, NULL-text writer/digest
+contracts, NULLS LAST window pins, None-total UDF bodies) brought it
+to fail=0 and this mode keeps them pinned.
+
 Usage:
     python tools/sweep_degenerate.py            # all operators
     python tools/sweep_degenerate.py llm_bm25_rank ...   # subset
@@ -55,6 +63,7 @@ Usage:
     python tools/sweep_degenerate.py --unicode [ops...]  # multi-byte corpus
     python tools/sweep_degenerate.py --ties [ops...]     # tie-stress corpus
     python tools/sweep_degenerate.py --nonfinite [ops...] # NaN/Inf measures
+    python tools/sweep_degenerate.py --nulls [ops...]    # NULL-bulk corpus
 """
 
 from __future__ import annotations
@@ -315,6 +324,83 @@ def build_nonfinite_dataset(d: str) -> None:
     pq.write_table(tbl, f"{d}/events.parquet")
 
 
+def build_nulls_dataset(d: str) -> None:
+    """NULL-bulk corpus (--nulls, promoted from tools/probe_nulls_r09.py
+    after the round-9 fix wave): NULLs striped into every nullable
+    non-key column — NULL text/lang/source, NULL value/props/event_type,
+    NULL o_totalprice/o_orderpriority, NULL l_discount/l_tax/
+    l_returnflag, whole-NULL embeddings AND element-level NULLs inside
+    vectors, NULL labels.  Keys stay intact so joins keep their shape.
+    (Pandas-write is fine here: the injected sentinel IS the missing
+    value, unlike the nonfinite builder where NaN must survive as a real
+    float.)  This is the corpus a real 100 TB feed actually resembles —
+    round 8's probe found 45/351 ops crashed or diverged on it before
+    the class fixes landed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in "region nation customer supplier part".split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+
+    def write(t: str, frame: pd.DataFrame) -> None:
+        pq.write_table(
+            pa.Table.from_pandas(
+                frame,
+                schema=pq.read_schema(f"{BASE}/{t}.parquet"),
+                preserve_index=False,
+            ),
+            f"{d}/{t}.parquet",
+        )
+
+    orders = pd.read_parquet(f"{BASE}/orders.parquet").copy()
+    orders.loc[orders.index % 5 == 0, "o_totalprice"] = None
+    orders.loc[orders.index % 7 == 0, "o_orderpriority"] = None
+    write("orders", orders)
+
+    li = pd.read_parquet(f"{BASE}/lineitem.parquet").copy()
+    li.loc[li.index % 5 == 0, "l_discount"] = None
+    li.loc[li.index % 7 == 0, "l_tax"] = None
+    li.loc[li.index % 6 == 0, "l_returnflag"] = None
+    write("lineitem", li)
+
+    ev = pd.read_parquet(f"{BASE}/events.parquet").copy()
+    ev.loc[ev.index % 4 == 0, "value"] = None
+    ev.loc[ev.index % 5 == 0, "props"] = None
+    ev.loc[ev.index % 6 == 0, "event_type"] = None
+    write("events", ev)
+
+    docs = pd.read_parquet(f"{BASE}/documents.parquet").copy()
+    docs.loc[docs.index % 5 == 0, "text"] = None
+    docs.loc[docs.index % 7 == 0, "lang"] = None
+    docs.loc[docs.index % 9 == 0, "source"] = None
+    write("documents", docs)
+
+    em = pd.read_parquet(f"{BASE}/embeddings.parquet").copy()
+    emb = list(em["embedding"])
+    for i in range(0, len(emb), 6):
+        emb[i] = None  # whole-vector NULL
+    for i in range(3, len(emb), 9):
+        if emb[i] is not None:  # element-level NULL: [x0, NULL, x2, ...]
+            v = list(emb[i])
+            v[1] = None
+            emb[i] = v
+    em["embedding"] = emb
+    em.loc[em.index % 7 == 0, "label"] = None
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            em[["vec_id", "embedding", "label"]], schema=schema, preserve_index=False
+        ),
+        f"{d}/embeddings.parquet",
+    )
+
+
 def build_tiny_dataset(d: str) -> None:
     """Referentially-intact minimal tables: joins still produce (few)
     rows, empty groups exist, every sketch/model trains on fewer points
@@ -430,7 +516,7 @@ def run_registry(d: str, only: set[str], app_name: str = "degen-sweep"):
 
 def main() -> int:
     args = sys.argv[1:]
-    flags = ("--tiny", "--unicode", "--ties", "--nonfinite")
+    flags = ("--tiny", "--unicode", "--ties", "--nonfinite", "--nulls")
     bad = [a for a in args if a.startswith("--") and a not in flags]
     if bad:
         # A mistyped flag must not fall through to the op-name filter,
@@ -440,6 +526,7 @@ def main() -> int:
     unicode_mode = "--unicode" in args
     ties_mode = "--ties" in args
     nonfinite_mode = "--nonfinite" in args
+    nulls_mode = "--nulls" in args
     only = set(a for a in args if a not in flags)
     d = tempfile.mkdtemp(prefix="degen_")
     if tiny:
@@ -450,6 +537,8 @@ def main() -> int:
         build_ties_dataset(d)
     elif nonfinite_mode:
         build_nonfinite_dataset(d)
+    elif nulls_mode:
+        build_nulls_dataset(d)
     else:
         build_dataset(d)
     _, _, fails = run_registry(d, only)

@@ -822,7 +822,14 @@ def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(caps).cast("long").alias("n_caps"),
-        F.array_join(F.array_sort(caps), "|").alias("caps"),
+        # coalesce('') mirrors the oracle (round 9, class 4): for a NULL
+        # text Spark's array_join(NULL) is NULL while the oracle's
+        # coalesce renders '' — the serialized-list lane is defined as
+        # always-a-string on both sides (n_caps stays NULL, flagging the
+        # missing doc).
+        F.coalesce(F.array_join(F.array_sort(caps), "|"), F.lit("")).alias(
+            "caps"
+        ),
         F.col("text").rlike("[0-9]").cast("int").alias("has_digit"),
     )
 

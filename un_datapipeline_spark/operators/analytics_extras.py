@@ -393,10 +393,15 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULL priority lane (round 9, class 4): format_string renders SQL NULL
+# as the LITERAL text 'null', which would parse back as a real string —
+# a NULL field is serialized as an EMPTY element instead and restored by
+# NULLIF on read-back.  ('' never occurs as a real priority, so the
+# empty-element encoding is unambiguous on this schema; documented.)
 _XML_ORACLE = """
 SELECT o_orderkey,
        printf('<order><id>%d</id><status>%s</status><priority>%s</priority><odate>%s</odate></order>',
-              o_orderkey, o_orderstatus, o_orderpriority,
+              o_orderkey, o_orderstatus, coalesce(o_orderpriority, ''),
               strftime(o_orderdate, '%Y-%m-%d')) AS xml,
        o_orderkey AS parsed_id,
        o_orderstatus AS parsed_status,
@@ -428,7 +433,9 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<odate>%s</odate></order>",
             F.col("o_orderkey"),
             F.col("o_orderstatus"),
-            F.col("o_orderpriority"),
+            # NULL → empty element, restored by NULLIF after the parse
+            # (format_string would otherwise render the literal 'null')
+            F.coalesce(F.col("o_orderpriority"), F.lit("")),
             F.date_format("o_orderdate", "yyyy-MM-dd"),
         ).alias("xml"),
     )
@@ -444,7 +451,9 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xml",
         F.col("p.id").alias("parsed_id"),
         F.col("p.status").alias("parsed_status"),
-        F.col("p.priority").alias("parsed_priority"),
+        # empty element → NULL (works whether from_xml parses it as ''
+        # or as NULL — NULLIF is identity on NULL)
+        F.nullif(F.col("p.priority"), F.lit("")).alias("parsed_priority"),
         F.col("p.odate").alias("parsed_odate"),
         F.expr("xpath_string(xml, '/order/status')").alias("xpath_status"),
     )
@@ -686,7 +695,11 @@ WITH cents AS (
   SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
   FROM orders
 ), banded AS (
-  SELECT c, ntile(10) OVER (ORDER BY c, o_orderkey) AS decile FROM cents
+  -- NULLS LAST pinned (round 9, class 3): Spark defaults NULLS FIRST
+  -- ascending, DuckDB NULLS LAST — an unpriced order would land in
+  -- decile 1 on one engine and decile 10 on the other.
+  SELECT c, ntile(10) OVER (ORDER BY c NULLS LAST, o_orderkey) AS decile
+  FROM cents
 )
 SELECT decile,
        CAST(count(*) AS BIGINT) AS n,
@@ -716,7 +729,10 @@ def agg_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     banded = cents.select(
         "c",
-        F.ntile(10).over(Window.orderBy("c", "o_orderkey")).alias("decile"),
+        # NULLS LAST matches the oracle (see _DECILE_ORACLE note)
+        F.ntile(10)
+        .over(Window.orderBy(F.asc_nulls_last("c"), "o_orderkey"))
+        .alias("decile"),
     )
     return banded.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),

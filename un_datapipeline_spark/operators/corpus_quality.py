@@ -699,7 +699,11 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("c").alias("max_c"))
     )
     per_doc = (
-        docs.join(maxfreq, "doc_id")
+        # LEFT join (round 9, class 2): a NULL-text doc explodes to zero
+        # word rows, so an inner join would drop it from n_total and
+        # inflate keep_rate — the funnel must account for EVERY document
+        # (its stage flags are NULL and it passes nothing, both engines).
+        docs.join(maxfreq, "doc_id", "left")
         .select(
             F.col("lang").isin("en", "de", "fr").alias("lang_ok"),
             ntok.between(20, 90).alias("len_ok"),

@@ -219,6 +219,10 @@ _NB = (
     "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
 )
 
+# NULL-vector contract mirror (round 9, see llm_vectors.valid_vec_sql):
+# DuckDB list aggregates SKIP NULL elements, so without the explicit
+# predicate a corrupt vector would get a partial norm instead of being
+# excluded like cosine_topk's Spark-side filter does.
 _EMB_DEDUP_ORACLE = f"""
 SELECT a_id, nn_id, ROUND(sim, 6) AS sim,
        CAST(sim >= 0.9 AS INT) AS is_near_dup
@@ -228,7 +232,12 @@ FROM (
          row_number() OVER (PARTITION BY a.vec_id
                             ORDER BY {_DOT} / ({_NA} * {_NB}) DESC, b.vec_id) AS rn
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-  WHERE a.vec_id < 100 AND {_NA} > 0 AND {_NB} > 0
+  WHERE a.vec_id < 100
+    AND (a.embedding IS NOT NULL
+         AND len(list_filter(a.embedding, x -> x IS NULL)) = 0)
+    AND (b.embedding IS NOT NULL
+         AND len(list_filter(b.embedding, x -> x IS NULL)) = 0)
+    AND {_NA} > 0 AND {_NB} > 0
 )
 WHERE rn = 1
 """
@@ -778,12 +787,16 @@ WITH w AS (
   FROM w LEFT JOIN kept k ON k.doc_id = w.doc_id
   GROUP BY w.doc_id, w.source
 )
+-- IS NOT DISTINCT FROM (round 9, class 2): a NULL source is a real
+-- stratum — plain equality would zero its line counts while the group
+-- row itself survives, silently mislabeling its boilerplate stats.
 SELECT r.source,
        CAST(count(*) AS BIGINT)                        AS n_docs,
-       CAST((SELECT count(*) FROM lines li WHERE li.source = r.source)
+       CAST((SELECT count(*) FROM lines li
+             WHERE li.source IS NOT DISTINCT FROM r.source)
             AS BIGINT)                                 AS lines_total,
        CAST((SELECT count(*) FROM lines li
-             WHERE li.source = r.source
+             WHERE li.source IS NOT DISTINCT FROM r.source
                AND li.line IN (SELECT line FROM boiler)) AS BIGINT)
          AS lines_removed,
        CAST(sum(len(cleaned)) AS BIGINT)               AS chars_after,
@@ -848,10 +861,15 @@ def llm_line_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     removed = lines.join(F.broadcast(boiler), "line", "left_semi")
-    per_src_lines = lines.groupBy("source").agg(
+    # eqNullSafe joins + LEFT + coalesce(0) (round 9, class 2): a NULL
+    # source is a real stratum (its line counts must attach to its group,
+    # not vanish on the NULL join key), and a source whose docs are all
+    # NULL-text has ZERO lines — an inner join dropped its group row
+    # entirely while the oracle kept it with lines_total = 0.
+    per_src_lines = lines.groupBy(F.col("source").alias("src_l")).agg(
         F.count(F.lit(1)).alias("lines_total")
     )
-    per_src_removed = removed.groupBy("source").agg(
+    per_src_removed = removed.groupBy(F.col("source").alias("src_r")).agg(
         F.count(F.lit(1)).alias("lines_removed")
     )
     return (
@@ -863,13 +881,13 @@ def llm_line_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("listagg(md5(cleaned), '') WITHIN GROUP (ORDER BY doc_id)")
             ).alias("corpus_digest"),
         )
-        .join(per_src_lines, "source")
-        .join(per_src_removed.withColumnRenamed("lines_removed", "lr"), "source", "left")
+        .join(per_src_lines, F.col("source").eqNullSafe(F.col("src_l")), "left")
+        .join(per_src_removed, F.col("source").eqNullSafe(F.col("src_r")), "left")
         .select(
             "source",
             "n_docs",
-            F.col("lines_total").cast("long"),
-            F.coalesce(F.col("lr"), F.lit(0)).cast("long").alias("lines_removed"),
+            F.coalesce(F.col("lines_total"), F.lit(0)).cast("long").alias("lines_total"),
+            F.coalesce(F.col("lines_removed"), F.lit(0)).cast("long").alias("lines_removed"),
             "chars_after",
             "corpus_digest",
         )

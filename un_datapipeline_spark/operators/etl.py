@@ -976,17 +976,23 @@ def etl_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.orderBy("event_type")
 
 
+# coalesce/NULLIF sentinel lane (round 9, class 2): DuckDB's max_by
+# SKIPS rows whose VALUE is NULL, but SCD3 semantics are positional —
+# "the latest order's priority" may genuinely be NULL/unknown, and the
+# Spark side (row_number + lead) keeps it.  Routing the value through
+# chr(0) makes max_by pick by position alone; NULLIF restores the NULL.
 _SCD3_ORACLE = """
 WITH keyed AS (
-  SELECT o_custkey, o_orderpriority,
+  SELECT o_custkey, coalesce(o_orderpriority, chr(0)) AS prio0,
          CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) * 100000000
            + o_orderkey AS k
   FROM orders WHERE o_custkey < 500
 ), current AS (
-  SELECT o_custkey, max_by(o_orderpriority, k) AS cur_prio, max(k) AS max_k
+  SELECT o_custkey, NULLIF(max_by(prio0, k), chr(0)) AS cur_prio,
+         max(k) AS max_k
   FROM keyed GROUP BY o_custkey
 ), previous AS (
-  SELECT k.o_custkey, max_by(k.o_orderpriority, k.k) AS prev_prio
+  SELECT k.o_custkey, NULLIF(max_by(k.prio0, k.k), chr(0)) AS prev_prio
   FROM keyed k JOIN current c
     ON k.o_custkey = c.o_custkey AND k.k < c.max_k
   GROUP BY k.o_custkey
@@ -1107,11 +1113,20 @@ def etl_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Merkle-style table fingerprint (cross-system reconciliation digest)
 # ---------------------------------------------------------------------------
 
+# NULL-safe canonical serialization (round 9, class 2): every nullable
+# field goes through coalesce(x, chr(0)) — NUL cannot occur in real
+# field data, so NULL stays distinguishable from '' and from absence.
+# Neither engine's native concat is usable raw: DuckDB `||` NULLs the
+# whole row hash, Spark concat_ws SKIPS null args, making (a,NULL,c)
+# and (a,c,NULL) serialize identically.
 _FPRINT_ORACLE = """
 WITH rows_h AS (
   SELECT doc_id, doc_id % 16 AS bucket,
-         md5(CAST(doc_id AS STRING) || '|' || lang || '|' || source || '|'
-             || CAST(n_chars AS STRING) || '|' || md5(text)) AS row_h
+         md5(CAST(doc_id AS STRING)
+             || '|' || coalesce(lang, chr(0))
+             || '|' || coalesce(source, chr(0))
+             || '|' || coalesce(CAST(n_chars AS STRING), chr(0))
+             || '|' || coalesce(md5(text), chr(0))) AS row_h
   FROM documents
 )
 SELECT CAST(bucket AS BIGINT) AS bucket,
@@ -1142,14 +1157,20 @@ def etl_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests cheap and drill-down fine-grained).  The ordered string_agg
     within a bucket is the only sort, bounded by bucket size."""
     d = load_table(spark, sf_dir, "documents")
+    # NULL-safe field lane: coalesce to the NUL sentinel BEFORE concat_ws
+    # — concat_ws on its own SKIPS null args, so (a,NULL,c) and (a,c,NULL)
+    # would serialize to the same bytes and two genuinely different rows
+    # could fingerprint equal (round 9, class 2).  chr(0) can't occur in
+    # real field data, so NULL stays distinct from '' as well.
+    nul = F.lit("\x00")
     row_h = F.md5(
         F.concat_ws(
             "|",
             F.col("doc_id").cast("string"),
-            "lang",
-            "source",
-            F.col("n_chars").cast("string"),
-            F.md5("text"),
+            F.coalesce(F.col("lang"), nul),
+            F.coalesce(F.col("source"), nul),
+            F.coalesce(F.col("n_chars").cast("string"), nul),
+            F.coalesce(F.md5("text"), nul),
         )
     )
     rows_h = d.select(

@@ -201,6 +201,8 @@ SELECT vec_id,
        ROUND(list_aggregate(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6)   AS sumsq
 FROM embeddings
+WHERE embedding IS NOT NULL
+  AND len(list_filter(embedding, x -> x IS NULL)) = 0
 """
 
 
@@ -215,8 +217,16 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the doubles being rounded are bit-identical) rather than
     double→string, which is repr-sensitive.  Distinct lists are sorted
     because distinct order is engine-specific (SURVEY.md §5.3.3);
-    zip_with computes the elementwise square feeding sumsq."""
-    em = load_table(spark, sf_dir, "embeddings")
+    zip_with computes the elementwise square feeding sumsq.
+
+    NULL-vector contract (round 9): a NULL / NULL-element vector is
+    excluded on BOTH sides — nearly every lane here otherwise diverges
+    (Spark's aggregate propagates a NULL element, array_join silently
+    drops it, NULL sort position differs) while DuckDB's list aggregates
+    skip it; the single shared predicate replaces ten per-lane CASEs."""
+    from un_datapipeline_spark.operators.llm_vectors import valid_vec
+
+    em = load_table(spark, sf_dir, "embeddings").filter(valid_vec())
     dbl = F.transform("embedding", lambda x: x.cast("double"))
 
     # NB: helpers passed to F.transform must be single-arg lambdas — a
@@ -356,12 +366,18 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 # URL parsing
 # ---------------------------------------------------------------------------
 
+# source IS NOT NULL (round 9, class 4): a doc with no source has no
+# synthesizable URL — Spark's NULL-propagating concat would park it
+# under a NULL host with NULL path/query while the oracle still derived
+# its path from doc_id, splitting the counts.  A NULL lang, by contrast,
+# just means "no query param" (handled below).
 _URL_ORACLE = """
 SELECT source || '.example.com' AS host,
        count(*) AS n,
        count(DISTINCT '/docs/' || CAST(doc_id AS VARCHAR)) AS n_paths,
        count(DISTINCT lang) AS n_langs
 FROM documents
+WHERE source IS NOT NULL
 GROUP BY source || '.example.com'
 """
 
@@ -377,14 +393,18 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: parse_url is a per-row JVM expression inside codegen —
     one scan, then a host-keyed rollup whose cardinality is the domain
     count, not the page count."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()  # no source → no URL (see oracle note)
+    )
     url = F.concat(
         F.lit("https://"),
         F.col("source"),
         F.lit(".example.com/docs/"),
         F.col("doc_id").cast("string"),
-        F.lit("?lang="),
-        F.col("lang"),
+        # NULL lang = no query param (concat of the pair is NULL there,
+        # coalesced to ''); parse_url then yields qlang NULL, which
+        # countDistinct skips — matching the oracle's count(DISTINCT lang)
+        F.coalesce(F.concat(F.lit("?lang="), F.col("lang")), F.lit("")),
     )
     parsed = d.select(
         F.parse_url(url, F.lit("HOST")).alias("host"),
@@ -435,7 +455,12 @@ def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderkey") % 41 == 0)
         .select(
             "o_orderkey",
-            F.to_json(order_struct).alias("order_json"),
+            # ignoreNullFields=false (round 9, class 4 — decision made
+            # r08): a NULL struct field must serialize as "prio":null
+            # like DuckDB's to_json, not silently vanish from the object
+            F.to_json(order_struct, {"ignoreNullFields": "false"}).alias(
+                "order_json"
+            ),
             nested["head"]["prio"].alias("prio_nested"),
             (order_struct["yr"] + 0).alias("yr_from_struct"),
         )
@@ -575,7 +600,11 @@ def fn_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AES_ORACLE = """
 SELECT doc_id,
        CAST((len(text) // 16 + 1) * 16 AS INT) AS cipher_bytes,
-       CAST(1 AS BOOLEAN)                      AS roundtrip_ok
+       -- NULL plaintext (round 9, class 4): standard SQL says
+       -- encrypt(NULL) is NULL, so the roundtrip equality is NULL too —
+       -- the unconditional TRUE only holds for present documents
+       CAST(CASE WHEN text IS NULL THEN NULL ELSE 1 END AS BOOLEAN)
+         AS roundtrip_ok
 FROM documents
 WHERE doc_id % 23 = 0
 ORDER BY doc_id
@@ -704,9 +733,14 @@ def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Coverage is over PRICED orders (round 9, class 4): an unpriced order
+# can never fall under any threshold, so with >10% NULL prices the 90%
+# target is unreachable and the doubling loop overflows BIGINT.  Both
+# sides use the non-NULL count as the denominator.
 _SQL_SCRIPT_ORACLE = """
 WITH cents AS (
   SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE o_totalprice IS NOT NULL
 ), tot AS (
   SELECT count(*) AS n FROM cents
 ), ks AS (
@@ -748,7 +782,9 @@ def fn_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
           DECLARE thr BIGINT DEFAULT 1048576;
           DECLARE n_total BIGINT;
           DECLARE n_below BIGINT DEFAULT 0;
-          SET n_total = (SELECT count(*) FROM script_orders);
+          -- count(col) skips NULL prices: the coverage denominator must
+          -- be reachable or the doubling loop overflows (oracle note)
+          SET n_total = (SELECT count(o_totalprice) FROM script_orders);
           WHILE n_below * 10 < n_total * 9 DO
             SET thr = thr * 2;
             SET n_below = (

@@ -199,13 +199,22 @@ JACCARD_THRESHOLD = 0.6
 
 
 def _shingled(d: DataFrame) -> DataFrame:
-    """(doc_id, shingle) pairs — distinct character 5-grams per doc."""
+    """(doc_id, shingle) pairs — distinct character 5-grams per doc.
+
+    NULL-text contract (round 9, class 2): a NULL document has no
+    shingles — without the filter it would contribute NULL-shingle rows,
+    every NULL doc would share an identical minhash signature (xxhash64
+    of the seed alone), they'd all band together as candidate pairs, and
+    the Jaccard verifier would hit ANSI DIVIDE_BY_ZERO on the empty
+    union.  (An EMPTY text is different: it yields the '' shingle and
+    participates normally.)"""
     shingles = F.expr(
         f"transform(sequence(1, greatest(length(text) - {SHINGLE - 1}, 1)),"
         f" i -> substring(text, i, {SHINGLE}))"
     )
     return (
-        d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
     )
 
 

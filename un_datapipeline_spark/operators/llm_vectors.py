@@ -27,6 +27,55 @@ from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
 
 
+# NULL-vector contract (round 9, R09_NULLS_PLAN class 1 — mirrors the
+# round-6 zero-norm rule): a NULL embedding, or an embedding carrying a
+# NULL element, is NOT a vector — similarity, clustering, codebook and
+# LSH semantics exclude it.  Three layers, all required:
+#   1. an UPSTREAM DataFrame filter (valid_vec) so Catalyst prunes the
+#      rows before the Arrow transfer and the plan stays declarative;
+#   2. the SAME predicate in every paired DuckDB oracle (valid_vec_sql)
+#      — DuckDB's list aggregates silently SKIP NULL elements, so an
+#      unfiltered oracle computes a partial norm instead of crashing;
+#   3. a DEFENSIVE in-kernel guard (_vec_matrix) so a mapInPandas
+#      closure reused on raw data cannot crash on a ragged np.array.
+def valid_vec(col: str = "embedding"):
+    """Predicate: the column holds a usable vector (not NULL, no NULL
+    elements)."""
+    return F.col(col).isNotNull() & ~F.exists(col, lambda x: x.isNull())
+
+
+def valid_vec_sql(col: str = "embedding") -> str:
+    """The DuckDB mirror of valid_vec for paired oracle texts."""
+    return f"({col} IS NOT NULL AND len(list_filter({col}, x -> x IS NULL)) = 0)"
+
+
+def _vec_matrix(pdf, vec_col: str):
+    """(keep_mask, float64 matrix) for one Arrow batch: rows whose cell
+    is None, dimension-ragged, or carries a NaN-coerced NULL element are
+    dropped from the matrix.  numpy coerces a None element to NaN under
+    dtype=float64, so a single corrupt cell would otherwise poison every
+    dot product in the batch (or crash np.array outright on a whole-NULL
+    cell: 'inhomogeneous shape')."""
+    import numpy as np
+
+    cells = [
+        None if c is None else np.asarray(c, dtype=np.float64)
+        for c in pdf[vec_col]
+    ]
+    dim = next((len(c) for c in cells if c is not None), 0)
+    keep = np.array(
+        [c is not None and len(c) == dim and not np.isnan(c).any() for c in cells],
+        dtype=bool,
+    )
+    if keep.all():
+        mat = np.array(cells, dtype=np.float64) if cells else np.zeros((0, dim))
+    else:
+        mat = np.array(
+            [c for c, k in zip(cells, keep) if k], dtype=np.float64
+        ) if keep.any() else np.zeros((0, dim))
+    return keep, mat
+
+
 def _topk_idx(sims, b_ids, kk):
     """Per-probe indices of the kk best batch candidates under the TOTAL
     order (sim DESC, candidate id ASC) — the same order the final global
@@ -63,9 +112,18 @@ def cosine_topk(
     """
     import numpy as np
 
+    # NULL-vector contract: NULL / NULL-element embeddings are not
+    # vectors (see valid_vec) — filtered on BOTH sides, mirrored in the
+    # paired oracles, before the existing zero-norm exclusion below.
+    corpus = corpus.filter(valid_vec(vec_col))
+    probes = probes.filter(valid_vec(vec_col))
     rows = probes.select(id_col, vec_col).collect()
     p_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    p_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    p_mat = (
+        np.array([r[1] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 0))
+    )
     # Zero vectors are excluded from similarity semantics engine-wide:
     # cosine is undefined there (norm product 0), and leaving them in
     # yields engine-dependent NaN ranking (degenerate-corpus sweep,
@@ -77,11 +135,15 @@ def cosine_topk(
     out_schema = "a_id long, nn_id long, sim double"
 
     def partial_topk(batches):
+        if p_mat.shape[0] == 0:  # every probe filtered out → no pairs
+            return
         for pdf in batches:
             if pdf.empty:
                 continue
-            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            b_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vkeep, b_mat = _vec_matrix(pdf, vec_col)  # defensive NULL guard
+            b_ids = pdf[id_col].to_numpy(dtype=np.int64)[vkeep]
+            if b_mat.shape[0] == 0:
+                continue
             b_keep = np.linalg.norm(b_mat, axis=1) > 0
             if not b_keep.all():
                 b_ids, b_mat = b_ids[b_keep], b_mat[b_keep]
@@ -135,11 +197,18 @@ _NORM_B = (
     "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
 )
 
+# NULL-vector contract mirror (see valid_vec): DuckDB list aggregates
+# SKIP NULL elements, so without the explicit predicate the oracle would
+# compute a partial norm for a corrupt vector instead of excluding it.
+_VALID_A = valid_vec_sql("a.embedding")
+_VALID_B = valid_vec_sql("b.embedding")
+
 _SIMSEARCH_ORACLE = f"""
 SELECT a.vec_id AS a_id, b.vec_id AS nn_id,
        ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS sim
 FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
-WHERE a.vec_id < 100 AND {_NORM_A} > 0 AND {_NORM_B} > 0
+WHERE a.vec_id < 100 AND {_VALID_A} AND {_VALID_B}
+  AND {_NORM_A} > 0 AND {_NORM_B} > 0
 QUALIFY row_number() OVER (PARTITION BY a.vec_id
                            ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC,
                                     b.vec_id) = 1
@@ -163,7 +232,8 @@ FROM (
   SELECT a.vec_id AS a_id, b.label AS lbl,
          {_DOT} / ({_NORM_A} * {_NORM_B}) AS sim
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-  WHERE a.vec_id < 50 AND {_NORM_A} > 0 AND {_NORM_B} > 0
+  WHERE a.vec_id < 50 AND {_VALID_A} AND {_VALID_B}
+    AND {_NORM_A} > 0 AND {_NORM_B} > 0
   QUALIFY row_number() OVER (PARTITION BY a.vec_id
                              ORDER BY sim DESC, b.vec_id) <= 5
 )
@@ -198,14 +268,20 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NULL embeddings stay NULL (both engines drop them from avg — Spark's
 # aggregate over a NULL array is NULL); only a present-but-EMPTY list
 # coalesces to 0, mirroring Spark's 0.0 seed (round-6 review, twice).
-_NORMS_ORACLE = """
+# Element-level NULLs (round 9, class 1): Spark's F.aggregate propagates
+# a NULL element into a NULL sum (the row then drops out of avg), while
+# DuckDB's list_aggregate silently SKIPS NULL elements and would report a
+# partial norm — the corrupt vector's stats must be NULL on BOTH engines,
+# so the CASE below extends the whole-NULL branch to any NULL element.
+# n / min_dim / max_dim still count every row (len() ignores elements).
+_NORMS_ORACLE = f"""
 SELECT label,
        count(*) AS n,
-       ROUND(avg(CASE WHEN embedding IS NULL THEN NULL ELSE
+       ROUND(avg(CASE WHEN NOT {valid_vec_sql("embedding")} THEN NULL ELSE
              sqrt(coalesce(list_aggregate(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 0)) END), 6)
          AS avg_l2,
-       ROUND(avg(CASE WHEN embedding IS NULL THEN NULL ELSE
+       ROUND(avg(CASE WHEN NOT {valid_vec_sql("embedding")} THEN NULL ELSE
              coalesce(list_aggregate(list_transform(embedding,
              x -> CAST(x AS DOUBLE)), 'sum'), 0)
              / greatest(len(embedding), 1) END), 6)                    AS avg_mean_el,
@@ -259,6 +335,8 @@ def train_ivf_centroids(
     O(corpus); only ASSIGNMENT scans the corpus."""
     import numpy as np
 
+    # NULL-vector contract: corrupt vectors never train the quantizer
+    corpus = corpus.filter(valid_vec(vec_col))
     # orderBy before limit: a bare limit takes partition-layout-dependent
     # rows — ordering pins the training sample across cluster layouts.
     rows = (
@@ -292,7 +370,7 @@ def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline is asserted in tests/test_llm_invariants.py."""
     import numpy as np
 
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_table(spark, sf_dir, "embeddings").filter(valid_vec())
     cent = train_ivf_centroids(em)
     cnorm = cent / np.linalg.norm(cent, axis=1, keepdims=True)
 
@@ -312,8 +390,10 @@ def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            b_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vkeep, b_mat = _vec_matrix(pdf, "embedding")  # defensive
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)[vkeep]
+            if b_mat.shape[0] == 0:
+                continue
             b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
             cells = (b_mat @ cnorm.T).argmax(axis=1)
             out_a, out_n, out_s = [], [], []
@@ -347,11 +427,15 @@ def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMBED_JOIN_ORACLE = """
+# avg_l2 NULL-mirror: a NULL or NULL-element embedding's norm is NULL on
+# both engines (Spark's aggregate propagates; DuckDB needs the CASE
+# because its list aggregate skips NULL elements).  Rows stay in n.
+_EMBED_JOIN_ORACLE = f"""
 SELECT d.lang,
        count(*) AS n,
-       ROUND(avg(sqrt(list_aggregate(list_transform(e.embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS avg_l2,
+       ROUND(avg(CASE WHEN NOT {valid_vec_sql("e.embedding")} THEN NULL ELSE
+             sqrt(list_aggregate(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) END), 6) AS avg_l2,
        ROUND(avg(d.n_chars), 6) AS avg_chars
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 GROUP BY d.lang
@@ -462,7 +546,7 @@ def llm_simsearch_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_llm_invariants.py)."""
     import numpy as np
 
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_table(spark, sf_dir, "embeddings").filter(valid_vec())
     probe_rows = em.filter(F.col("vec_id") < 100).select("vec_id", "embedding").collect()
     p_ids = np.array([r[0] for r in probe_rows], dtype=np.int64)
     p_mat = np.array([r[1] for r in probe_rows], dtype=np.float64)
@@ -472,11 +556,14 @@ def llm_simsearch_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vkeep, b_mat = _vec_matrix(pdf, "embedding")  # defensive
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)[vkeep]
+            if b_mat.shape[0] == 0:
+                continue
             # insert order must not depend on arrow batch layout
             order = np.argsort(b_ids, kind="stable")
             b_ids = b_ids[order]
-            b_mat = np.array(list(pdf["embedding"]), dtype=np.float64)[order]
+            b_mat = b_mat[order]
             b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
             graph = _nsw_build(b_mat, m=8, ef=32)
             out_a, out_n, out_s = [], [], []
@@ -504,7 +591,12 @@ def llm_simsearch_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MEANPOOL_ORACLE = """
+# NULL-vector contract (round 9): a NULL embedding posexplodes to zero
+# rows in Spark but the lateral generate_series still fabricates 8 NULL
+# cells here, splitting count(*) — and a NULL ELEMENT would be skipped
+# by avg on both engines while still counting in n.  Corrupt vectors are
+# excluded from pooling on BOTH sides (valid_vec / valid_vec_sql).
+_MEANPOOL_ORACLE = f"""
 SELECT d.lang,
        CAST(p.pos AS INT)                 AS dim,
        CAST(count(*) AS BIGINT)           AS n,
@@ -514,6 +606,7 @@ SELECT d.lang,
 FROM documents d
 JOIN embeddings e ON d.doc_id = e.vec_id,
      LATERAL (SELECT unnest(generate_series(1, 8)) AS pos) p
+WHERE {valid_vec_sql("e.embedding")}
 GROUP BY d.lang, p.pos
 ORDER BY d.lang, dim
 """
@@ -535,7 +628,9 @@ def llm_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ORDINALITY, so the oracle indexes via a lateral
     generate_series.)"""
     d = load_table(spark, sf_dir, "documents")
-    e = load_table(spark, sf_dir, "embeddings")
+    # corrupt vectors excluded from pooling (NULL-vector contract; the
+    # paired oracle carries the same predicate)
+    e = load_table(spark, sf_dir, "embeddings").filter(valid_vec())
     exploded = (
         d.join(e, d.doc_id == e.vec_id)
         .select("lang", F.posexplode("embedding").alias("pos0", "val"))
@@ -570,7 +665,11 @@ def train_pq_codebooks(corpus, sample: int = 512, n_iters: int = 5, seed: int = 
     import numpy as np
 
     rows = (
-        corpus.select("vec_id", "embedding").orderBy("vec_id").limit(sample).collect()
+        corpus.filter(valid_vec())  # NULL-vector contract
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
     )
     x = np.array([r[1] for r in rows], dtype=np.float64)
     sub_dim = x.shape[1] // PQ_SUBSPACES
@@ -610,7 +709,7 @@ def llm_vector_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     error well below 1) are pytest-asserted."""
     import numpy as np
 
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_table(spark, sf_dir, "embeddings").filter(valid_vec())
     books = train_pq_codebooks(em)
     sub_dim = books.shape[2]
 
@@ -618,8 +717,10 @@ def llm_vector_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vkeep, x = _vec_matrix(pdf, "embedding")  # defensive
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)[vkeep]
+            if x.shape[0] == 0:
+                continue
             codes = np.zeros((len(x), PQ_SUBSPACES), dtype=np.int64)
             recon = np.zeros_like(x)
             for s in range(PQ_SUBSPACES):
@@ -651,7 +752,8 @@ _HARDNEG_ORACLE = f"""
 SELECT a.vec_id AS a_id, b.vec_id AS nn_id, b.label AS neg_label,
        ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS sim
 FROM embeddings a JOIN embeddings b ON a.label <> b.label
-WHERE a.vec_id < 20 AND {_NORM_A} > 0 AND {_NORM_B} > 0
+WHERE a.vec_id < 20 AND {_VALID_A} AND {_VALID_B}
+  AND {_NORM_A} > 0 AND {_NORM_B} > 0
 QUALIFY row_number() OVER (PARTITION BY a.vec_id
                            ORDER BY {_DOT} / ({_NORM_A} * {_NORM_B}) DESC,
                                     b.vec_id) <= 5
@@ -674,7 +776,14 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny candidate set."""
     import numpy as np
 
-    em = load_table(spark, sf_dir, "embeddings")
+    # label IS NOT NULL: an unlabeled vector can be neither anchor nor
+    # negative — the oracle's `a.label <> b.label` already drops NULL
+    # labels (three-valued <>), and the kernel's int64 coercion would
+    # otherwise turn a NULL label into a silent INT64_MIN.
+    em = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(valid_vec() & F.col("label").isNotNull())
+    )
     rows = em.filter(F.col("vec_id") < 20).select("vec_id", "embedding", "label").collect()
     p_ids = np.array([r[0] for r in rows], dtype=np.int64)
     p_mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -689,9 +798,11 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            b_lbl = pdf["label"].to_numpy(dtype=np.int64)
-            b_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vkeep, b_mat = _vec_matrix(pdf, "embedding")  # defensive
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)[vkeep]
+            b_lbl = pdf["label"].to_numpy(dtype=np.int64)[vkeep]
+            if b_mat.shape[0] == 0:
+                continue
             b_keep = np.linalg.norm(b_mat, axis=1) > 0
             if not b_keep.all():
                 b_ids, b_lbl, b_mat = b_ids[b_keep], b_lbl[b_keep], b_mat[b_keep]

@@ -144,12 +144,34 @@ def brp_topk(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
+    from un_datapipeline_spark.operators.llm_vectors import valid_vec
+
     def vecs(df: DataFrame) -> DataFrame:
-        return df.select(
-            "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+        # NULL-vector contract (round 9): a NULL / NULL-element embedding
+        # is not a vector.  The filter removes those rows — AND the
+        # projection is additionally made TOTAL via the CASE guard,
+        # because approxSimilarityJoin re-plans its input subtree and can
+        # evaluate the projection on pre-filter rows (the minhash_ml
+        # shingle lesson above, reproduced): array_to_vector(NULL) is a
+        # JVM NPE there even though the row never survives the filter.
+        safe = F.when(
+            valid_vec(), F.col("embedding").cast("array<double>")
+        ).otherwise(F.array().cast("array<double>"))
+        return df.filter(valid_vec()).select(
+            "vec_id", array_to_vector(safe).alias("features")
         )
 
-    c, p = vecs(corpus), vecs(probes)
+    # Materialize BEHIND the filter (same lesson as minhash_ml_pairs
+    # above): approxSimilarityJoin re-plans its input subtree and
+    # evaluates the LSH hash UDF on pre-filter rows — the 0-dim
+    # placeholder from the CASE guard then fails the model's dimension
+    # check (reproduced: "A: 64, x: 0").  The checkpoint freezes the
+    # filtered, projected table so only real vectors ever reach the
+    # model; the join's two passes also reuse the materialization.
+    from pyspark.storagelevel import StorageLevel
+
+    c = vecs(corpus).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    p = vecs(probes).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",

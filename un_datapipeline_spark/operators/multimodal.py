@@ -140,8 +140,11 @@ def _hex_byte_sql(pos: str) -> str:
 
 _DECODE_ORACLE = f"""
 WITH dims AS (
+  -- NULL payload contract (round 9, class 2): a NULL document has no
+  -- media object — nothing to decode on either engine
   SELECT doc_id, lower(hex(encode(text))) AS hx,
          octet_length(encode(text)) AS n, md5(text) AS m FROM documents
+  WHERE text IS NOT NULL
 ), sized AS (
   SELECT doc_id, hx, n,
          ((ascii(substr(m, 1, 1)) * 256 + ascii(substr(m, 2, 1))) % 64 + 16) AS width,
@@ -191,7 +194,9 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The UDF accumulates EXACT INTEGER moments (sum, sum-of-squares,
     abs-diff sum — all < 2^53) and emits the raw double expressions;
     rounding happens JVM-side so both engines round the same bits."""
-    m = documents_as_media(spark, sf_dir)
+    # NULL payload = no media object (round 9): bytes(None) would crash
+    # the kernel; the oracle mirrors with text IS NOT NULL
+    m = documents_as_media(spark, sf_dir).filter(F.col("payload").isNotNull())
     schema = (
         "doc_id long, width int, height int, "
         "brightness double, contrast double, edges double"
@@ -260,9 +265,11 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # byte-exact on both engines for any text.
 _FRAME_ORACLE = """
 WITH sized AS (
+  -- NULL payload = no media object (round 9) — no frames to sample
   SELECT doc_id, lower(hex(encode(text))) AS hx,
          greatest(octet_length(encode(text)) // 64, 1) AS n_frames
   FROM documents
+  WHERE text IS NOT NULL
 ), frames AS (
   SELECT doc_id,
          CAST(idx AS INT) AS frame_idx,
@@ -320,8 +327,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_hex_md5"]
             )
 
-    return m.select("doc_id", "payload").mapInPandas(
-        sample, "doc_id long, frame_idx int, frame_bytes int, frame_hex_md5 string"
+    return (
+        m.filter(F.col("payload").isNotNull())  # no payload → no frames
+        .select("doc_id", "payload")
+        .mapInPandas(
+            sample,
+            "doc_id long, frame_idx int, frame_bytes int, frame_hex_md5 string",
+        )
     )
 
 
@@ -339,8 +351,10 @@ AUDIO_DC = 80  # fixed DC offset removed from each 8-bit sample
 # identical IEEE expressions on identical operands in both engines.
 _AUDIO_ORACLE = f"""
 WITH sized AS (
+  -- NULL payload = no media object (round 9) — no PCM to window
   SELECT doc_id, lower(hex(encode(text))) AS hx,
          octet_length(encode(text)) AS n FROM documents
+  WHERE text IS NOT NULL
 ), pos AS (
   SELECT doc_id, hx, n, j,
          CAST(j % greatest(n, 1) AS INT) AS p0,
@@ -420,7 +434,11 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "win", "rms_raw", "peak", "zero_crossings"],
             )
 
-    raw = m.select("doc_id", "payload").mapInPandas(extract, schema)
+    raw = (
+        m.filter(F.col("payload").isNotNull())  # no payload → no windows
+        .select("doc_id", "payload")
+        .mapInPandas(extract, schema)
+    )
     return raw.select(
         "doc_id",
         "win",

@@ -333,6 +333,7 @@ SELECT CAST(count(*) AS BIGINT)                            AS n_lines,
        CAST(min(len(text)) AS BIGINT)                      AS min_len,
        CAST(max(len(text)) AS BIGINT)                      AS max_len
 FROM documents
+WHERE text IS NOT NULL
 """
 
 
@@ -344,8 +345,15 @@ def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     source table: equality proves the text sink/source roundtrip is
     byte-lossless for newline-free documents.  (The corpus generator
     emits no embedded newlines — asserted before writing, since a
-    newline would silently split a document into two lines.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    newline would silently split a document into two lines.)
+
+    NULL-text contract (round 9, class 2): a NULL document has no line
+    — the text sink would otherwise serialize it as an EMPTY line,
+    indistinguishable from a real empty document on read-back (probed:
+    min_len flipped 47→0).  Filtered on both sides."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     assert docs.filter(F.col("text").contains("\n")).limit(1).count() == 0, (
         "documents.text contains embedded newlines — line-per-doc text "
         "roundtrip would corrupt the corpus"
@@ -675,7 +683,7 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BINARY_FILES_ORACLE = """
 SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS digest
 FROM documents
-WHERE doc_id < 20 AND strlen(text) > 0
+WHERE doc_id < 20 AND text IS NOT NULL AND strlen(text) > 0
 ORDER BY doc_id
 """
 
@@ -700,7 +708,9 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         rows = (
             load_table(spark, sf_dir, "documents")
             .select("doc_id", "text")
-            .filter(F.col("doc_id") < 20)
+            # NULL-text contract: a NULL document has no byte payload —
+            # no file is written for it (the oracle filter mirrors this)
+            .filter((F.col("doc_id") < 20) & F.col("text").isNotNull())
             .collect()
         )
         for r in rows:
@@ -755,7 +765,7 @@ FROM (
          (len(string_split(text, ' ')) + 9) // 10 AS n_lines,
          md5(doc_id || ':' || text) AS digest
   FROM documents
-  WHERE doc_id < 50
+  WHERE doc_id < 50 AND text IS NOT NULL
 )
 ORDER BY doc_id
 """
@@ -775,9 +785,14 @@ def src_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-line CSVs small and many, or land them to parquet once and
     never re-parse (which is exactly what this op's write-then-read
     does)."""
+    # NULL-text contract (round 9, class 2): a NULL document has no
+    # serialized form — same rule as the text/wholetext/binary writers.
+    # (Keeping it would be ambiguous: the CSV writer emits NULL as an
+    # empty field, which reads back as '' and diverges from the oracle's
+    # NULL-propagating digest.)
     d = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 50)
+        .filter((F.col("doc_id") < 50) & F.col("text").isNotNull())
         .select(
             "doc_id",
             # re-wrap: newline every 10 words — embedded newlines in ONE field
@@ -869,7 +884,10 @@ def src_recursive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 1)).write.mode(
             "overwrite"
         ).parquet(f"{out}/lang_en/shard_1")
-        d.filter(F.col("lang") != "en").write.mode("overwrite").parquet(
+        # eqNullSafe: a NULL-lang doc is real data that must land in the
+        # tree — plain `lang != 'en'` is three-valued NULL for it and the
+        # row would silently vanish from the ingest (round 9, class 2)
+        d.filter(~F.col("lang").eqNullSafe("en")).write.mode("overwrite").parquet(
             f"{out}/rest"
         )
         with open(done, "w") as f:
@@ -890,7 +908,7 @@ SELECT doc_id,
        strlen(text) AS n_bytes,
        md5(text) AS digest
 FROM documents
-WHERE doc_id >= 20 AND doc_id < 40
+WHERE doc_id >= 20 AND doc_id < 40 AND text IS NOT NULL
 ORDER BY doc_id
 """
 
@@ -920,7 +938,14 @@ def src_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(out, exist_ok=True)
         rows = (
             load_table(spark, sf_dir, "documents")
-            .filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+            # NULL-text contract: a NULL document has no file (the
+            # fixture writer would crash on f.write(None); the oracle
+            # filter mirrors the skip)
+            .filter(
+                (F.col("doc_id") >= 20)
+                & (F.col("doc_id") < 40)
+                & F.col("text").isNotNull()
+            )
             .select("doc_id", "text")
             .collect()  # 20 rows — bounded by the literal
         )

@@ -597,8 +597,10 @@ WITH win AS (
   FROM win GROUP BY 1, 2
 )
 SELECT win_start, event_type, n, rnk FROM (
+  -- NULLS LAST pinned (round 9, class 3): a NULL event_type is a real
+  -- leaderboard entry; Spark ranks NULL first ascending, DuckDB last.
   SELECT *, CAST(row_number() OVER (PARTITION BY win_start
-                         ORDER BY n DESC, event_type) AS INT) AS rnk
+                         ORDER BY n DESC, event_type NULLS LAST) AS INT) AS rnk
   FROM counted
 ) WHERE rnk <= 3
 """
@@ -629,7 +631,10 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = run_to_memory(agg)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("win_start").orderBy(F.desc("n"), F.asc("event_type"))
+    # NULLS LAST matches the oracle (see _SLIDING_TOPK_ORACLE note)
+    w = Window.partitionBy("win_start").orderBy(
+        F.desc("n"), F.asc_nulls_last("event_type")
+    )
     return (
         final.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)

@@ -135,11 +135,15 @@ WITH words AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
   FROM documents
 ), profile AS (
+  -- lang IS NOT NULL (round 9, class 2/3): an unknown-language doc
+  -- cannot seed a profile — a NULL p_lang would also poison the
+  -- classifier's tie-break (Spark orders NULL first ASC, DuckDB last).
+  -- NULL-lang docs are still CLASSIFIED (true-lang NULL rows below).
   SELECT lang AS p_lang, word FROM (
     SELECT lang, word,
            row_number() OVER (PARTITION BY lang
                               ORDER BY count(*) DESC, word) AS rn
-    FROM words WHERE word <> '' GROUP BY lang, word
+    FROM words WHERE word <> '' AND lang IS NOT NULL GROUP BY lang, word
   ) WHERE rn <= 10
 ), scores AS (
   SELECT w.doc_id, w.lang, p.p_lang, CAST(count(*) AS BIGINT) AS hits
@@ -173,8 +177,11 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
     wp = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
+    # unknown-language docs don't seed profiles (see oracle note); they
+    # are still classified against the known-language profiles below
     profile = (
-        words.groupBy("lang", "word")
+        words.filter(F.col("lang").isNotNull())
+        .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= 10)

@@ -627,8 +627,11 @@ interior AS (
                  - (p.x - c.x) * (a.sy - p.y * a.c)) DESC,
              c.x ASC) AS rk
     FROM interior c
-    JOIN {prev} p ON p.event_type = c.event_type
-    JOIN {anchor} a ON a.event_type = c.event_type
+    -- IS NOT DISTINCT FROM (round 9, class 3): a NULL event_type is a
+    -- real series — plain equality drops its 8 interior picks while the
+    -- Spark applyInPandas group keeps them (probed 60 vs 52 rows)
+    JOIN {prev} p ON p.event_type IS NOT DISTINCT FROM c.event_type
+    JOIN {anchor} a ON a.event_type IS NOT DISTINCT FROM c.event_type
     WHERE c.b = {b}
   ) WHERE rk = 1
 )"""

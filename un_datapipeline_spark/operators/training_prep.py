@@ -316,7 +316,15 @@ def llm_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from un_datapipeline_spark.operators.llm_vectors import _vec_matrix, valid_vec
+
+    # NULL-vector contract (round 9): corrupt vectors neither seed, train,
+    # nor join clusters — same rule as cosine_topk.
+    em = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(valid_vec())
+        .select("vec_id", "embedding")
+    )
     k = 8
     init = em.orderBy("vec_id").limit(k).collect()  # k rows — bounded by design
     centroids = np.array([r.embedding for r in init], dtype=np.float64)
@@ -324,7 +332,10 @@ def llm_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     def make_assign(cents):
         def assign(batches):
             for pdf in batches:
-                mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+                vkeep, mat = _vec_matrix(pdf, "embedding")  # defensive
+                if mat.shape[0] == 0:
+                    continue
+                pdf = pdf[vkeep]
                 # squared euclidean via ||x||² - 2x·c + ||c||²; argmin ties
                 # resolve to the lowest cluster id (np.argmin contract).
                 d2 = (
@@ -636,7 +647,15 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from un_datapipeline_spark.operators.llm_vectors import _vec_matrix, valid_vec
+
+    # NULL-vector contract (round 9): corrupt vectors are excluded from
+    # semantic dedup entirely — same rule as llm_kmeans_cluster.
+    em = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(valid_vec())
+        .select("vec_id", "embedding")
+    )
     k = SEMDEDUP_K
     init = em.orderBy("vec_id").limit(k).collect()  # k rows — bounded
     centroids = np.array([r.embedding for r in init], dtype=np.float64)
@@ -644,7 +663,10 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def make_assign(cents):
         def assign(batches):
             for pdf in batches:
-                mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+                vkeep, mat = _vec_matrix(pdf, "embedding")  # defensive
+                if mat.shape[0] == 0:
+                    continue
+                pdf = pdf[vkeep]
                 d2 = (
                     (mat * mat).sum(axis=1, keepdims=True)
                     - 2.0 * mat @ cents.T

@@ -21,8 +21,12 @@ from pyspark.sql.types import StringType
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
 
+# The explicit IS NULL branch (round 9, class 4): without it a NULL
+# price would fall through every WHEN into ELSE 'XL' — an unpriced order
+# is not an extra-large one; its bucket is unknown on both engines.
 _PY_SCALAR_ORACLE = """
-SELECT CASE WHEN o_totalprice < 50000  THEN 'S'
+SELECT CASE WHEN o_totalprice IS NULL  THEN NULL
+            WHEN o_totalprice < 50000  THEN 'S'
             WHEN o_totalprice < 150000 THEN 'M'
             WHEN o_totalprice < 300000 THEN 'L'
             ELSE 'XL' END AS bucket,
@@ -39,6 +43,10 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     would use in production."""
 
     def bucket(p: float) -> str:
+        # None-total (round 9, class 4): a plain Python UDF receives SQL
+        # NULL as None — `None < 50000` is a worker-killing TypeError.
+        if p is None:
+            return None
         if p < 50000:
             return "S"
         if p < 150000:
@@ -172,15 +180,19 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# coalesce(lang, '<null>') (round 9, class 4 — decision made r08): a
+# NULL group key is real data (docs with unknown lang) and Spark cannot
+# hold a NULL map key at all (NULL_MAP_KEY), so the unknown-lang bucket
+# gets an explicit name on BOTH sides and its count is preserved.
 _MAP_ORACLE = """
 SELECT source,
        array_to_string(list_sort(list(lang || ':' || CAST(n AS VARCHAR))), '|')
          AS lang_counts,
        array_to_string(list_sort(list(lang)), '|') AS langs
 FROM (
-  SELECT source, lang, count(*) AS n
+  SELECT source, coalesce(lang, '<null>') AS lang, count(*) AS n
   FROM documents
-  GROUP BY source, lang
+  GROUP BY source, coalesce(lang, '<null>')
 )
 GROUP BY source
 """
@@ -196,7 +208,10 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's canonicalizer cannot hash raw array cells (r1 HARNESS-ERR
     class of failure, caught locally by tests/strict_diff.py)."""
     d = load_table(spark, sf_dir, "documents")
-    per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    # unknown-lang bucket named explicitly — see _MAP_ORACLE note
+    per = d.groupBy(
+        "source", F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang")
+    ).agg(F.count(F.lit(1)).alias("n"))
     m = F.map_from_entries(F.collect_list(F.struct("lang", "n")))
     return per.groupBy("source").agg(
         F.array_join(
@@ -249,17 +264,22 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def eval(self, spec: str, row: str):
-            yield tuple(row.split("|"))
+            # chr(0) sentinel → None (round 9, class 4): the pack side
+            # coalesces NULL fields to NUL so the payload keeps its field
+            # COUNT (concat_ws silently drops null args — a NULL priority
+            # would shift every later field left and break the arity).
+            yield tuple(None if f == "\x00" else f for f in row.split("|"))
 
     spark.udtf.register("udps_unpack_cols", UnpackCols)
     o = load_table(spark, sf_dir, "orders")
+    nul = F.lit("\x00")
     o.select(
         "o_orderkey",
         F.concat_ws(
             "|",
-            "o_orderstatus",
-            "o_orderpriority",
-            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.coalesce(F.col("o_orderstatus"), nul),
+            F.coalesce(F.col("o_orderpriority"), nul),
+            F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd"), nul),
         ).alias("packed"),
     ).createOrReplaceTempView("udps_packed_orders")
     return spark.sql(
@@ -422,8 +442,14 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one-time per-worker init happens HERE (before the first batch)
         scale = 100  # stand-in for an expensive-to-load resource
         for p, d in it:
-            cents = (p * scale).round().astype("int64")
-            bp = (d * scale).round().astype("int64")
+            # nullable Int64 (round 9, class 4): SQL NULL arrives as NaN,
+            # and numpy .astype("int64") on NaN is a worker crash (or,
+            # via to_numpy, a silent INT64_MIN).  The pandas extension
+            # dtype carries <NA> through the arithmetic and back to SQL
+            # NULL at the Arrow boundary — the row drops out of SUM on
+            # both engines.
+            cents = (p * scale).round().astype("Int64")
+            bp = (d * scale).round().astype("Int64")
             yield cents * (100 - bp)
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -479,7 +505,10 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.n = 0
             self.first = None
             self.last = None
-            self.cents = 0
+            # None until the first priced order (round 9, class 4): the
+            # SQL SUM of an all-NULL group is NULL, not 0 — seeding 0
+            # would diverge for a customer whose every order is unpriced.
+            self.cents = None
 
         def eval(self, row):
             self.key = row["o_custkey"]
@@ -489,7 +518,9 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
             if self.first is None:
                 self.first = d
             self.last = d
-            self.cents += int(round(row["o_totalprice"] * 100))
+            tp = row["o_totalprice"]
+            if tp is not None:  # NULL price: no SUM contribution
+                self.cents = (self.cents or 0) + int(round(tp * 100))
 
         def terminate(self):
             if self.key is not None:

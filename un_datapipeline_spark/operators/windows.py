@@ -250,7 +250,8 @@ SELECT o_orderstatus, o_orderkey, o_totalprice,
        ROUND(cume_dist()    OVER w, 6) AS cume,
        ntile(4)             OVER w AS quartile
 FROM orders
-WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice NULLS LAST, o_orderkey)
 QUALIFY o_orderkey % 37 = 0
 """
 
@@ -266,9 +267,17 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle on o_orderstatus; the per-partition sort is
     the same one every rank-family window pays.  The %37 sample filter
     applies AFTER ranking (it must — ranks are over the full partition),
-    so it prunes output size, not compute."""
+    so it prunes output size, not compute.
+
+    NULL rank keys (round 9, class 3): Spark orders NULLS FIRST
+    ascending, DuckDB NULLS LAST — a single NULL o_totalprice would
+    shift every rank in its partition differently per engine.  Pinned
+    NULLS LAST explicitly on BOTH sides (the rows stay ranked; dropping
+    them would change n and every percent_rank denominator)."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc_nulls_last("o_totalprice"), "o_orderkey"
+    )
     return (
         o.select(
             "o_orderstatus",
@@ -318,12 +327,18 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(frame)
     lo = F.element_at(frame, F.floor((n + 1) / 2).cast("int"))
     hi = F.element_at(frame, F.ceil((n + 1) / 2).cast("int"))
+    # n = 0 guard (round 9, class 3): collect_list SKIPS NULL prices —
+    # which happens to match quantile_cont's null-ignore — but a frame
+    # of ONLY NULL prices collapses to an empty array and element_at(_,0)
+    # is INVALID_INDEX_OF_ZERO under ANSI.  The median of no values is
+    # NULL on both engines (DuckDB already returns NULL there).
+    med5 = F.when(n > 0, F.round((lo + hi) / 2, 4))
     return (
         o.filter(F.col("o_custkey") % 17 == 0)
         .select(
             "o_custkey",
             "o_orderkey",
-            F.round((lo + hi) / 2, 4).alias("med5"),
+            med5.alias("med5"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
