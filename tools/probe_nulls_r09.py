@@ -1,21 +1,17 @@
-"""ROUND-9 WORKLIST GENERATOR — NULL-bulk robustness probe (not part of
-the per-round battery; its corpus is EXPECTED to red ~45 ops until the
-round-9 fix wave lands).
+"""NULL-bulk robustness probe — HISTORICAL alias (round 9: SHIPPED).
 
-Round 8 shipped the non-finite measurement class (ingest contract +
---nonfinite sweep, fail=0).  The sibling class — bulk NULLs in every
-nullable column (NULL text/lang/source, NULL value/props/event_type,
-NULL embedding/label, NULL o_totalprice/o_orderpriority,
-NULL l_discount/l_tax/l_returnflag) — was probed the same round:
-**45 of 351 ops diverge or crash** (catalog in R09_NULLS_PLAN.md).
-The wave was DEFERRED: 45 stamp-void re-edits plus the 16 never-verified
-ops exceed the 50-slot round-8 driver window, and the round-8 priority
-(VERDICT r07 item 1) was the full-registry stamp-out.  Round 9's window
-is pure refresh budget, which a 45-op wave fits.
+Round 8 generated the worklist with this probe: **45 of 351 ops diverged
+or crashed** on a corpus with NULLs striped into every nullable non-key
+column (catalog in R09_NULLS_PLAN.md).  Round 9 fixed all 45
+class-by-class and PROMOTED the corpus builder to
+`python tools/sweep_degenerate.py --nulls`, which is now the permanent
+per-round gate and runs fail=0.  This file remains as a thin alias
+(same corpus via sweep_degenerate.build_nulls_dataset, same run_registry
+loop) and as the record of the original worklist generator; a red run
+here is a REGRESSION, not expected noise.
 
-Failure classes found by this probe (fix the CLASS, then promote the
-builder below to a `--nulls` mode of sweep_degenerate.py and pin
-representatives in tests/test_degenerate_robustness.py):
+Failure classes the round-9 wave fixed (representatives pinned in
+tests/test_degenerate_robustness.py::NULLS_OPS):
 
 1. NULL embedding → every numpy kernel crashes on the ragged array
    (np.stack of list-with-None): cosine_topk / knn / dedup_embedding /

@@ -219,10 +219,12 @@ _NB = (
     "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
 )
 
-# NULL-vector contract mirror (round 9, see llm_vectors.valid_vec_sql):
-# DuckDB list aggregates SKIP NULL elements, so without the explicit
-# predicate a corrupt vector would get a partial norm instead of being
-# excluded like cosine_topk's Spark-side filter does.
+# NULL-vector contract mirror (round 9): the ONE predicate definition,
+# llm_vectors.valid_vec_sql — DuckDB list aggregates SKIP NULL elements,
+# so without it a corrupt vector would get a partial norm instead of
+# being excluded like cosine_topk's Spark-side filter does.
+from un_datapipeline_spark.operators.llm_vectors import valid_vec_sql as _vv
+
 _EMB_DEDUP_ORACLE = f"""
 SELECT a_id, nn_id, ROUND(sim, 6) AS sim,
        CAST(sim >= 0.9 AS INT) AS is_near_dup
@@ -233,10 +235,7 @@ FROM (
                             ORDER BY {_DOT} / ({_NA} * {_NB}) DESC, b.vec_id) AS rn
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
   WHERE a.vec_id < 100
-    AND (a.embedding IS NOT NULL
-         AND len(list_filter(a.embedding, x -> x IS NULL)) = 0)
-    AND (b.embedding IS NOT NULL
-         AND len(list_filter(b.embedding, x -> x IS NULL)) = 0)
+    AND {_vv("a.embedding")} AND {_vv("b.embedding")}
     AND {_NA} > 0 AND {_NB} > 0
 )
 WHERE rn = 1

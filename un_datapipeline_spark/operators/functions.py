@@ -177,7 +177,11 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ARRAY_ORACLE = """
+# NULL-vector contract predicate: the ONE definition (round-9 review —
+# hand-inlined copies of the SQL drift when the contract changes)
+from un_datapipeline_spark.operators.llm_vectors import valid_vec_sql as _vv_sql
+
+_ARRAY_ORACLE = f"""
 SELECT vec_id,
        len(embedding)                                                  AS dim,
        ROUND(CAST(embedding[1] AS DOUBLE), 6)                          AS e1,
@@ -201,8 +205,7 @@ SELECT vec_id,
        ROUND(list_aggregate(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6)   AS sumsq
 FROM embeddings
-WHERE embedding IS NOT NULL
-  AND len(list_filter(embedding, x -> x IS NULL)) = 0
+WHERE {_vv_sql("embedding")}
 """
 
 

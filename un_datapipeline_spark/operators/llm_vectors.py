@@ -346,6 +346,8 @@ def train_ivf_centroids(
         .select(vec_col)
         .collect()
     )
+    if not rows:  # corpus has no valid vectors → no quantizer to train
+        return np.zeros((0, 0))
     x = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
@@ -372,9 +374,15 @@ def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load_table(spark, sf_dir, "embeddings").filter(valid_vec())
     cent = train_ivf_centroids(em)
-    cnorm = cent / np.linalg.norm(cent, axis=1, keepdims=True)
 
     probe_rows = em.filter(F.col("vec_id") < 100).select("vec_id", "embedding").collect()
+    if cent.shape[0] == 0 or not probe_rows:
+        # every probe (or the whole corpus) filtered out by the
+        # NULL-vector contract: the 1-D empty np.array has no axis=1 to
+        # normalize over (review catch, round 9) — the answer is simply
+        # no neighbor pairs
+        return spark.createDataFrame([], "a_id long, nn_id long, sim double")
+    cnorm = cent / np.linalg.norm(cent, axis=1, keepdims=True)
     p_ids = np.array([r[0] for r in probe_rows], dtype=np.int64)
     p_mat = np.array([r[1] for r in probe_rows], dtype=np.float64)
     p_mat /= np.linalg.norm(p_mat, axis=1, keepdims=True)
@@ -548,6 +556,10 @@ def llm_simsearch_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load_table(spark, sf_dir, "embeddings").filter(valid_vec())
     probe_rows = em.filter(F.col("vec_id") < 100).select("vec_id", "embedding").collect()
+    if not probe_rows:
+        # all probes invalid under the NULL-vector contract — the empty
+        # 1-D np.array has no axis=1 to normalize over (review catch)
+        return spark.createDataFrame([], "a_id long, nn_id long, sim double")
     p_ids = np.array([r[0] for r in probe_rows], dtype=np.int64)
     p_mat = np.array([r[1] for r in probe_rows], dtype=np.float64)
     p_mat /= np.linalg.norm(p_mat, axis=1, keepdims=True)
@@ -671,6 +683,8 @@ def train_pq_codebooks(corpus, sample: int = 512, n_iters: int = 5, seed: int = 
         .limit(sample)
         .collect()
     )
+    if not rows:  # corpus has no valid vectors → no codebooks to train
+        return np.zeros((PQ_SUBSPACES, PQ_CODEBOOK, 0))
     x = np.array([r[1] for r in rows], dtype=np.float64)
     sub_dim = x.shape[1] // PQ_SUBSPACES
     books = np.zeros((PQ_SUBSPACES, PQ_CODEBOOK, sub_dim))
@@ -711,6 +725,10 @@ def llm_vector_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load_table(spark, sf_dir, "embeddings").filter(valid_vec())
     books = train_pq_codebooks(em)
+    if books.shape[2] == 0:  # no valid vectors → nothing to encode
+        return spark.createDataFrame(
+            [], "vec_id long, pq_code string, rel_err double"
+        )
     sub_dim = books.shape[2]
 
     def encode(batches):
@@ -785,6 +803,11 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(valid_vec() & F.col("label").isNotNull())
     )
     rows = em.filter(F.col("vec_id") < 20).select("vec_id", "embedding", "label").collect()
+    out_schema = "a_id long, nn_id long, neg_label int, sim double"
+    if not rows:
+        # all anchors invalid (NULL vector / NULL label) — the empty 1-D
+        # np.array has no axis=1 to normalize over (review catch)
+        return spark.createDataFrame([], out_schema)
     p_ids = np.array([r[0] for r in rows], dtype=np.int64)
     p_mat = np.array([r[1] for r in rows], dtype=np.float64)
     p_lbl = np.array([r[2] for r in rows], dtype=np.int64)
@@ -799,8 +822,19 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             vkeep, b_mat = _vec_matrix(pdf, "embedding")  # defensive
-            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)[vkeep]
-            b_lbl = pdf["label"].to_numpy(dtype=np.int64)[vkeep]
+            # mask BEFORE the int64 conversion: a NULL label arrives as
+            # NaN and .to_numpy(dtype=int64) on the raw column would
+            # crash (or silently mint INT64_MIN) ahead of the vector
+            # guard (review catch).  Upstream label.isNotNull() already
+            # excludes such rows; this keeps the kernel total on raw
+            # data.  lbl_ok[vkeep] re-indexes the label mask onto
+            # b_mat's rows (b_mat holds only the vkeep rows).
+            lbl_raw = pdf["label"].to_numpy()
+            lbl_ok = ~pd.isna(lbl_raw)
+            b_mat = b_mat[lbl_ok[vkeep]]
+            keep = vkeep & lbl_ok
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)[keep]
+            b_lbl = lbl_raw[keep].astype(np.int64)
             if b_mat.shape[0] == 0:
                 continue
             b_keep = np.linalg.norm(b_mat, axis=1) > 0
