@@ -432,3 +432,39 @@ def test_vector_norms_empty_and_null_embeddings(spark, tmp_path):
     r0 = sp[sp["label"] == 0].iloc[0]
     # label 0 = {empty -> l2 0, [3,4] -> l2 5, NULL -> dropped}: avg 2.5
     assert float(r0["avg_l2"]) == 2.5 and int(r0["min_dim"]) == 0
+
+
+@pytest.fixture(scope="module")
+def timewarp_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("timewarpsf")
+    _tool().build_timewarp_dataset(str(d))
+    return str(d)
+
+
+# one representative per timestamp-validity hazard class (tables.py
+# valid_ts contract; corpus: tools/probe_timewarp_r10.py)
+TIMEWARP_OPS = [
+    "ts_resample_ffill",      # bounded-spine: one decades-out ts would
+    #                           materialize a 150-year hourly grid (OOM
+    #                           class) without the valid_ts bound
+    "ts_interpolate_linear",  # same class, per-type spine
+    "stream_dedup",           # watermark poisoning: one 2099 event
+    #                           advanced the watermark past every honest
+    #                           row (47/210 silently dropped pre-fix)
+    "stream_stream_join",     # same class, both join legs' watermarks
+    "ts_multires_rollup",     # control: pure bucket aggregation needs NO
+    #                           contract — out-of-range rows just land in
+    #                           out-of-range buckets on both engines
+]
+
+
+@pytest.mark.parametrize("name", TIMEWARP_OPS)
+def test_timewarp_corpus_class(spark, timewarp_sf, name):
+    """Round-9 second-wave hazard class: decades-out corrupt timestamps
+    (pre-1970 negative epochs + far-future 2099) — one per few hundred
+    rows, the shape a real 100 TB event feed carries.  Two operator
+    classes are exposed: RANGE-MATERIALIZING ops (grid/spine generators
+    explode off one outlier) and WATERMARK ops (monotonic event-time
+    state silently drops every honest row).  The valid_ts contract
+    (tables.py) bounds both, mirrored verbatim in each paired oracle."""
+    _both(spark, timewarp_sf, name)

@@ -1,41 +1,37 @@
-"""ROUND-10 CANDIDATE PROBE — out-of-range timestamp robustness (NOT in
-the per-round battery; first run at round 8 crashed the JVM mid-sweep,
-so the catalog is incomplete BY DESIGN — treat this as a lead, not a
-worklist yet).
+"""Out-of-range-timestamp robustness probe — HISTORICAL alias (round 9:
+SHIPPED, a round early).
 
-Corpus: events.ts striped with pre-1970 (negative epoch) and far-future
-(2099) timestamps; orders.o_orderdate striped with 1968.  One corrupt
-decades-out row per few hundred is exactly what a real 100 TB feed
-contains.
+Round 8 generated the lead with this probe: events.ts striped with
+pre-1970 negative epochs and 2099 futures, orders.o_orderdate striped
+with 1968 — one corrupt decades-out row per few hundred, exactly what a
+real 100 TB feed carries.  The first full-registry run OOM'd the JVM
+mid-sweep; round 9 completed the catalog in isolated chunks and found
+the TRUE worklist was exactly four ops in two classes (the round-8
+"assorted date-window/session/asof divergences" were crash-cascade
+noise — every other op, including the no-grid ts_multires_rollup and
+the date-spining etl_date_spine, passes the warped corpus unmodified):
 
-Round-8 first-run findings (before a task-level Java heap OOM at ~op
-130 killed the JVM and cascaded "Connection refused" over the rest):
+1. **Grid explosion** (CONFIRMED, fixed): ts_resample_ffill and
+   ts_interpolate_linear spine sequence(min(ts), max(ts)) — one
+   decades-out row materializes a 150-year hourly grid (>7-minute hang
+   on a 6k-row corpus; task OOM at cluster scale).  Fix: the valid_ts
+   bounded-spine contract (tables.py), a scan-pushable BETWEEN applied
+   inside each op and mirrored verbatim in its paired oracle.
+2. **Watermark poisoning** (CONFIRMED, fixed): stream_dedup and
+   stream_stream_join — watermarks are MONOTONIC, so one 2099 event
+   advances them past every honest row (stream_dedup silently dropped
+   47/210; stream_stream_join kept 20/51 distinct clicks).  Fix: the
+   same valid_ts guard before the watermark, both oracle sides.
+3. Negative-epoch `//`-vs-DIV divergence: HYPOTHESIZED round 8, did NOT
+   materialize — every epoch-bucketing lane divides date_trunc'ed
+   (exact-multiple) epochs, where truncate == floor.
 
-1. **Grid explosion (the OOM, and the headline scale hazard) —
-   CONFIRMED in isolation**: ops that GENERATE a time grid between
-   min(ts) and max(ts) — resample/ffill, interpolation, multires
-   rollup — materialize a 150-YEAR spine when one corrupt row lands
-   decades out of range; a 4-op subset run hung past a 7-minute
-   timeout on a 6k-row corpus (etl_date_spine passed — it spines
-   order dates, which this corpus warps only mildly).  At cluster
-   scale this OOMs real executors; the engine-level answer is a
-   bounded-spine contract (clamp or reject out-of-range rows at
-   ingest, like the non-finite contract) BEFORE the grid generator.
-2. **Watermark poisoning — CONFIRMED in isolation**: `stream_dedup`
-   reds 163 vs 210 — a single 2099 event advances the watermark past
-   every honest row and silently drops 47 of them on the streaming
-   side while the batch oracle keeps them.  Real production incident
-   class; candidate fix = ingest-bound or documented contract.
-3. **Negative-epoch division**: PARITY.md's `//`-floors vs `DIV`-
-   truncates hazard goes LIVE on pre-1970 epochs for every
-   epoch-bucketing lane that was only ever exercised on positive time.
-4. Assorted date-window/session/asof divergences pre-crash (real list
-   unknown — the crash truncated the sweep; re-run class-by-class).
-
-Suggested r10 procedure: first run the GRID ops alone (expect OOM →
-fix the spine bound), then the stream family (watermark contract),
-then the full registry; promote to a sweep mode only once fail=0 is
-reachable.
+The corpus builder is PROMOTED to `python tools/sweep_degenerate.py
+--timewarp`, the permanent per-round gate (full-registry fail=0).  This
+file remains as a thin alias over the same builder + run_registry loop
+and as the record of the original lead; a red run here is a REGRESSION.
+Representatives pinned in tests/test_degenerate_robustness.py::
+TIMEWARP_OPS.
 
 Usage:
     python tools/probe_timewarp_r10.py [op ...]
@@ -49,45 +45,10 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import pandas as pd
-import pyarrow as pa
-import pyarrow.parquet as pq
+from sweep_degenerate import build_timewarp_dataset
 
-BASE = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
-
-
-def build_timewarp(d: str) -> None:
-    for t in "region nation customer supplier part lineitem documents embeddings".split():
-        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
-
-    ev = pd.read_parquet(f"{BASE}/events.parquet").copy()
-    ts = list(ev["ts"])
-    for i in range(len(ts)):
-        if i % 9 == 0:
-            ts[i] = pd.Timestamp("1969-12-31 23:45:17")  # negative epoch
-        elif i % 9 == 1:
-            ts[i] = pd.Timestamp("1950-03-02 04:05:06.789012")
-        elif i % 9 == 2:
-            ts[i] = pd.Timestamp("2099-11-30 23:59:59.999999")
-    ev["ts"] = ts
-    pq.write_table(
-        pa.Table.from_pandas(
-            ev, schema=pq.read_schema(f"{BASE}/events.parquet"), preserve_index=False
-        ),
-        f"{d}/events.parquet",
-    )
-
-    o = pd.read_parquet(f"{BASE}/orders.parquet").copy()
-    od = list(o["o_orderdate"])
-    for i in range(0, len(od), 11):
-        od[i] = pd.Timestamp("1968-06-15")
-    o["o_orderdate"] = od
-    pq.write_table(
-        pa.Table.from_pandas(
-            o, schema=pq.read_schema(f"{BASE}/orders.parquet"), preserve_index=False
-        ),
-        f"{d}/orders.parquet",
-    )
+# kept under the original name so round-8/9 notes' references resolve
+build_timewarp = build_timewarp_dataset
 
 
 def main() -> int:
@@ -97,10 +58,10 @@ def main() -> int:
     if bad:
         raise SystemExit(f"unknown flag(s) {bad}; args are op names only")
     d = tempfile.mkdtemp(prefix="probe_timewarp_")
-    build_timewarp(d)
-    run_registry(d, set(sys.argv[1:]), app_name="probe-timewarp")
+    build_timewarp_dataset(d)
+    _, _, fails = run_registry(d, set(sys.argv[1:]), app_name="probe-timewarp")
     shutil.rmtree(d, ignore_errors=True)
-    return 0  # a worklist generator, not a gate — fails are the output
+    return 1 if fails else 0  # promoted: a red here is a regression
 
 
 if __name__ == "__main__":

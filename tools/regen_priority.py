@@ -95,6 +95,15 @@ FORCE_REFRESH = (
     "llm_kmeans_cluster",
     "llm_semdedup",
     "llm_ann_brp_lsh",          # total projection + checkpointed filter
+    # -- round-9 second wave: timestamp-validity contract (timewarp) ----
+    # Oracle TEXT changed (WHERE valid_ts added on both sides): bounded-
+    # spine for the two grid generators, watermark-poisoning guard for
+    # the two stateful streaming ops.  tools/probe_timewarp_r10.py green
+    # on all four; strict-green at sf0.001/sf0.01 and --nulls.
+    "ts_resample_ffill",
+    "ts_interpolate_linear",
+    "stream_dedup",
+    "stream_stream_join",
     # -- class 2: NULL-text writers / shingles / payload guards ---------
     "src_text_lines",
     "src_text_wholetext",

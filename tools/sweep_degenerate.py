@@ -48,6 +48,17 @@ op downstream of ingest.  Without the contract, 38 ops diverged
 (Spark ANSI CAST_OVERFLOW on Inf·1e8 snap lanes, DuckDB stddev
 "out of range" on Inf — probed round 8).
 
+A seventh mode (--timewarp, promoted round 9 from
+tools/probe_timewarp_r10.py) stripes decades-out corrupt timestamps
+into ``events.ts`` (pre-1970 negative epochs + 2099 futures) and
+``orders.o_orderdate`` (1968) — one per few hundred rows, the shape a
+real 100 TB feed carries.  It exposed two operator classes before the
+``valid_ts`` contract (tables.py): grid/spine generators materializing
+a 150-year spine off ONE outlier row (task-OOM at cluster scale), and
+watermark ops whose monotonic event-time state silently dropped every
+honest row behind one far-future event (stream_dedup lost 47/210).
+Full-registry fail=0 since the round-9 second wave.
+
 A sixth mode (--nulls, promoted round 9 from tools/probe_nulls_r09.py)
 stripes NULLs into every nullable non-key column — the shape a real
 100 TB feed always carries.  It found 45 divergent/crashing ops in
@@ -64,6 +75,7 @@ Usage:
     python tools/sweep_degenerate.py --ties [ops...]     # tie-stress corpus
     python tools/sweep_degenerate.py --nonfinite [ops...] # NaN/Inf measures
     python tools/sweep_degenerate.py --nulls [ops...]    # NULL-bulk corpus
+    python tools/sweep_degenerate.py --timewarp [ops...] # decades-out ts
 """
 
 from __future__ import annotations
@@ -401,6 +413,53 @@ def build_nulls_dataset(d: str) -> None:
     )
 
 
+def build_timewarp_dataset(d: str) -> None:
+    """Decades-out-timestamp corpus (--timewarp, promoted from
+    tools/probe_timewarp_r10.py after the round-9 second-wave fixes):
+    events.ts striped with pre-1970 negative epochs (1969-12-31 23:45,
+    1950) and far-future stamps (2099); orders.o_orderdate striped with
+    1968.  One corrupt decades-out row per few hundred is exactly what a
+    real 100 TB feed carries.  Two operator classes were exposed before
+    the valid_ts contract (tables.py): RANGE-MATERIALIZING ops (grid
+    generators explode to a 150-year spine off one outlier — task-OOM
+    class) and WATERMARK ops (monotonic event-time state silently drops
+    every honest row behind one far-future event)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in "region nation customer supplier part lineitem documents embeddings".split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+
+    def write(t: str, frame: pd.DataFrame) -> None:
+        pq.write_table(
+            pa.Table.from_pandas(
+                frame,
+                schema=pq.read_schema(f"{BASE}/{t}.parquet"),
+                preserve_index=False,
+            ),
+            f"{d}/{t}.parquet",
+        )
+
+    ev = pd.read_parquet(f"{BASE}/events.parquet").copy()
+    ts = list(ev["ts"])
+    for i in range(len(ts)):
+        if i % 9 == 0:
+            ts[i] = pd.Timestamp("1969-12-31 23:45:17")  # negative epoch
+        elif i % 9 == 1:
+            ts[i] = pd.Timestamp("1950-03-02 04:05:06.789012")
+        elif i % 9 == 2:
+            ts[i] = pd.Timestamp("2099-11-30 23:59:59.999999")
+    ev["ts"] = ts
+    write("events", ev)
+
+    o = pd.read_parquet(f"{BASE}/orders.parquet").copy()
+    od = list(o["o_orderdate"])
+    for i in range(0, len(od), 11):
+        od[i] = pd.Timestamp("1968-06-15")
+    o["o_orderdate"] = od
+    write("orders", o)
+
+
 def build_tiny_dataset(d: str) -> None:
     """Referentially-intact minimal tables: joins still produce (few)
     rows, empty groups exist, every sketch/model trains on fewer points
@@ -516,7 +575,7 @@ def run_registry(d: str, only: set[str], app_name: str = "degen-sweep"):
 
 def main() -> int:
     args = sys.argv[1:]
-    flags = ("--tiny", "--unicode", "--ties", "--nonfinite", "--nulls")
+    flags = ("--tiny", "--unicode", "--ties", "--nonfinite", "--nulls", "--timewarp")
     bad = [a for a in args if a.startswith("--") and a not in flags]
     if bad:
         # A mistyped flag must not fall through to the op-name filter,
@@ -527,6 +586,7 @@ def main() -> int:
     ties_mode = "--ties" in args
     nonfinite_mode = "--nonfinite" in args
     nulls_mode = "--nulls" in args
+    timewarp_mode = "--timewarp" in args
     only = set(a for a in args if a not in flags)
     d = tempfile.mkdtemp(prefix="degen_")
     if tiny:
@@ -539,6 +599,8 @@ def main() -> int:
         build_nonfinite_dataset(d)
     elif nulls_mode:
         build_nulls_dataset(d)
+    elif timewarp_mode:
+        build_timewarp_dataset(d)
     else:
         build_dataset(d)
     _, _, fails = run_registry(d, only)

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import load_table, valid_ts, valid_ts_sql
 
 def _cents() -> F.Column:
     # classic-mode F.col needs an active SparkContext, so build lazily
@@ -87,11 +87,11 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INTERP_ORACLE = """
+_INTERP_ORACLE = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hour, event_type,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
-  FROM events GROUP BY 1, 2
+  FROM events WHERE {valid_ts_sql()} GROUP BY 1, 2
 ), bounds AS (
   SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM hourly GROUP BY event_type
 ), grid AS (
@@ -140,8 +140,14 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE final double division, so both engines round the identical
     double.  Neighbor lookup is two IGNORE-NULLS window scans — no
     self-join, no explode beyond the spine (cardinality = hours ×
-    types, independent of event volume)."""
-    e = load_table(spark, sf_dir, "events")
+    types, independent of event volume).
+
+    Bounded-spine contract: the per-type spine spans observed min..max,
+    so one decades-out corrupt timestamp materializes a 150-year grid
+    (tools/probe_timewarp_r10 confirmed the hang).  ``valid_ts`` bounds
+    the observed range on BOTH engines (tables.py documents the
+    window); scan-pushable BETWEEN, bitwise-neutral on clean data."""
+    e = load_table(spark, sf_dir, "events").where(valid_ts())
     hourly = e.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(F.sum(_cents()).alias("c"))

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.session import ensure_runtime_confs
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import load_table, valid_ts, valid_ts_sql
 
 
 @contextlib.contextmanager
@@ -255,9 +255,10 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, mode="append")
 
 
-_DEDUP_ORACLE = """
+_DEDUP_ORACLE = f"""
 SELECT event_type, count(*) AS n
-FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
+FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+      WHERE {valid_ts_sql()} ORDER BY event_id)
 GROUP BY event_type
 """
 
@@ -266,8 +267,16 @@ GROUP BY event_type
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on event_id within a watermark, then counts per
     type.  event_ids are unique in the data, so the oracle is a plain
-    distinct — the operator proves the stateful dedup plumbing."""
-    s = read_events_stream(spark, sf_dir)
+    distinct — the operator proves the stateful dedup plumbing.
+
+    Watermark-poisoning guard: the watermark is MONOTONIC state — one
+    far-future corrupt event advances it past every honest row and the
+    stateful dedup silently DROPS them (tools/probe_timewarp_r10
+    measured 47 of 210 rows lost to a single 2099 stripe).  ``valid_ts``
+    rejects out-of-window event times before they can poison the
+    watermark, mirrored in the oracle (tables.py documents the
+    contract); bitwise-neutral on clean feeds."""
+    s = read_events_stream(spark, sf_dir).where(valid_ts())
     deduped = s.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -319,12 +328,12 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg)
 
 
-_STREAM_STREAM_ORACLE = """
+_STREAM_STREAM_ORACLE = f"""
 SELECT CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases,
        CAST(count(DISTINCT k.event_id) AS BIGINT) AS n_clicks
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-JOIN (SELECT * FROM events WHERE event_type = 'click') k
+FROM (SELECT * FROM events WHERE event_type = 'purchase' AND {valid_ts_sql()}) p
+JOIN (SELECT * FROM events WHERE event_type = 'click' AND {valid_ts_sql()}) k
   ON p.user_id = k.user_id
  AND CAST(k.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
  AND CAST(k.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
@@ -337,15 +346,24 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the preceding hour.  Both sides carry watermarks; the time-range
     condition bounds join state (clicks older than watermark−1h are
     evicted).  Inner-join emissions over the full data equal the batch
-    interval join."""
+    interval join.
+
+    Watermark-poisoning guard (same class as stream_dedup): both legs'
+    watermarks are monotonic, so one far-future corrupt event evicts
+    every honest row from the join state (tools/probe_timewarp_r10
+    measured 20 of 51 distinct clicks surviving a single 2099 stripe).
+    ``valid_ts`` rejects out-of-window event times on both legs,
+    mirrored in the oracle (contract: tables.py)."""
     purchases = (
         read_events_stream(spark, sf_dir)
+        .where(valid_ts())
         .filter(F.col("event_type") == "purchase")
         .withWatermark("ts", "10 minutes")
         .select(F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
     )
     clicks = (
         read_events_stream(spark, sf_dir)
+        .where(valid_ts())
         .filter(F.col("event_type") == "click")
         .withWatermark("ts", "10 minutes")
         .select(F.col("event_id").alias("k_id"), F.col("user_id").alias("k_user"), F.col("ts").alias("k_ts"))

