@@ -461,8 +461,9 @@ TIMEWARP_OPS = [
 @pytest.mark.parametrize("name", TIMEWARP_OPS)
 def test_timewarp_corpus_class(spark, timewarp_sf, name):
     """Round-9 second-wave hazard class: decades-out corrupt timestamps
-    (pre-1970 negative epochs + far-future 2099) — one per few hundred
-    rows, the shape a real 100 TB event feed carries.  Two operator
+    (pre-1970 negative epochs + far-future 2099).  The corpus stripes
+    them densely (1/3 of events rows) to trigger decisively; a real
+    100 TB feed carries them sparsely, but ONE row suffices.  Two operator
     classes are exposed: RANGE-MATERIALIZING ops (grid/spine generators
     explode off one outlier) and WATERMARK ops (monotonic event-time
     state silently drops every honest row).  The valid_ts contract

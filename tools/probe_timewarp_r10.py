@@ -3,8 +3,9 @@ SHIPPED, a round early).
 
 Round 8 generated the lead with this probe: events.ts striped with
 pre-1970 negative epochs and 2099 futures, orders.o_orderdate striped
-with 1968 — one corrupt decades-out row per few hundred, exactly what a
-real 100 TB feed carries.  The first full-registry run OOM'd the JVM
+with 1968 (a deliberately dense stripe — 1/3 of events rows — though
+even ONE such row reproduces both hazards).  The first full-registry
+run OOM'd the JVM
 mid-sweep; round 9 completed the catalog in isolated chunks and found
 the TRUE worklist was exactly four ops in two classes (the round-8
 "assorted date-window/session/asof divergences" were crash-cascade

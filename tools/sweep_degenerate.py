@@ -51,8 +51,11 @@ op downstream of ingest.  Without the contract, 38 ops diverged
 A seventh mode (--timewarp, promoted round 9 from
 tools/probe_timewarp_r10.py) stripes decades-out corrupt timestamps
 into ``events.ts`` (pre-1970 negative epochs + 2099 futures) and
-``orders.o_orderdate`` (1968) — one per few hundred rows, the shape a
-real 100 TB feed carries.  It exposed two operator classes before the
+``orders.o_orderdate`` (1968).  The stripe is deliberately DENSE (one
+in three events rows, one in eleven order dates) so the classes trigger
+decisively; a real 100 TB feed carries such rows far more sparsely —
+one per few hundred — but even ONE reproduces both hazards (round-8
+isolation runs).  It exposed two operator classes before the
 ``valid_ts`` contract (tables.py): grid/spine generators materializing
 a 150-year spine off ONE outlier row (task-OOM at cluster scale), and
 watermark ops whose monotonic event-time state silently dropped every
@@ -418,8 +421,10 @@ def build_timewarp_dataset(d: str) -> None:
     tools/probe_timewarp_r10.py after the round-9 second-wave fixes):
     events.ts striped with pre-1970 negative epochs (1969-12-31 23:45,
     1950) and far-future stamps (2099); orders.o_orderdate striped with
-    1968.  One corrupt decades-out row per few hundred is exactly what a
-    real 100 TB feed carries.  Two operator classes were exposed before
+    1968.  The stripe is deliberately dense (1/3 of events rows, 1/11
+    of order dates) to trigger the classes decisively; real feeds carry
+    such rows sparsely, but even one reproduces both hazards.  Two
+    operator classes were exposed before
     the valid_ts contract (tables.py): RANGE-MATERIALIZING ops (grid
     generators explode to a 150-year spine off one outlier — task-OOM
     class) and WATERMARK ops (monotonic event-time state silently drops
@@ -581,6 +586,13 @@ def main() -> int:
         # A mistyped flag must not fall through to the op-name filter,
         # where it would select zero ops and exit 0 (round-8 review).
         raise SystemExit(f"unknown flag(s) {bad}; modes: {flags}")
+    picked = [f for f in flags if f in args]
+    if len(picked) > 1:
+        # Modes are mutually exclusive (one corpus per run) — a combined
+        # invocation would silently run only the first mode's corpus and
+        # print a green TOTAL for a gate that never executed (round-9
+        # review: the same zero-op-looks-green class as above).
+        raise SystemExit(f"mode flags are mutually exclusive, got {picked}")
     tiny = "--tiny" in args
     unicode_mode = "--unicode" in args
     ties_mode = "--ties" in args
