@@ -201,3 +201,24 @@ def test_regen_priority_tool_matches_checked_in_lists():
         f"auto refresh re-checks a forced family: {fams}"
     )
     assert set(mod.STALE_REFRESH) <= set(mod.DRIVER_GREEN)
+
+
+def test_force_refresh_fits_driver_window():
+    """Every FORCE_REFRESH name (an op edited after its last driver stamp
+    — old stamp VOID) must land inside the driver's 50-slot window, or
+    the round ships edits the driver never re-verifies (VERDICT r08
+    item 4: 'verify every edited op appears in the regenerated window
+    before handoff' — this pins that manual step as a permanent guard).
+    Window = the first 50 of queries() in registry/priority order."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import regen_priority
+
+    window = list(all_operators())[:50]
+    missing = [n for n in regen_priority.FORCE_REFRESH if n not in window]
+    assert not missing, (
+        f"{len(missing)} FORCE_REFRESH names fall outside the 50-slot "
+        f"driver window and would ship unverified: {missing} — either "
+        "the regen was skipped or forced entries exceed the window"
+    )
