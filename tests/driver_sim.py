@@ -81,7 +81,8 @@ def main() -> int:
     # generation ships NaN/Inf, every value-consuming op will mismatch
     # below — this line says why, instead of 38 mysterious reds.
     n_nonfinite = con.execute(
-        "SELECT count(*) FROM events WHERE isnan(value) OR isinf(value)"
+        "SELECT count(*) FROM events WHERE isnan(value) OR isinf(value) "
+        "OR abs(value) > 1e12"
     ).fetchone()[0]
     if n_nonfinite:
         # Hard error (ADVICE r08): silently running a mirror whose oracle
@@ -90,12 +91,13 @@ def main() -> int:
         # --nonfinite sweep (tools/sweep_degenerate.py) is the sanctioned
         # path — it reconciles the oracle views with the contract.
         raise SystemExit(
-            f"corpus has {n_nonfinite} non-finite events.value rows; the "
-            "engine ingests them as NULL (tables.normalize_events_value) "
-            "but this harness mirrors the grading driver's PLAIN oracle "
-            "views, so every value-consuming op would mismatch by design. "
-            "Use tools/sweep_degenerate.py --nonfinite (contract-aware "
-            "views) for non-finite corpora."
+            f"corpus has {n_nonfinite} non-finite or absurd-magnitude "
+            "(|value| > 1e12) events.value rows; the engine ingests them "
+            "as NULL (tables.normalize_events_value) but this harness "
+            "mirrors the grading driver's PLAIN oracle views, so every "
+            "value-consuming op would mismatch by design.  Use "
+            "tools/sweep_degenerate.py --nonfinite / --magnitude "
+            "(contract-aware views) for corrupt corpora."
         )
 
     import time

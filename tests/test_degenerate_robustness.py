@@ -469,3 +469,100 @@ def test_timewarp_corpus_class(spark, timewarp_sf, name):
     state silently drops every honest row).  The valid_ts contract
     (tables.py) bounds both, mirrored verbatim in each paired oracle."""
     _both(spark, timewarp_sf, name)
+
+
+def test_valid_ts_window_not_decayed():
+    """Renewal tripwire (ADVICE r09): VALID_TS_HI is a FIXED wall-clock
+    bound (determinism requires one), so it silently decays — events
+    legitimately stamped past it would be dropped as corruption by the
+    four guarded operators.  This test fails once the wall clock comes
+    within two years of the bound, forcing a renewal before the window
+    can clip real data."""
+    import datetime as dt
+
+    from un_datapipeline_spark.tables import VALID_TS_HI
+
+    hi = dt.datetime.fromisoformat(VALID_TS_HI.split(".")[0])
+    assert dt.datetime.now() < hi - dt.timedelta(days=730), (
+        f"VALID_TS_HI ({VALID_TS_HI}) is less than two years out — renew "
+        "the validity window (tables.py) and re-stamp the four valid_ts "
+        "operators"
+    )
+
+
+@pytest.fixture(scope="module")
+def magnitude_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("magsf")
+    _tool().build_magnitude_dataset(str(d))
+    return str(d)
+
+
+# one representative per round-10 --magnitude mechanism
+# (R10_MAGNITUDE_PLAN.md; corpus: tools/probe_magnitude_r10.py)
+MAGNITUDE_OPS = [
+    "ts_lttb_downsample",       # exact-cents CAST(round(value*100) AS
+    #                             BIGINT) lane — int64 overflow at 1e18
+    "win_match_recognize",      # ARITHMETIC_OVERFLOW variant of the same
+    "stream_stateful_running",  # the streaming value path rides the same
+    #                             normalize_events_value helper
+]
+
+
+@pytest.mark.parametrize("name", MAGNITUDE_OPS)
+def test_magnitude_corpus_class(spark, magnitude_sf, name):
+    """Round-10 hazard class: FINITE but absurd-magnitude measurements
+    (unit bug / mis-parsed id column — ±1e15, 1e18).  Before the ingest
+    contract extension (abs(value) > 1e12 → NULL) 44 ops crashed: the
+    exact-cents BIGINT lane overflows int64 at |value| > ~9.2e16, and
+    1e15 absorbs every honest contribution below the double ulp even
+    where both engines agree.  The corpus also stripes 1e-300, which the
+    contract deliberately KEEPS (tiny rounds to 0 cents like 0.001)."""
+    _both(spark, magnitude_sf, name)
+
+
+def test_ingest_contract_magnitude_to_null(spark, tmp_path):
+    """Value-level pin of the round-10 contract extension: load_table
+    maps |value| > 1e12 to NULL while passing sane magnitudes through
+    bit-identically — including the boundary 1e12 itself (kept: the
+    rule is strictly-greater) and 1e-300 (tiny is harmless) — and the
+    oracle harness's events view applies the same rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_diff import duck_connect
+    from un_datapipeline_spark.tables import load_table
+
+    base = Path("/root/testdata/sf0.001")
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        (d / f"{t}.parquet").write_bytes((base / f"{t}.parquet").read_bytes())
+    tbl = pq.read_table(base / "events.parquet").slice(0, 6)
+    idx = tbl.schema.get_field_index("value")
+    arr = pa.array(
+        [1e15, -1e15, 1e18, 1e12, 1e-300, 123.45],
+        type=tbl.schema.field("value").type,
+    )
+    tbl = tbl.set_column(idx, tbl.schema.field("value"), arr)
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    got = [
+        r.value
+        for r in load_table(spark, str(d), "events")
+        .orderBy("event_id")
+        .select("value")
+        .collect()
+    ]
+    assert got == [None, None, None, 1e12, 1e-300, 123.45]
+
+    con = duck_connect(str(d))
+    duck = [
+        v
+        for (v,) in con.execute(
+            "SELECT value FROM events ORDER BY event_id"
+        ).fetchall()
+    ]
+    con.close()
+    assert duck == [None, None, None, 1e12, 1e-300, 123.45]

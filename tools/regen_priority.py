@@ -55,6 +55,14 @@ FORCE_REFRESH = (
     # cleared per procedure — all 49 landed green in CORRECTNESS_r09.json
     # (42 hash-match + the contracted rows-only subset).  Round 10 adds
     # names below as the catalogued waves (R10_*_PLAN.md) edit ops.
+    # -- magnitude wave (R10_MAGNITUDE_PLAN.md): the ingest contract is
+    # scan-boundary (no per-op edits), but the --magnitude sweep exposed
+    # a second-order zero-denominator class in two ops (a day whose only
+    # surviving measurements round to 0 cents), fixed with NULLIF on
+    # both sides; plus the ADVICE r09 watermark guard.
+    "ts_day_over_day",          # pct_change NULLIF(prev, 0) both sides
+    "ts_peak_detect",           # rise/fall_frac NULLIF both sides
+    "stream_watermark_late",    # valid_ts watermark guard (rows-only)
 )
 
 

@@ -62,6 +62,16 @@ watermark ops whose monotonic event-time state silently dropped every
 honest row behind one far-future event (stream_dedup lost 47/210).
 Full-registry fail=0 since the round-9 second wave.
 
+An eighth mode (--magnitude, promoted round 10 from
+tools/probe_magnitude_r10.py) stripes FINITE but absurd magnitudes
+(±1e15, 1e18, 1e-300) into ``events.value`` — the unit-bug /
+mis-parsed-id shape the --nonfinite contract does not catch.  44 ops
+crashed before the round-10 ingest-contract extension
+(``abs(value) > 1e12 → NULL``, R10_MAGNITUDE_PLAN.md): the exact-cents
+``CAST(round(value*100) AS BIGINT)`` lane overflows int64 at
+|value| > ~9.2e16.  1e-300 is deliberately kept by the contract (tiny
+rounds to 0 cents like 0.001 does) and rides along here to pin that.
+
 A sixth mode (--nulls, promoted round 9 from tools/probe_nulls_r09.py)
 stripes NULLs into every nullable non-key column — the shape a real
 100 TB feed always carries.  It found 45 divergent/crashing ops in
@@ -79,6 +89,7 @@ Usage:
     python tools/sweep_degenerate.py --nonfinite [ops...] # NaN/Inf measures
     python tools/sweep_degenerate.py --nulls [ops...]    # NULL-bulk corpus
     python tools/sweep_degenerate.py --timewarp [ops...] # decades-out ts
+    python tools/sweep_degenerate.py --magnitude [ops...] # absurd |value|
 """
 
 from __future__ import annotations
@@ -339,6 +350,40 @@ def build_nonfinite_dataset(d: str) -> None:
     pq.write_table(tbl, f"{d}/events.parquet")
 
 
+def build_magnitude_dataset(d: str) -> None:
+    """Absurd-magnitude corpus (--magnitude, promoted round 10 from
+    tools/probe_magnitude_r10.py after the scan-boundary contract
+    landed): events.value striped with FINITE but non-physical
+    magnitudes — 1e15, -1e15, 1e18 (int64-cents overflow territory) and
+    1e-300 (denormal-adjacent tiny, deliberately KEPT by the contract) —
+    with the ORIGINAL finite values between.  The shape of a unit bug or
+    a parser reading an id column as the measure.  Before the round-10
+    `abs(value) > 1e12 → NULL` ingest-contract extension, 44/351 ops
+    crashed on this corpus (R10_MAGNITUDE_PLAN.md): the exact-cents
+    ``CAST(round(value*100) AS BIGINT)`` lane overflows int64 at
+    |value| > ~9.2e16, and 1e15 silently absorbs every honest
+    contribution below the double ulp even where both engines agree.
+    (Pandas-write is fine here: every injected value is an ordinary
+    finite double that round-trips through pandas unchanged.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    ev = pd.read_parquet(f"{BASE}/events.parquet").copy()
+    vals = list(ev["value"])
+    specials = {0: 1e15, 1: -1e15, 2: 1e18, 3: 1e-300}
+    ev["value"] = [specials.get(i % 13, v) for i, v in enumerate(vals)]
+    pq.write_table(
+        pa.Table.from_pandas(
+            ev, schema=pq.read_schema(f"{BASE}/events.parquet"), preserve_index=False
+        ),
+        f"{d}/events.parquet",
+    )
+
+
 def build_nulls_dataset(d: str) -> None:
     """NULL-bulk corpus (--nulls, promoted from tools/probe_nulls_r09.py
     after the round-9 fix wave): NULLs striped into every nullable
@@ -446,14 +491,25 @@ def build_timewarp_dataset(d: str) -> None:
         )
 
     ev = pd.read_parquet(f"{BASE}/events.parquet").copy()
+    # Branch on the base layout (ADVICE r09): under the round-1/2
+    # bigint-ns parquet layout (which tables._normalize_events_ts still
+    # supports) the ts column arrives as int64 epoch-ns, and assigning
+    # pd.Timestamp cells would make the schema-preserving write below
+    # fail — inject equivalent int64 ns epochs instead.
+    ts_is_int = pd.api.types.is_integer_dtype(ev["ts"].dtype)
+
+    def stamp(s: str):
+        t = pd.Timestamp(s)
+        return t.value if ts_is_int else t
+
     ts = list(ev["ts"])
     for i in range(len(ts)):
         if i % 9 == 0:
-            ts[i] = pd.Timestamp("1969-12-31 23:45:17")  # negative epoch
+            ts[i] = stamp("1969-12-31 23:45:17")  # negative epoch
         elif i % 9 == 1:
-            ts[i] = pd.Timestamp("1950-03-02 04:05:06.789012")
+            ts[i] = stamp("1950-03-02 04:05:06.789012")
         elif i % 9 == 2:
-            ts[i] = pd.Timestamp("2099-11-30 23:59:59.999999")
+            ts[i] = stamp("2099-11-30 23:59:59.999999")
     ev["ts"] = ts
     write("events", ev)
 
@@ -580,7 +636,15 @@ def run_registry(d: str, only: set[str], app_name: str = "degen-sweep"):
 
 def main() -> int:
     args = sys.argv[1:]
-    flags = ("--tiny", "--unicode", "--ties", "--nonfinite", "--nulls", "--timewarp")
+    flags = (
+        "--tiny",
+        "--unicode",
+        "--ties",
+        "--nonfinite",
+        "--nulls",
+        "--timewarp",
+        "--magnitude",
+    )
     bad = [a for a in args if a.startswith("--") and a not in flags]
     if bad:
         # A mistyped flag must not fall through to the op-name filter,
@@ -599,6 +663,7 @@ def main() -> int:
     nonfinite_mode = "--nonfinite" in args
     nulls_mode = "--nulls" in args
     timewarp_mode = "--timewarp" in args
+    magnitude_mode = "--magnitude" in args
     only = set(a for a in args if a not in flags)
     d = tempfile.mkdtemp(prefix="degen_")
     if tiny:
@@ -613,6 +678,8 @@ def main() -> int:
         build_nulls_dataset(d)
     elif timewarp_mode:
         build_timewarp_dataset(d)
+    elif magnitude_mode:
+        build_magnitude_dataset(d)
     else:
         build_dataset(d)
     _, _, fails = run_registry(d, only)

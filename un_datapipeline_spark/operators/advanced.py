@@ -1479,7 +1479,7 @@ WITH daily AS (
 SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
        ROUND(c / 100.0, 4) AS revenue,
        ROUND((c - lag(c) OVER w) / 100.0, 4) AS delta,
-       ROUND((c - lag(c) OVER w) * 1.0 / lag(c) OVER w, 6) AS pct_change
+       ROUND((c - lag(c) OVER w) * 1.0 / NULLIF(lag(c) OVER w, 0), 6) AS pct_change
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY d)
 ORDER BY event_type, day
@@ -1493,8 +1493,13 @@ def ts_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integer cents; delta is an integer difference and the
     percent change one division of identical integers on both engines.
     First day per series yields NULLs (no lag), preserved as NULL on
-    both sides.  One calendar-bounded rollup + one lag window sharing
-    the event_type partitioning."""
+    both sides.  A ZERO-total base day (legitimately zero revenue, or
+    every measurement on it voided by the ingest contract — the
+    --magnitude sweep's 1e-300 stripe rounds to 0 cents) makes percent
+    change undefined: NULLIF guards the division on both sides (ANSI
+    Spark would crash, DuckDB quietly NULLs — pin the NULL).  One
+    calendar-bounded rollup + one lag window sharing the event_type
+    partitioning."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
@@ -1507,7 +1512,9 @@ def ts_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.round(F.col("c") / 100.0, 4).alias("revenue"),
         F.round((F.col("c") - prev) / 100.0, 4).alias("delta"),
-        F.round((F.col("c") - prev) * 1.0 / prev, 6).alias("pct_change"),
+        F.round((F.col("c") - prev) * 1.0 / F.nullif(prev, F.lit(0)), 6).alias(
+            "pct_change"
+        ),
     ).orderBy("event_type", "day")
 
 

@@ -244,8 +244,14 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows the watermark has passed are emitted (trailing windows are
     withheld, so no batch oracle exists: rows-only).  The actual
     late-row DROP semantics are asserted with manufactured two-phase
-    micro-batches in tests/test_streaming_semantics.py."""
-    s = read_events_stream(spark, sf_dir)
+    micro-batches in tests/test_streaming_semantics.py.
+
+    Watermark-poisoning guard (ADVICE r09): like every op maintaining
+    monotonic event-time state, one far-future corrupt event would
+    advance the watermark past every honest row and silently withhold/
+    drop them — so the watermark-class ``valid_ts`` contract applies
+    here too, rows-only or not.  Bitwise-neutral on clean feeds."""
+    s = read_events_stream(spark, sf_dir).where(valid_ts())
     agg = (
         s.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"))

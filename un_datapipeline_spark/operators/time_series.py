@@ -339,8 +339,8 @@ WITH daily AS (
   FROM daily
 )
 SELECT event_type, CAST(day AS TIMESTAMP) AS peak_day, c / 100.0 AS peak_val,
-       ROUND((c - prev) * 1.0 / prev, 6) AS rise_frac,
-       ROUND((c - next) * 1.0 / next, 6) AS fall_frac
+       ROUND((c - prev) * 1.0 / NULLIF(prev, 0), 6) AS rise_frac,
+       ROUND((c - next) * 1.0 / NULLIF(next, 0), 6) AS fall_frac
 FROM nb
 WHERE prev IS NOT NULL AND next IS NOT NULL AND c > prev AND c > next
 """
@@ -354,7 +354,10 @@ def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons decide membership (no float can flip a peak in or
     out); the fractions are per-row single divisions.  One lag + one
     lead over the shared daily sort — interior days only, so endpoints
-    never masquerade as peaks."""
+    never masquerade as peaks.  A ZERO-total neighbor day (legitimately
+    zero, or voided wholesale by the ingest contract — the --magnitude
+    sweep) makes the fraction undefined: NULLIF guards both divisions
+    on both sides (ANSI Spark would crash, DuckDB quietly NULLs)."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
@@ -376,12 +379,12 @@ def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("day").alias("peak_day"),
         (F.col("c") / 100.0).alias("peak_val"),
-        F.round((F.col("c") - F.col("prev")) * 1.0 / F.col("prev"), 6).alias(
-            "rise_frac"
-        ),
-        F.round((F.col("c") - F.col("next")) * 1.0 / F.col("next"), 6).alias(
-            "fall_frac"
-        ),
+        F.round(
+            (F.col("c") - F.col("prev")) * 1.0 / F.nullif("prev", F.lit(0)), 6
+        ).alias("rise_frac"),
+        F.round(
+            (F.col("c") - F.col("next")) * 1.0 / F.nullif("next", F.lit(0)), 6
+        ).alias("fall_frac"),
     )
 
 

@@ -85,16 +85,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # skipped by every aggregate on both engines) is the one representation
 # with identical semantics everywhere, so the loader maps non-finite →
 # NULL at the scan boundary — the standard sanitize-at-ingest rule.
-# Bitwise-neutral on finite data: the ELSE branch returns the stored
-# double unchanged (including -0.0: isnan(-0.0)=false, abs(-0.0)≠Inf),
-# which is why the shipped (all-finite) corpora and every driver stamp
-# are unaffected.  tests/oracle_diff.duck_connect applies the same
-# contract to the oracle's events view (isnan/isinf REPLACE), so parity
-# sweeps over non-finite corpora exercise operator semantics downstream
-# of ingest rather than each engine's non-finite quirks.
+# Round 10 extends the same rule to ABSURD MAGNITUDES: a finite value
+# with |value| > 1e12 in a 2-decimal money/measure feed is a unit bug or
+# a mis-parsed id column, not a measurement (R10_MAGNITUDE_PLAN.md — 44
+# ops crashed on one 1e18 row: the exact-cents CAST(round(value*100) AS
+# BIGINT) lane overflows int64 at |value| > ~9.2e16, and 1e15 silently
+# absorbs every honest row's contribution below the double ulp even
+# where both engines agree).  Tiny values (1e-300) are deliberately KEPT
+# — they round to 0 cents exactly like 0.001 does; snapping denormals
+# would be a real deviation.
+# Bitwise-neutral on sane finite data: the ELSE branch returns the
+# stored double unchanged (including -0.0: isnan(-0.0)=false,
+# abs(-0.0)≠Inf, abs(-0.0)<1e12), which is why the shipped corpora
+# (2-decimal money under 1e4) and every driver stamp are unaffected.
+# tests/oracle_diff.duck_connect applies the same contract to the
+# oracle's events view (isnan/isinf/abs REPLACE), so parity sweeps over
+# corrupt corpora exercise operator semantics downstream of ingest
+# rather than each engine's overflow quirks.
 _FINITE_VALUE = (
     "CASE WHEN isnan(value) OR abs(value) = double('Infinity') "
-    "THEN NULL ELSE value END"
+    "OR abs(value) > 1e12 THEN NULL ELSE value END"
 )
 
 
@@ -121,6 +131,13 @@ def normalize_events_value(df: DataFrame) -> DataFrame:
 # more than a decade in the future are parser/sensor corruption in this
 # pipeline's domain, not data.  Bitwise-neutral on the shipped corpora
 # (all timestamps fall inside the window on both sides of the compare).
+# RENEWAL (ADVICE r09): VALID_TS_HI is a FIXED wall-clock bound — a
+# moving "now + 10y" window would make results non-deterministic across
+# runs, so the constant stays.  But a fixed bound silently decays:
+# legitimately-timestamped events past it would be dropped as corruption
+# by the four guarded operators.  Renew by 2034-01-01 (tripwire:
+# tests/test_degenerate_robustness.py::test_valid_ts_window_not_decayed
+# fails once the wall clock comes within two years of the bound).
 VALID_TS_LO = "1970-01-01 00:00:00"
 VALID_TS_HI = "2035-12-31 23:59:59.999999"
 
