@@ -382,13 +382,14 @@ def test_minhash_ml_survives_short_docs(spark, degen_sf):
 
 
 def test_vector_norms_empty_and_null_embeddings(spark, tmp_path):
-    """Round-6 review, twice: (a) a zero-LENGTH embedding must
-    contribute 0 to the averages on BOTH engines (DuckDB's
-    list_aggregate([], 'sum') is NULL and would silently drop the row
-    where Spark's aggregate seeds 0.0); (b) a NULL embedding must stay
-    NULL on both (Spark drops it from avg — the oracle's coalesce must
-    not resurrect it as 0).  No shipped corpus has either shape, so
-    this fixture exists to exercise the guards."""
+    """Vector-validity contract over the per-row STATS op: an invalid
+    embedding (NULL, empty, or off-EMBED_DIM — the round-10 dimension
+    layer subsumed the round-6 empty-list special case) contributes
+    NULL to the value lanes on BOTH engines while still counting in
+    n / min_dim / max_dim (dimension stats OBSERVE the corruption).  A
+    full-width vector in the same group proves valid rows still average
+    normally.  No shipped corpus has these shapes, so this fixture
+    exists to exercise the guards."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -396,13 +397,15 @@ def test_vector_norms_empty_and_null_embeddings(spark, tmp_path):
     from tests.strict_diff import strict_compare
     from un_datapipeline_spark.operators.llm_vectors import (
         _NORMS_ORACLE,
+        EMBED_DIM,
         llm_vector_norms,
     )
 
+    full = [3.0, 4.0] + [0.0] * (EMBED_DIM - 2)  # valid, l2 = 5
     em = pd.DataFrame(
         {
             "vec_id": [0, 1, 2, 3],
-            "embedding": [[], [3.0, 4.0], None, [1.0, 1.0]],
+            "embedding": [[], full, None, [1.0, 1.0]],
             "label": [0, 0, 0, 1],
         }
     )
@@ -430,8 +433,12 @@ def test_vector_norms_empty_and_null_embeddings(spark, tmp_path):
     con.close()
     assert not strict_compare(sp, oc)
     r0 = sp[sp["label"] == 0].iloc[0]
-    # label 0 = {empty -> l2 0, [3,4] -> l2 5, NULL -> dropped}: avg 2.5
-    assert float(r0["avg_l2"]) == 2.5 and int(r0["min_dim"]) == 0
+    # label 0 = {empty -> NULL lane, 64-wide [3,4,0..] -> l2 5, NULL ->
+    # dropped}: avg 5.0; min_dim still observes the empty row's 0
+    assert float(r0["avg_l2"]) == 5.0 and int(r0["min_dim"]) == 0
+    # label 1 = the off-width [1,1]: value lane NULL on both engines
+    r1 = sp[sp["label"] == 1].iloc[0]
+    assert pd.isna(r1["avg_l2"]) and int(r1["max_dim"]) == 2
 
 
 @pytest.fixture(scope="module")

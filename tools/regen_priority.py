@@ -63,6 +63,29 @@ FORCE_REFRESH = (
     "ts_day_over_day",          # pct_change NULLIF(prev, 0) both sides
     "ts_peak_detect",           # rise/fall_frac NULLIF both sides
     "stream_watermark_late",    # valid_ts watermark guard (rows-only)
+    # -- dimension-contract + kernel-vectorization wave (EMBED_DIM=64 in
+    # valid_vec/valid_vec_sql per tools/probe_mixdim_r10.py; _vec_matrix
+    # rewritten to one np.array build + matrix-wise isnan; element-NULL
+    # check now size(array_compact()) not interpreted F.exists).
+    # Oracle TEXT changed (len(col) = 64 in the shared predicate):
+    "llm_simsearch_cosine_topk",
+    "llm_knn_join",
+    "llm_vector_norms",         # + F.when(valid_vec) value-lane mirror
+    "llm_embed_join_docs",      # + F.when(valid_vec) value-lane mirror
+    "llm_embedding_mean_pool",
+    "fn_array",
+    "llm_dedup_embedding",
+    # Spark-side-only consumers of the shared predicate/kernel:
+    "llm_hard_negatives",
+    "llm_simsearch_ivf",
+    "llm_simsearch_hnsw",
+    "llm_vector_pq",
+    "llm_kmeans_cluster",
+    "llm_semdedup",
+    "llm_ann_brp_lsh",
+    "llm_simsearch_lsh",        # + zero-norm/validity exclusion (was a
+    #                             latent ANSI DIVIDE_BY_ZERO: zero probe
+    #                             sharing a bucket with any candidate)
 )
 
 

@@ -147,9 +147,13 @@ def build_dataset(d: str) -> None:
         )
     pd.DataFrame(rows).to_parquet(f"{d}/documents.parquet", index=False)
 
+    # EMBED_DIM-wide (round 10): the vector-validity contract declares
+    # the corpus width (llm_vectors.EMBED_DIM=64) — an off-width sweep
+    # corpus would be silently excluded wholesale and the zero-norm /
+    # similarity lanes would go vacuous-green.
     rng = np.random.RandomState(7)
-    vecs = [np.zeros(8, dtype=np.float32)]  # the zero vector
-    vecs += [rng.randn(8).astype(np.float32) for _ in range(39)]
+    vecs = [np.zeros(64, dtype=np.float32)]  # the zero vector
+    vecs += [rng.randn(64).astype(np.float32) for _ in range(39)]
     em = pd.DataFrame(
         {
             "vec_id": np.arange(40, dtype=np.int64),
@@ -269,13 +273,16 @@ def build_ties_dataset(d: str) -> None:
     pd.DataFrame(rows).to_parquet(f"{d}/documents.parquet", index=False)
 
     # embeddings: 5 distinct base vectors; each appears 4x verbatim and
-    # 2x sign-flipped, plus two axis-aligned vectors tied in norm
+    # 2x sign-flipped, plus two axis-aligned vectors tied in norm.
+    # EMBED_DIM-wide (round 10): off-width vectors are excluded by the
+    # validity contract, so a narrow corpus would make this sweep
+    # vacuous for the vector family.
     rng = np.random.RandomState(11)
-    base = [rng.randn(8).astype(np.float32) for _ in range(5)]
+    base = [rng.randn(64).astype(np.float32) for _ in range(5)]
     vecs = []
     for b in base:
         vecs += [b.copy() for _ in range(4)] + [(-b).copy() for _ in range(2)]
-    vecs += [np.eye(8, dtype=np.float32)[0], np.eye(8, dtype=np.float32)[1]]
+    vecs += [np.eye(64, dtype=np.float32)[0], np.eye(64, dtype=np.float32)[1]]
     em = pd.DataFrame(
         {
             "vec_id": np.arange(len(vecs), dtype=np.int64),

@@ -309,9 +309,25 @@ def llm_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-quadratic scale path where brute force (llm_simsearch_cosine_
     topk) is the exact baseline.  Rows-only: bucket membership depends
     on float sign evaluations near hyperplanes; approximate-by-design.
-    Output: probe, candidate count in bucket, best in-bucket neighbor."""
+    Output: probe, candidate count in bucket, best in-bucket neighbor.
+
+    Zero-norm + vector-validity exclusion (round 10): cosine is
+    undefined for the zero vector, and one zero probe sharing a bucket
+    with any candidate is an ANSI DIVIDE_BY_ZERO — the engine-wide
+    round-6 norm>0 rule applies to the bucketed path exactly as to the
+    brute-force baseline (exposed when the degenerate corpus went
+    EMBED_DIM-wide and the zero vector gained bucket-mates)."""
+    from un_datapipeline_spark.operators.llm_vectors import valid_vec
+
     em = load_table(spark, sf_dir, "embeddings")
-    b = hyperplane_buckets(em)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    b = hyperplane_buckets(em.filter(valid_vec()).filter(nrm > 0))
     probes = b.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "bucket"
     )

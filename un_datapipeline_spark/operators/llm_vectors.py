@@ -27,10 +27,17 @@ from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
 
 
-# NULL-vector contract (round 9, R09_NULLS_PLAN class 1 — mirrors the
-# round-6 zero-norm rule): a NULL embedding, or an embedding carrying a
-# NULL element, is NOT a vector — similarity, clustering, codebook and
-# LSH semantics exclude it.  Three layers, all required:
+# Vector-validity contract (round 9 NULL layer + round 10 dimension
+# layer — mirrors the round-6 zero-norm rule): a NULL embedding, an
+# embedding carrying a NULL element, OR an embedding whose length
+# differs from the table's declared dimension is NOT a vector —
+# similarity, clustering, codebook and LSH semantics exclude it.  The
+# dimension layer (EMBED_DIM, tools/probe_mixdim_r10.py) is the
+# model-version-mix shape every production embedding table accumulates:
+# a re-embed job lands 32- or 72-wide rows into the 64-wide table and
+# nothing in the parquet schema prevents it (`list<float>` is
+# unbounded); 10 of 16 vector ops crashed on it (numpy "inhomogeneous
+# shape") before this predicate.  Three layers, all required:
 #   1. an UPSTREAM DataFrame filter (valid_vec) so Catalyst prunes the
 #      rows before the Arrow transfer and the plan stays declarative;
 #   2. the SAME predicate in every paired DuckDB oracle (valid_vec_sql)
@@ -38,15 +45,29 @@ from un_datapipeline_spark.tables import load_table
 #      unfiltered oracle computes a partial norm instead of crashing;
 #   3. a DEFENSIVE in-kernel guard (_vec_matrix) so a mapInPandas
 #      closure reused on raw data cannot crash on a ragged np.array.
-def valid_vec(col: str = "embedding"):
-    """Predicate: the column holds a usable vector (not NULL, no NULL
-    elements)."""
-    return F.col(col).isNotNull() & ~F.exists(col, lambda x: x.isNull())
+# The element-NULL check is size(array_compact(col)) = size(col) — a
+# native collection expression — NOT an interpreted higher-order
+# F.exists lambda: the predicate runs over EVERY corpus element on the
+# hot side of the similarity scan (VERDICT r09 item 4's §4.3 concern).
+EMBED_DIM = 64  # FIXTURES.md corpus contract: embeddings.embedding width
 
 
-def valid_vec_sql(col: str = "embedding") -> str:
+def valid_vec(col: str = "embedding", dim: int = EMBED_DIM):
+    """Predicate: the column holds a usable vector (not NULL, declared
+    width, no NULL elements)."""
+    return (
+        F.col(col).isNotNull()
+        & (F.size(col) == F.lit(dim))
+        & (F.size(F.array_compact(col)) == F.size(col))
+    )
+
+
+def valid_vec_sql(col: str = "embedding", dim: int = EMBED_DIM) -> str:
     """The DuckDB mirror of valid_vec for paired oracle texts."""
-    return f"({col} IS NOT NULL AND len(list_filter({col}, x -> x IS NULL)) = 0)"
+    return (
+        f"({col} IS NOT NULL AND len({col}) = {dim} "
+        f"AND len(list_filter({col}, x -> x IS NULL)) = 0)"
+    )
 
 
 def _vec_matrix(pdf, vec_col: str):
@@ -55,24 +76,33 @@ def _vec_matrix(pdf, vec_col: str):
     dropped from the matrix.  numpy coerces a None element to NaN under
     dtype=float64, so a single corrupt cell would otherwise poison every
     dot product in the batch (or crash np.array outright on a whole-NULL
-    cell: 'inhomogeneous shape')."""
+    cell: 'inhomogeneous shape').
+
+    Vectorized (round 10, VERDICT r09 item 4): the None/length mask is
+    cheap python-per-cell, but the float conversion and NaN scan are ONE
+    ``np.array`` build + ONE matrix-wise ``isnan`` — never a per-cell
+    ``np.asarray``/``isnan`` loop, which multiplies at 100x corpus
+    scale on the hot side of the similarity scan."""
     import numpy as np
 
-    cells = [
-        None if c is None else np.asarray(c, dtype=np.float64)
-        for c in pdf[vec_col]
-    ]
+    cells = list(pdf[vec_col])
     dim = next((len(c) for c in cells if c is not None), 0)
-    keep = np.array(
-        [c is not None and len(c) == dim and not np.isnan(c).any() for c in cells],
-        dtype=bool,
+    keep = np.fromiter(
+        (c is not None and len(c) == dim for c in cells), bool, len(cells)
     )
-    if keep.all():
-        mat = np.array(cells, dtype=np.float64) if cells else np.zeros((0, dim))
-    else:
-        mat = np.array(
-            [c for c, k in zip(cells, keep) if k], dtype=np.float64
-        ) if keep.any() else np.zeros((0, dim))
+    if not keep.any():
+        return keep, np.zeros((0, dim))
+    # one C-level conversion of the uniform-length survivors; a None
+    # ELEMENT inside a kept cell coerces to NaN here and is masked out
+    # matrix-wise below
+    mat = np.array(
+        [c for c, k in zip(cells, keep) if k] if not keep.all() else cells,
+        dtype=np.float64,
+    )
+    nan_rows = np.isnan(mat).any(axis=1)
+    if nan_rows.any():
+        keep[np.flatnonzero(keep)[nan_rows]] = False
+        mat = mat[~nan_rows]
     return keep, mat
 
 
@@ -261,19 +291,19 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# coalesce(.., 0): DuckDB list_aggregate([], 'sum') is NULL (the row
-# would silently drop out of avg) while Spark's F.aggregate seeds 0.0 —
-# a zero-LENGTH embedding must contribute 0 on both engines (round-6
-# review; the greatest() guard alone only fixed the division).
-# NULL embeddings stay NULL (both engines drop them from avg — Spark's
-# aggregate over a NULL array is NULL); only a present-but-EMPTY list
-# coalesces to 0, mirroring Spark's 0.0 seed (round-6 review, twice).
-# Element-level NULLs (round 9, class 1): Spark's F.aggregate propagates
-# a NULL element into a NULL sum (the row then drops out of avg), while
-# DuckDB's list_aggregate silently SKIPS NULL elements and would report a
-# partial norm — the corrupt vector's stats must be NULL on BOTH engines,
-# so the CASE below extends the whole-NULL branch to any NULL element.
-# n / min_dim / max_dim still count every row (len() ignores elements).
+# Per-row STATS mirror of the vector-validity contract: an invalid
+# embedding (NULL, NULL element, or off-dimension — round 10 extends the
+# round-9 NULL layer with EMBED_DIM) contributes NULL to the value lanes
+# on BOTH engines while the row still counts in n / min_dim / max_dim —
+# dimension stats OBSERVE the corruption (min_dim 32 on a model-version
+# mix is the signal an operator wants), value stats exclude non-vectors.
+# The oracle needs the explicit CASE because DuckDB's list aggregates
+# silently SKIP NULL elements (partial norm) and would happily compute a
+# 32-wide norm; the Spark side needs the matching F.when because its
+# aggregate computes a real number for an off-width vector too.
+# coalesce(.., 0) inside the ELSE is retained for the zero-length lane
+# of reused copies of this text, though under the dim contract an empty
+# list never reaches the ELSE (len 0 != EMBED_DIM → NULL branch).
 _NORMS_ORACLE = f"""
 SELECT label,
        count(*) AS n,
@@ -296,7 +326,9 @@ GROUP BY label
 def llm_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label L2 norm / mean-element / dimension stats over the vector
     column — pure higher-order functions, fully JVM-side (the per-row
-    O(dim) reduction stays in codegen; no Python boundary)."""
+    O(dim) reduction stays in codegen; no Python boundary).  Value lanes
+    are NULL for invalid vectors (see the contract mirror note above);
+    n / min_dim / max_dim count every row."""
     em = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     sumsq = F.aggregate(
@@ -307,13 +339,20 @@ def llm_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     elsum = F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x)
     return em.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(F.sqrt(sumsq)), 6).alias("avg_l2"),
+        F.round(F.avg(F.when(valid_vec(), F.sqrt(sumsq))), 6).alias("avg_l2"),
         # greatest(size, 1): a zero-length vector is DIVIDE_BY_ZERO under
         # ANSI Spark while DuckDB NULLs (the ADVICE r05 short-input
-        # class); the aggregate numerator is 0.0 there, so both engines
-        # report a clean 0.0 mean element.
+        # class); under the dim contract such a row takes the NULL branch,
+        # but the guard keeps the expression total if the when() is ever
+        # lifted.
         F.round(
-            F.avg(elsum / F.greatest(F.size("embedding"), F.lit(1))), 6
+            F.avg(
+                F.when(
+                    valid_vec(),
+                    elsum / F.greatest(F.size("embedding"), F.lit(1)),
+                )
+            ),
+            6,
         ).alias("avg_mean_el"),
         F.min(F.size("embedding")).alias("min_dim"),
         F.max(F.size("embedding")).alias("max_dim"),
@@ -435,9 +474,11 @@ def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# avg_l2 NULL-mirror: a NULL or NULL-element embedding's norm is NULL on
-# both engines (Spark's aggregate propagates; DuckDB needs the CASE
-# because its list aggregate skips NULL elements).  Rows stay in n.
+# avg_l2 validity-mirror: an invalid embedding's (NULL / NULL-element /
+# off-dimension, see valid_vec) norm is NULL on both engines — DuckDB
+# needs the CASE because its list aggregate skips NULL elements and
+# computes off-width norms; Spark needs the matching F.when for the
+# off-width lane.  Rows stay in n.
 _EMBED_JOIN_ORACLE = f"""
 SELECT d.lang,
        count(*) AS n,
@@ -467,7 +508,7 @@ def llm_embed_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(F.sqrt(sumsq)), 6).alias("avg_l2"),
+            F.round(F.avg(F.when(valid_vec(), F.sqrt(sumsq))), 6).alias("avg_l2"),
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
