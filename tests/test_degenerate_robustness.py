@@ -527,6 +527,54 @@ def test_magnitude_corpus_class(spark, magnitude_sf, name):
     _both(spark, magnitude_sf, name)
 
 
+@pytest.fixture(scope="module")
+def dupkeys_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dupsf")
+    _tool().build_dupkeys_dataset(str(d))
+    return str(d)
+
+
+# one representative per round-10 --dupkeys class (R10_DUPKEYS_PLAN.md)
+DUPKEYS_OPS = [
+    "src_text_wholetext",       # class 1: key-grained writer — second
+    #                             payload under one id silently OVERWROTE
+    "llm_dedup_ngram_jaccard",  # class 2: per-key gram sets unioned two
+    #                             texts → Jaccard 1.878 (silent wrong)
+    "llm_dedup_containment",    # class 2: containment 2.0 (silent wrong)
+    "llm_filter_funnel",        # class 3: arbitrary-winner flag drift
+    "join_asof",                # class 4: per-key grain vs row-grained
+    #                             ASOF fanout (1000 vs 1100 rows)
+]
+
+
+@pytest.mark.parametrize("name", DUPKEYS_OPS)
+def test_dupkeys_corpus_class(spark, dupkeys_sf, name):
+    """Round-10 hazard class: duplicate surrogate keys with differing
+    payloads (at-least-once delivery / re-crawl / re-embed).  The
+    deterministic per-key winner contract (tables.winner_document /
+    winner_embedding / latest_event, mirrored in each paired oracle)
+    restores one-logical-row-per-key semantics; before it, per-key set
+    math emitted values a Jaccard can never take."""
+    _both(spark, dupkeys_sf, name)
+
+
+def test_jaccard_containment_stay_in_unit_range(spark, dupkeys_sf):
+    """Value-level pin of the class-2 silent-wrong fix: on a corpus with
+    re-crawled doc_ids, every emitted Jaccard and containment must stay
+    inside [0, 1] — the probe measured 1.878 / 2.0 before the winner
+    contract, an impossible similarity that would poison any dedup
+    threshold downstream."""
+    from un_datapipeline_spark.registry import all_operators
+
+    ops = all_operators()
+    jac = ops["llm_dedup_ngram_jaccard"].fn(spark, dupkeys_sf).toPandas()
+    assert ((jac["jac"] >= 0) & (jac["jac"] <= 1)).all(), jac
+    con = ops["llm_dedup_containment"].fn(spark, dupkeys_sf).toPandas()
+    assert (
+        (con["containment"] >= 0) & (con["containment"] <= 1)
+    ).all(), con
+
+
 def test_ingest_contract_magnitude_to_null(spark, tmp_path):
     """Value-level pin of the round-10 contract extension: load_table
     maps |value| > 1e12 to NULL while passing sane magnitudes through

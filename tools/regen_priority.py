@@ -86,6 +86,26 @@ FORCE_REFRESH = (
     "llm_simsearch_lsh",        # + zero-norm/validity exclusion (was a
     #                             latent ANSI DIVIDE_BY_ZERO: zero probe
     #                             sharing a bucket with any candidate)
+    # -- duplicate-key wave (R10_DUPKEYS_PLAN.md): deterministic
+    # per-key winner (tables.winner_document/winner_embedding/
+    # latest_event) applied inside each affected op + oracle mirror.
+    # Silent-wrong class 2 first (Jaccard 1.878 / containment 2.0):
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_containment",
+    "llm_ngram_novelty",
+    "llm_line_dedup_reconstruct",
+    "llm_fim_transform",
+    # class 1 (key-grained writers):
+    "src_text_wholetext",
+    "src_binary_files",
+    "mm_decode_features",
+    "mm_audio_windows",
+    # class 3 (arbitrary-winner drift; llm_knn_join already above):
+    "llm_filter_funnel",        # + count_if/nullif empty-relation fix
+    "llm_chat_template_apply",
+    "llm_sft_loss_mask",
+    # class 4 (asof per-key grain):
+    "join_asof",
 )
 
 

@@ -72,6 +72,14 @@ crashed before the round-10 ingest-contract extension
 |value| > ~9.2e16.  1e-300 is deliberately kept by the contract (tiny
 rounds to 0 cents like 0.001 does) and rides along here to pin that.
 
+A ninth mode (--dupkeys, promoted round 10 from
+tools/probe_dupkeys_r10.py) replays surrogate keys with differing
+payloads (1/10 event_ids, 1/7 doc_ids, 1/8 vec_ids) — at-least-once
+delivery / re-crawl / re-embed.  14 ops failed before the
+deterministic-per-key-winner contract (tables.winner_document /
+winner_embedding / latest_event), two of them SILENT wrong answers
+(Jaccard 1.878, containment 2.0 — values the metrics can never take).
+
 A sixth mode (--nulls, promoted round 9 from tools/probe_nulls_r09.py)
 stripes NULLs into every nullable non-key column — the shape a real
 100 TB feed always carries.  It found 45 divergent/crashing ops in
@@ -90,6 +98,7 @@ Usage:
     python tools/sweep_degenerate.py --nulls [ops...]    # NULL-bulk corpus
     python tools/sweep_degenerate.py --timewarp [ops...] # decades-out ts
     python tools/sweep_degenerate.py --magnitude [ops...] # absurd |value|
+    python tools/sweep_degenerate.py --dupkeys [ops...]  # replayed keys
 """
 
 from __future__ import annotations
@@ -391,6 +400,53 @@ def build_magnitude_dataset(d: str) -> None:
     )
 
 
+def build_dupkeys_dataset(d: str) -> None:
+    """Duplicate-surrogate-key corpus (--dupkeys, promoted round 10 from
+    tools/probe_dupkeys_r10.py after the deterministic-winner wave):
+    1/10 event_ids replayed (shifted ts, different value/event_type),
+    1/7 doc_ids re-crawled (different text), 1/8 vec_ids re-embedded
+    (different vector) — the at-least-once-delivery shape every real
+    100 TB feed eventually produces.  Before the winner contract
+    (tables.winner_document / winner_embedding / latest_event), 14 ops
+    failed in 4 classes — including TWO silent wrong answers (per-key
+    gram sets unioning two texts: Jaccard 1.878, containment 2.0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in "region nation customer supplier part orders lineitem".split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+
+    def write(t: str, frame: pd.DataFrame) -> None:
+        pq.write_table(
+            pa.Table.from_pandas(
+                frame,
+                schema=pq.read_schema(f"{BASE}/{t}.parquet"),
+                preserve_index=False,
+            ),
+            f"{d}/{t}.parquet",
+        )
+
+    ev = pd.read_parquet(f"{BASE}/events.parquet")
+    dup = ev[ev["event_id"] % 10 == 0].copy()
+    dup["ts"] = dup["ts"] + pd.Timedelta(minutes=3)  # replay arrives later
+    dup["value"] = dup["value"].round(2) + 0.07
+    dup["event_type"] = "replay"
+    write("events", pd.concat([ev, dup], ignore_index=True))
+
+    docs = pd.read_parquet(f"{BASE}/documents.parquet")
+    ddup = docs[docs["doc_id"] % 7 == 0].copy()
+    ddup["text"] = ddup["text"].fillna("") + " recrawled copy differs"
+    ddup["n_chars"] = ddup["text"].str.len()
+    write("documents", pd.concat([docs, ddup], ignore_index=True))
+
+    em = pd.read_parquet(f"{BASE}/embeddings.parquet")
+    edup = em[em["vec_id"] % 8 == 0].copy()
+    edup["embedding"] = edup["embedding"].apply(
+        lambda v: [float(x) * 0.5 + 0.25 for x in v]  # re-embed: new vector
+    )
+    write("embeddings", pd.concat([em, edup], ignore_index=True))
+
+
 def build_nulls_dataset(d: str) -> None:
     """NULL-bulk corpus (--nulls, promoted from tools/probe_nulls_r09.py
     after the round-9 fix wave): NULLs striped into every nullable
@@ -651,6 +707,7 @@ def main() -> int:
         "--nulls",
         "--timewarp",
         "--magnitude",
+        "--dupkeys",
     )
     bad = [a for a in args if a.startswith("--") and a not in flags]
     if bad:
@@ -671,6 +728,7 @@ def main() -> int:
     nulls_mode = "--nulls" in args
     timewarp_mode = "--timewarp" in args
     magnitude_mode = "--magnitude" in args
+    dupkeys_mode = "--dupkeys" in args
     only = set(a for a in args if a not in flags)
     d = tempfile.mkdtemp(prefix="degen_")
     if tiny:
@@ -687,6 +745,8 @@ def main() -> int:
         build_timewarp_dataset(d)
     elif magnitude_mode:
         build_magnitude_dataset(d)
+    elif dupkeys_mode:
+        build_dupkeys_dataset(d)
     else:
         build_dataset(d)
     _, _, fails = run_registry(d, only)

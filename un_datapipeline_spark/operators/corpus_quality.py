@@ -19,7 +19,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import (
+    load_table,
+    winner_document,
+    winner_document_sql,
+)
 
 # ---------------------------------------------------------------------------
 # Gopher-style intra-document repetition flags
@@ -653,7 +657,7 @@ def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Filter-funnel accounting (per-stage survivor counts)
 # ---------------------------------------------------------------------------
 
-_FUNNEL_ORACLE = """
+_FUNNEL_ORACLE = f"""
 WITH per_doc AS (
   SELECT doc_id,
          lang IN ('en', 'de', 'fr') AS lang_ok,
@@ -662,7 +666,7 @@ WITH per_doc AS (
             SELECT count(*) AS c
             FROM unnest(string_split(text, ' ')) AS u(w) GROUP BY w))
            * 1.0 / len(string_split(text, ' ')) <= 0.1 AS rep_ok
-  FROM documents
+  FROM {winner_document_sql()} documents
 )
 SELECT CAST(count(*) AS BIGINT)                                   AS n_total,
        CAST(count(*) FILTER (lang_ok) AS BIGINT)                  AS pass_lang,
@@ -688,8 +692,18 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined), then the funnel is a single global aggregate of boolean
     conjunctions.  Flag semantics are deliberately simplified mirrors
     of llm_lang_filter_clean / llm_quality_score / llm_repetition_flags
-    thresholds; the full operators remain the per-doc surface."""
-    docs = load_table(spark, sf_dir, "documents")
+    thresholds; the full operators remain the per-doc surface.
+
+    Duplicate-key contract (round 10, R10_DUPKEYS_PLAN class 3): the
+    per-doc max word frequency groups by doc_id — a re-crawled id
+    merges two texts' word counts and every downstream flag drifts
+    (probed: keep_rate 0.280 vs 0.372).  Deterministic per-key winner
+    on both sides.  Empty-relation contract (R10_EMPTY_PLAN class 2):
+    a count of matches is a COUNT — 0 over an empty corpus, not a
+    NULL-valued SUM of indicators (count_if ↔ count FILTER); keep_rate
+    on zero documents is NULL on both engines (nullif-guarded — ANSI
+    Spark would otherwise DIVIDE_BY_ZERO where DuckDB quietly NULLs)."""
+    docs = winner_document(load_table(spark, sf_dir, "documents"))
     ntok = F.size(F.split("text", " "))
     maxfreq = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
@@ -712,15 +726,15 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.agg(
         F.count(F.lit(1)).alias("n_total"),
-        F.sum(F.col("lang_ok").cast("long")).alias("pass_lang"),
-        F.sum((F.col("lang_ok") & F.col("len_ok")).cast("long")).alias("pass_len"),
-        F.sum(
-            (F.col("lang_ok") & F.col("len_ok") & F.col("rep_ok")).cast("long")
+        F.count_if(F.col("lang_ok")).alias("pass_lang"),
+        F.count_if(F.col("lang_ok") & F.col("len_ok")).alias("pass_len"),
+        F.count_if(
+            F.col("lang_ok") & F.col("len_ok") & F.col("rep_ok")
         ).alias("pass_all"),
         F.round(
-            F.sum((F.col("lang_ok") & F.col("len_ok") & F.col("rep_ok")).cast("long"))
+            F.count_if(F.col("lang_ok") & F.col("len_ok") & F.col("rep_ok"))
             * 1.0
-            / F.count(F.lit(1)),
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
             6,
         ).alias("keep_rate"),
     )
@@ -730,14 +744,15 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Temporal n-gram novelty
 # ---------------------------------------------------------------------------
 
-_NOVELTY_ORACLE = """
+_NOVELTY_ORACLE = f"""
 WITH grams AS (
   SELECT DISTINCT doc_id, gram FROM (
     SELECT doc_id,
            unnest(list_transform(
              generate_series(1, greatest(len(toks) - 2, 1)),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM {winner_document_sql()} documents)
   ) WHERE gram IS NOT NULL AND len(string_split(gram, ' ')) = 3
 ), first_seen AS (
   SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
@@ -766,8 +781,13 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed, unlike the pairwise joins); the join back is equi-key with
     exactly one match per gram occurrence.  In production the
     first-seen table is the persistent index a daily drop joins
-    against, exactly like llm_dedup_incremental's digest index."""
-    d = load_table(spark, sf_dir, "documents")
+    against, exactly like llm_dedup_incremental's digest index.
+
+    Duplicate-key contract (round 10, R10_DUPKEYS_PLAN class 2): a
+    re-crawled doc_id would union two texts' gram sets (probed: n_grams
+    45 vs 24) — the deterministic per-key winner (tables.
+    winner_document, oracle-mirrored) restores one-set-per-id."""
+    d = winner_document(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     grams_arr = F.filter(
         F.transform(

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import (
+    load_table,
+    winner_document,
+    winner_document_sql,
+)
 
 # --------------------------------------------------------------------------
 # Word 3-gram Jaccard similarity (probe-bounded exact computation)
@@ -36,7 +40,8 @@ WITH grams AS (
            unnest(list_transform(
              generate_series(1, greatest(len(toks) - 2, 1)),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM {winner_document_sql()} documents)
   ) WHERE gram IS NOT NULL
 ), hot AS (
   SELECT gram FROM grams GROUP BY gram HAVING count(*) > {MAX_GRAM_DF}
@@ -73,8 +78,15 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams clearing the cap survive), so it broadcasts and the filter is
     a broadcast anti-join — the fact-side gram stream never shuffles on
     a hot key.  Jaccard sizes are computed over the same capped gram
-    sets, keeping the metric internally consistent."""
-    d = load_table(spark, sf_dir, "documents")
+    sets, keeping the metric internally consistent.
+
+    Duplicate-key contract (round 10, R10_DUPKEYS_PLAN class 2): the
+    per-doc gram SET is keyed by doc_id — two different texts under one
+    re-crawled id union their shingles and the Jaccard leaves [0,1]
+    (probed: 1.878, a silent wrong answer).  The deterministic
+    per-key winner (tables.winner_document, mirrored in the oracle)
+    restores set semantics; 0 <= jac <= 1 is pytest-pinned."""
+    d = winner_document(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     grams_arr = F.filter(
         F.transform(
@@ -464,7 +476,8 @@ WITH grams AS (
            unnest(list_transform(
              generate_series(1, greatest(len(toks) - 2, 1)),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM {winner_document_sql()} documents)
   ) WHERE gram IS NOT NULL
 ), hot AS (
   SELECT gram FROM grams GROUP BY gram HAVING count(*) > {MAX_GRAM_DF}
@@ -497,8 +510,13 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure exists for).  Identical scale posture to
     llm_dedup_ngram_jaccard: df-capped grams (no hot shuffle key, every
     bucket ≤ MAX_GRAM_DF² pairs), probe-bounded left side, and the only
-    change is the denominator — min(sizes) instead of union."""
-    d = load_table(spark, sf_dir, "documents")
+    change is the denominator — min(sizes) instead of union.
+
+    Duplicate-key contract (round 10, same as jaccard above): without
+    the deterministic per-key winner, a re-crawled doc_id merges two
+    texts' gram sets and containment leaves [0,1] (probed: 2.0 — a
+    silent wrong answer)."""
+    d = winner_document(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     grams_arr = F.filter(
         F.transform(
@@ -783,7 +801,7 @@ _LINE_DEDUP_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, source, string_split(text, ' ') AS ws,
          len(string_split(text, ' ')) AS n
-  FROM documents
+  FROM {winner_document_sql()} documents
 ), lines AS (
   SELECT doc_id, source, g,
          array_to_string(ws[g * {_LINE_W} + 1 : g * {_LINE_W} + {_LINE_W}], ' ')
@@ -838,8 +856,13 @@ def llm_line_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered within-doc listagg to rebuild — every step keyed, nothing
     quadratic.  This sits between llm_boilerplate_ngrams (detection
     only) and llm_dedup_exact (whole-doc) in the dedup ladder: it is
-    the stage that recovers PARTIAL value from contaminated docs."""
-    d = load_table(spark, sf_dir, "documents")
+    the stage that recovers PARTIAL value from contaminated docs.
+
+    Duplicate-key contract (round 10, R10_DUPKEYS_PLAN class 2): the
+    rebuild groups lines by doc_id — a re-crawled id interleaves two
+    texts' lines into one garbled document and the corpus digest
+    diverges.  Deterministic per-key winner on both sides."""
+    d = winner_document(load_table(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
     n_lines = F.ceil(F.size(words) / float(_LINE_W)).cast("int")
     lines = (

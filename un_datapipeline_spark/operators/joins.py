@@ -20,7 +20,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import (
+    latest_event,
+    latest_event_sql,
+    load_table,
+)
 
 _INNER_ORACLE = """
 SELECT o.o_orderstatus,
@@ -244,9 +248,9 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ASOF_ORACLE = """
+_ASOF_ORACLE = f"""
 SELECT e.event_id, o.o_orderdate AS asof_date
-FROM events e ASOF LEFT JOIN orders o
+FROM {latest_event_sql()} e ASOF LEFT JOIN orders o
   ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
 """
 
@@ -262,8 +266,16 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the as-of *date*) is deterministic even when several orders share
     the winning date, which keeps the DuckDB `ASOF LEFT JOIN` oracle
     (tie choice arbitrary) hashable.
-    """
-    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+
+    Duplicate-key contract (round 10, R10_DUPKEYS_PLAN class 4): the
+    output is keyed per event_id (the groupBy grain), so a replayed
+    event_id must resolve to ONE probe row on both sides — DuckDB's
+    row-grained ASOF would otherwise emit one row per duplicate (probed:
+    1000 vs 1100 rows).  tables.latest_event picks the deterministic
+    winner, oracle-mirrored."""
+    e = latest_event(load_table(spark, sf_dir, "events")).select(
+        "event_id", "ts", "user_id"
+    )
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
     j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "left")
     return j.groupBy("event_id").agg(F.max("o_orderdate").alias("asof_date"))

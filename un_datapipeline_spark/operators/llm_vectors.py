@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import load_table, winner_embedding_sql
 
 
 # Vector-validity contract (round 9 NULL layer + round 10 dimension
@@ -261,7 +261,8 @@ SELECT a_id, ROUND(avg(CAST(lbl AS DOUBLE)), 6) AS avg_label,
 FROM (
   SELECT a.vec_id AS a_id, b.label AS lbl,
          {_DOT} / ({_NORM_A} * {_NORM_B}) AS sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  FROM {winner_embedding_sql()} a JOIN {winner_embedding_sql()} b
+    ON a.vec_id <> b.vec_id
   WHERE a.vec_id < 50 AND {_VALID_A} AND {_VALID_B}
     AND {_NORM_A} > 0 AND {_NORM_B} > 0
   QUALIFY row_number() OVER (PARTITION BY a.vec_id
@@ -276,8 +277,16 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=5 NN per query vector (vec_id<50) against the full corpus; mean
     neighbor label + mean similarity per query.  Same scan-side matmul as
     llm_simsearch_cosine_topk, joined back to labels on the tiny
-    candidate set only."""
-    em = load_table(spark, sf_dir, "embeddings")
+    candidate set only.
+
+    Duplicate-key contract (round 10, R10_DUPKEYS_PLAN class 3): the
+    label join is keyed by vec_id — a re-embedded id carries two labels
+    and each engine averages an arbitrary one (probed: avg_label
+    drift).  Deterministic per-key winner (tables.winner_embedding) on
+    both sides."""
+    from un_datapipeline_spark.tables import winner_embedding
+
+    em = winner_embedding(load_table(spark, sf_dir, "embeddings"))
     probes = em.filter(F.col("vec_id") < 50)
     top5 = cosine_topk(em, probes, k=5, exclude_self=True)
     labels = em.select(F.col("vec_id").alias("nn_id"), "label")

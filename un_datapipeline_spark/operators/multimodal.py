@@ -30,7 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import load_table, winner_document_sql
 
 
 def _dim_from_md5(md5_col, offset: int):
@@ -41,11 +41,25 @@ def _dim_from_md5(md5_col, offset: int):
     return ((c1 * 256 + c2) % 64 + 16).cast("int")
 
 
-def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+def documents_as_media(
+    spark: SparkSession, sf_dir: str, dedup_keys: bool = False
+) -> DataFrame:
     """The canonical multimodal frame: (doc_id, payload binary, meta
     struct<mime,width,height>).  Metadata is derived deterministically
-    from content (md5 hex chars) so tests and oracles are hermetic."""
+    from content (md5 hex chars) so tests and oracles are hermetic.
+
+    ``dedup_keys`` applies the duplicate-surrogate-key contract
+    (tables.winner_document) — required by ops whose OUTPUT is keyed per
+    doc_id (per-doc feature moments, per-doc window grids): a re-crawled
+    id would merge two payloads' lanes until e.g. the variance goes
+    negative (R10_DUPKEYS_PLAN class 1).  Ops that aggregate across
+    documents (mm_binary_stats by lang) count every delivered row and
+    leave it False."""
     d = load_table(spark, sf_dir, "documents")
+    if dedup_keys:
+        from un_datapipeline_spark.tables import winner_document
+
+        d = winner_document(d)
     m = F.md5("text")
     return d.select(
         "doc_id",
@@ -141,9 +155,11 @@ def _hex_byte_sql(pos: str) -> str:
 _DECODE_ORACLE = f"""
 WITH dims AS (
   -- NULL payload contract (round 9, class 2): a NULL document has no
-  -- media object — nothing to decode on either engine
+  -- media object — nothing to decode on either engine.  Duplicate-key
+  -- contract (round 10, class 1): one payload per doc_id.
   SELECT doc_id, lower(hex(encode(text))) AS hx,
-         octet_length(encode(text)) AS n, md5(text) AS m FROM documents
+         octet_length(encode(text)) AS n, md5(text) AS m
+  FROM {winner_document_sql()} documents
   WHERE text IS NOT NULL
 ), sized AS (
   SELECT doc_id, hx, n,
@@ -195,8 +211,12 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     abs-diff sum — all < 2^53) and emits the raw double expressions;
     rounding happens JVM-side so both engines round the same bits."""
     # NULL payload = no media object (round 9): bytes(None) would crash
-    # the kernel; the oracle mirrors with text IS NOT NULL
-    m = documents_as_media(spark, sf_dir).filter(F.col("payload").isNotNull())
+    # the kernel; the oracle mirrors with text IS NOT NULL.
+    # dedup_keys (round 10): per-doc moments are key-grained — one
+    # payload per doc_id, deterministic winner, oracle-mirrored.
+    m = documents_as_media(spark, sf_dir, dedup_keys=True).filter(
+        F.col("payload").isNotNull()
+    )
     schema = (
         "doc_id long, width int, height int, "
         "brightness double, contrast double, edges double"
@@ -351,9 +371,12 @@ AUDIO_DC = 80  # fixed DC offset removed from each 8-bit sample
 # identical IEEE expressions on identical operands in both engines.
 _AUDIO_ORACLE = f"""
 WITH sized AS (
-  -- NULL payload = no media object (round 9) — no PCM to window
+  -- NULL payload = no media object (round 9) — no PCM to window.
+  -- Duplicate-key contract (round 10, class 1): one payload per doc_id
+  -- (a re-crawled id doubled the window grid: 2288 vs 2000 windows).
   SELECT doc_id, lower(hex(encode(text))) AS hx,
-         octet_length(encode(text)) AS n FROM documents
+         octet_length(encode(text)) AS n
+  FROM {winner_document_sql()} documents
   WHERE text IS NOT NULL
 ), pos AS (
   SELECT doc_id, hx, n, j,
@@ -399,10 +422,12 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing — binary column in, fixed {AUDIO_N_WIN} rows per doc out
     of an Arrow-batched mapInPandas — is fully real and the feature
     math SQL-replays exactly.  The UDF accumulates integer moments
-    only; rounding happens JVM-side (ROUND_NOTES float policy)."""
+    only; rounding happens JVM-side (ROUND_NOTES float policy).
+    dedup_keys (round 10): the window grid is key-grained — one payload
+    per doc_id, deterministic winner, oracle-mirrored."""
     import numpy as np
 
-    m = documents_as_media(spark, sf_dir)
+    m = documents_as_media(spark, sf_dir, dedup_keys=True)
     schema = "doc_id long, win int, rms_raw double, peak int, zero_crossings long"
 
     def extract(batches):

@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import (
+    load_table,
+    winner_document,
+    winner_document_sql,
+)
 
 # table -> primary key column used for the scan fingerprint
 _KEY_COLS = {
@@ -680,9 +684,9 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (probed on Spark 4.1.2 — a 0-byte .bin never becomes a row), so an
 # empty document has no ingest row to match.  A real pipeline must
 # audit empty objects from the listing side; see the op docstring.
-_BINARY_FILES_ORACLE = """
+_BINARY_FILES_ORACLE = f"""
 SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS digest
-FROM documents
+FROM {winner_document_sql()} documents
 WHERE doc_id < 20 AND text IS NOT NULL AND strlen(text) > 0
 ORDER BY doc_id
 """
@@ -705,8 +709,13 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     done = os.path.join(out, "_FIXTURE_OK")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
+        # Duplicate-key contract (round 10, R10_DUPKEYS_PLAN class 1):
+        # a file name is key-grained — two payloads under one re-crawled
+        # doc_id would silently OVERWRITE each other (last writer wins by
+        # filesystem accident).  The deterministic per-key winner picks
+        # the one serialized form, oracle-mirrored.
         rows = (
-            load_table(spark, sf_dir, "documents")
+            winner_document(load_table(spark, sf_dir, "documents"))
             .select("doc_id", "text")
             # NULL-text contract: a NULL document has no byte payload —
             # no file is written for it (the oracle filter mirrors this)
@@ -903,11 +912,11 @@ def src_recursive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WHOLETEXT_ORACLE = """
+_WHOLETEXT_ORACLE = f"""
 SELECT doc_id,
        strlen(text) AS n_bytes,
        md5(text) AS digest
-FROM documents
+FROM {winner_document_sql()} documents
 WHERE doc_id >= 20 AND doc_id < 40 AND text IS NOT NULL
 ORDER BY doc_id
 """
@@ -936,8 +945,11 @@ def src_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
     done = os.path.join(out, "_FIXTURE_OK")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
+        # Duplicate-key contract (round 10, class 1): file names are
+        # key-grained — deterministic per-key winner, oracle-mirrored
+        # (see src_binary_files).
         rows = (
-            load_table(spark, sf_dir, "documents")
+            winner_document(load_table(spark, sf_dir, "documents"))
             # NULL-text contract: a NULL document has no file (the
             # fixture writer would crash on f.write(None); the oracle
             # filter mirrors the skip)

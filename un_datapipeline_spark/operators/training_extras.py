@@ -17,7 +17,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import (
+    load_table,
+    winner_document,
+    winner_document_sql,
+)
 
 
 def _seed_hash(*cols: F.Column) -> F.Column:
@@ -139,11 +143,11 @@ def llm_ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fill-in-the-middle (FIM) restructuring
 # ---------------------------------------------------------------------------
 
-_FIM_ORACLE = """
+_FIM_ORACLE = f"""
 WITH toked AS (
   SELECT doc_id, source, string_split(text, ' ') AS toks,
          len(string_split(text, ' ')) AS n
-  FROM documents
+  FROM {winner_document_sql()} documents
 ), cut AS (
   SELECT doc_id, source, toks, n,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim'), 1, 6))
@@ -200,8 +204,14 @@ def llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pure per-row column expressions (split/slice/concat) —
     no shuffle until the final per-source aggregate; at 100 TB this is
-    a map-only pass that fuses into whatever scan feeds it."""
-    d = load_table(spark, sf_dir, "documents")
+    a map-only pass that fuses into whatever scan feeds it.
+
+    Duplicate-key contract (round 10, R10_DUPKEYS_PLAN class 2): the
+    seeded cuts are functions of doc_id — two texts under one
+    re-crawled id get the SAME cut points on different token streams
+    and the oracle's doc_id join fans out (probed: corpus digest
+    mismatch).  Deterministic per-key winner on both sides."""
+    d = winner_document(load_table(spark, sf_dir, "documents"))
     toked = d.select(
         "doc_id", "source", F.split("text", " ").alias("toks")
     ).withColumn("n", F.size("toks")).filter(F.col("n") >= 4)

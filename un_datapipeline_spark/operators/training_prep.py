@@ -16,7 +16,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import (
+    load_table,
+    winner_document,
+    winner_document_sql,
+)
 
 # ---------------------------------------------------------------------------
 # Benchmark-contamination check
@@ -1176,12 +1180,12 @@ def llm_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Chat template application (SFT formatting)
 # ---------------------------------------------------------------------------
 
-_CHAT_ORACLE = """
+_CHAT_ORACLE = f"""
 WITH paired AS (
   SELECT source, doc_id, text AS prompt,
          lead(text)   OVER (PARTITION BY source ORDER BY doc_id) AS response,
          lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS resp_id
-  FROM documents
+  FROM {winner_document_sql()} documents
 ), formatted AS (
   SELECT source, doc_id, resp_id,
          '<|system|>' || chr(10) || 'You are a helpful assistant.' || chr(10)
@@ -1214,8 +1218,14 @@ def llm_chat_template_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partitioned window (no global sort) + string
     concat column expressions + one hash agg; the per-source digest is
     the ordered-fold lane of etl_table_fingerprint applied to the
-    formatted corpus."""
-    d = load_table(spark, sf_dir, "documents")
+    formatted corpus.
+
+    Duplicate-key contract (round 10, R10_DUPKEYS_PLAN class 3): the
+    pairing window orders by doc_id — a re-crawled id TIES in the sort
+    and each engine pairs an arbitrary duplicate with the next doc
+    (probed: char totals off by one duplicate's worth).  Deterministic
+    per-key winner on both sides."""
+    d = winner_document(load_table(spark, sf_dir, "documents"))
     w = Window.partitionBy("source").orderBy("doc_id")
     paired = d.select(
         "source",
@@ -1376,11 +1386,11 @@ def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SFT loss masking (prompt-span vs response-span char budgets)
 # ---------------------------------------------------------------------------
 
-_SFT_MASK_ORACLE = """
+_SFT_MASK_ORACLE = f"""
 WITH paired AS (
   SELECT source, doc_id, text AS prompt,
          lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS response
-  FROM documents
+  FROM {winner_document_sql()} documents
 ), spans AS (
   SELECT source, doc_id,
          len('<|system|>' || chr(10) || 'You are a helpful assistant.'
@@ -1425,8 +1435,12 @@ def llm_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max_resp_start by exactly one and the hash catches it.
 
     Scale shape: one lead() window per source (no global sort), pure
-    length arithmetic, one hash agg."""
-    d = load_table(spark, sf_dir, "documents")
+    length arithmetic, one hash agg.
+
+    Duplicate-key contract (round 10, class 3): same pairing-window tie
+    as llm_chat_template_apply — deterministic per-key winner on both
+    sides."""
+    d = winner_document(load_table(spark, sf_dir, "documents"))
     w = Window.partitionBy("source").orderBy("doc_id")
     paired = d.select(
         "source",

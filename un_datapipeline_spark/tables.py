@@ -178,3 +178,116 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views (mirrors the DuckDB oracle side)."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-surrogate-key contract (round 10, R10_DUPKEYS_PLAN.md)
+# ---------------------------------------------------------------------------
+# A surrogate key names ONE logical row.  Every real 100 TB feed
+# eventually delivers several rows under one key (at-least-once
+# delivery, double ingest, re-crawl under a stable id) with DIFFERING
+# payloads; an operator whose semantics are keyed per-id must then pick
+# a DETERMINISTIC winner on both engines, or it either emits impossible
+# values (per-key shingle sets union two texts: Jaccard 1.878) or lets
+# each engine pick a different arbitrary row (silent drift).  The
+# contract: latest-wins for events (ts, then the full payload as
+# tiebreak — a replay can carry the SAME ts, so ts alone is not a total
+# order), max-digest-wins for documents (deterministic without a
+# timestamp), max-element-sum-wins for embeddings.  Applied INSIDE each
+# affected operator and mirrored verbatim in its paired oracle — NOT at
+# ingest: 337/351 ops are dup-safe by shape, and a global ingest dedup
+# would add a window shuffle to every scan.  Bitwise-neutral on the
+# shipped corpora (keys are unique there, so the winner is the only
+# row).  At cluster scale the window shuffles on the key the op was
+# about to shuffle on anyway.
+
+def winner_per_key(df: DataFrame, key: str, order_cols) -> DataFrame:
+    """One deterministic row per ``key``: first row under the given
+    DESC-NULLS-LAST total order (Spark desc is NULLS LAST by default —
+    pinned explicitly; DuckDB's DESC default is also NULLS LAST, pinned
+    in the SQL mirrors)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(c).desc_nulls_last() for c in order_cols]
+    )
+    return (
+        df.withColumn("_dup_rn", F.row_number().over(w))
+        .filter(F.col("_dup_rn") == 1)
+        .drop("_dup_rn")
+    )
+
+
+_EVENT_ORDER = ("ts", "value", "event_type", "props", "user_id")
+_DOC_ORDER = ("md5(text)", "lang", "source", "n_chars")
+
+
+def latest_event(df: DataFrame) -> DataFrame:
+    """events winner: latest ts, full payload tiebreak."""
+    return winner_per_key(df, "event_id", _EVENT_ORDER)
+
+
+def latest_event_sql(table: str = "events") -> str:
+    """DuckDB mirror of :func:`latest_event` — a FROM-able subquery."""
+    order = ", ".join(f"{c} DESC NULLS LAST" for c in _EVENT_ORDER)
+    return (
+        f"(SELECT * FROM {table} QUALIFY row_number() OVER "
+        f"(PARTITION BY event_id ORDER BY {order}) = 1)"
+    )
+
+
+def winner_document(df: DataFrame) -> DataFrame:
+    """documents winner: max md5(text), payload tiebreak."""
+    return winner_per_key(
+        df.withColumn("_digest", F.md5("text")),
+        "doc_id",
+        ("_digest", "lang", "source", "n_chars"),
+    ).drop("_digest")
+
+
+def winner_document_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`winner_document`."""
+    order = ", ".join(f"{c} DESC NULLS LAST" for c in _DOC_ORDER)
+    return (
+        f"(SELECT * FROM {table} QUALIFY row_number() OVER "
+        f"(PARTITION BY doc_id ORDER BY {order}) = 1)"
+    )
+
+
+def winner_embedding(df: DataFrame) -> DataFrame:
+    """embeddings winner: max element sum (float64), label tiebreak.
+    The sort key is NULL (→ NULLS LAST) for NULL, EMPTY, or
+    NULL-element vectors on BOTH engines: Spark's aggregate seeds 0.0 on
+    an empty list where DuckDB's list_aggregate gives NULL, and DuckDB
+    SKIPS NULL elements (partial sum) where Spark propagates — both
+    asymmetries are pinned to NULL explicitly so a corrupt duplicate can
+    never win differently per engine."""
+    elsum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    key = F.when(
+        (F.size("embedding") > 0)
+        & (F.size(F.array_compact("embedding")) == F.size("embedding")),
+        elsum,
+    )
+    return winner_per_key(
+        df.withColumn("_elsum", key), "vec_id", ("_elsum", "label")
+    ).drop("_elsum")
+
+
+def winner_embedding_sql(table: str = "embeddings") -> str:
+    """DuckDB mirror of :func:`winner_embedding` (see its docstring for
+    the corrupt-vector NULL pinning)."""
+    elsum = (
+        "CASE WHEN len(embedding) > 0 "
+        "AND len(list_filter(embedding, x -> x IS NULL)) = 0 "
+        "THEN list_aggregate(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)), 'sum') END"
+    )
+    return (
+        f"(SELECT * FROM {table} QUALIFY row_number() OVER "
+        f"(PARTITION BY vec_id ORDER BY {elsum} DESC NULLS LAST, "
+        f"label DESC NULLS LAST) = 1)"
+    )
