@@ -528,6 +528,37 @@ def test_magnitude_corpus_class(spark, magnitude_sf, name):
 
 
 @pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("emptysf")
+    _tool().build_empty_dataset(str(d))
+    return str(d)
+
+
+# one representative per round-10 --empty class (R10_EMPTY_PLAN.md)
+EMPTY_OPS = [
+    "etl_backfill_partitions",  # class 1: read-back now passes the
+    #                             writer's schema (no footer inference)
+    "win_event_pattern",        # class 2: count_if — a match count is 0
+    #                             on empty, not a NULL SUM of indicators
+    "fn_json_schema_infer",     # class 3: no inferable sample → the
+    #                             op's declared 0-row schema
+    "llm_ann_brp_lsh",          # class 3: MLlib fit() short-circuited
+    "ts_local_day_dst",         # class 4: DATE→TIMESTAMP relabel keeps
+    #                             the dtype at 0 rows
+]
+
+
+@pytest.mark.parametrize("name", EMPTY_OPS)
+def test_empty_corpus_class(spark, empty_sf, name):
+    """Round-10 hazard class: zero-row tables — the day-one shape of a
+    scheduled pipeline (new partition/tenant, no data yet).  An empty
+    write must still yield a queryable 0-row table; a count of matches
+    is 0 over nothing; empty is a legitimate answer to an empty
+    input."""
+    _both(spark, empty_sf, name)
+
+
+@pytest.fixture(scope="module")
 def dupkeys_sf(tmp_path_factory):
     d = tmp_path_factory.mktemp("dupsf")
     _tool().build_dupkeys_dataset(str(d))

@@ -106,6 +106,15 @@ FORCE_REFRESH = (
     "llm_sft_loss_mask",
     # class 4 (asof per-key grain):
     "join_asof",
+    # -- empty-table wave (R10_EMPTY_PLAN.md; llm_filter_funnel and
+    # llm_ann_brp_lsh already hold slots above):
+    "etl_backfill_partitions",  # explicit read-back schema (class 1)
+    "join_dpp_partitioned",
+    "src_partitioned_pruning",
+    "llm_training_shard_write",
+    "win_event_pattern",        # count_if match counters (class 2)
+    "fn_json_schema_infer",     # clean-sample scan + 0-row short-circuit
+    "ts_local_day_dst",         # DATE→TIMESTAMP relabel (class 4)
 )
 
 

@@ -72,6 +72,13 @@ crashed before the round-10 ingest-contract extension
 |value| > ~9.2e16.  1e-300 is deliberately kept by the contract (tiny
 rounds to 0 cents like 0.001 does) and rides along here to pin that.
 
+A tenth mode (--empty, promoted round 10 from tools/probe_empty_r10.py)
+writes events/documents/embeddings as 0-row parquet with the shipped
+schemas — the day-one shape of every scheduled pipeline.  9 ops failed
+before the round-10 wave (explicit read-back schemas, count_if for
+match counters, 0-row short-circuits for driver-side sample/fit, a
+TIMESTAMP relabel for the 0-row DATE dtype).
+
 A ninth mode (--dupkeys, promoted round 10 from
 tools/probe_dupkeys_r10.py) replays surrogate keys with differing
 payloads (1/10 event_ids, 1/7 doc_ids, 1/8 vec_ids) — at-least-once
@@ -99,6 +106,7 @@ Usage:
     python tools/sweep_degenerate.py --timewarp [ops...] # decades-out ts
     python tools/sweep_degenerate.py --magnitude [ops...] # absurd |value|
     python tools/sweep_degenerate.py --dupkeys [ops...]  # replayed keys
+    python tools/sweep_degenerate.py --empty [ops...]    # zero-row tables
 """
 
 from __future__ import annotations
@@ -398,6 +406,25 @@ def build_magnitude_dataset(d: str) -> None:
         ),
         f"{d}/events.parquet",
     )
+
+
+def build_empty_dataset(d: str) -> None:
+    """Zero-row corpus (--empty, promoted round 10 from
+    tools/probe_empty_r10.py after the fix wave): events, documents and
+    embeddings written as 0-row parquet with the exact shipped schemas
+    (pyarrow ``schema.empty_table()``); relational tables intact.  The
+    day-one shape of every scheduled pipeline — a new partition/tenant
+    with no data yet.  9 ops failed before the wave: write-then-read-back
+    schema inference (UNABLE_TO_INFER_SCHEMA off zero data files),
+    indicator-SUM-vs-COUNT divergence, driver-side sample/fit on zero
+    rows, and the 0-row DATE dtype loss at the pandas boundary."""
+    import pyarrow.parquet as pq
+
+    for t in "region nation customer supplier part orders lineitem".split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    for t in ("events", "documents", "embeddings"):
+        schema = pq.read_schema(f"{BASE}/{t}.parquet")
+        pq.write_table(schema.empty_table(), f"{d}/{t}.parquet")
 
 
 def build_dupkeys_dataset(d: str) -> None:
@@ -708,6 +735,7 @@ def main() -> int:
         "--timewarp",
         "--magnitude",
         "--dupkeys",
+        "--empty",
     )
     bad = [a for a in args if a.startswith("--") and a not in flags]
     if bad:
@@ -729,6 +757,7 @@ def main() -> int:
     timewarp_mode = "--timewarp" in args
     magnitude_mode = "--magnitude" in args
     dupkeys_mode = "--dupkeys" in args
+    empty_mode = "--empty" in args
     only = set(a for a in args if a not in flags)
     d = tempfile.mkdtemp(prefix="degen_")
     if tiny:
@@ -747,6 +776,8 @@ def main() -> int:
         build_magnitude_dataset(d)
     elif dupkeys_mode:
         build_dupkeys_dataset(d)
+    elif empty_mode:
+        build_empty_dataset(d)
     else:
         build_dataset(d)
     _, _, fails = run_registry(d, only)

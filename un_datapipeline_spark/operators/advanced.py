@@ -1231,7 +1231,14 @@ def win_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark without a CEP engine: ONE shuffle keyed by user collapses the
     history; per-user strings are session-bounded; regexes run
     data-parallel on the collapsed rows.  listagg WITHIN GROUP gives
-    the ordered concatenation JVM-side."""
+    the ordered concatenation JVM-side.
+
+    Empty-relation contract (round 10, R10_EMPTY_PLAN class 2): the
+    match counters are COUNTs — 0 over a zero-row day-one corpus, not a
+    NULL-valued SUM of indicators (count_if ↔ the oracle's count
+    FILTER; probed: Spark NaN vs oracle 0).  total_purchases is a true
+    measure SUM and stays NULL-on-empty on BOTH sides — SQL's answer
+    for the sum of nothing."""
     ev = load_table(spark, sf_dir, "events")
     seq = (
         ev.select(
@@ -1249,9 +1256,9 @@ def win_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seq.agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum(F.col("s").rlike("v.*c.*p").cast("long")).alias("funnel_vcp"),
-        F.sum(F.col("s").rlike("vcp").cast("long")).alias("strict_vcp"),
-        F.sum(F.col("s").rlike("ee").cast("long")).alias("double_err"),
+        F.count_if(F.col("s").rlike("v.*c.*p")).alias("funnel_vcp"),
+        F.count_if(F.col("s").rlike("vcp")).alias("strict_vcp"),
+        F.count_if(F.col("s").rlike("ee")).alias("double_err"),
         F.sum(F.length(F.regexp_replace("s", "[^p]", ""))).cast("long").alias(
             "total_purchases"
         ),

@@ -861,14 +861,47 @@ def fn_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     trap this op documents: fields missing from the SAMPLED row are
     dropped for every row — sample a MAXIMAL value (here via the
     longest props string) or union-merge several samples in
-    production."""
+    production.
+
+    Sample hygiene (round 10): the inference sample must be VALID
+    single-key JSON — a malformed candidate has no schema, and a
+    duplicate-key object has no well-defined struct (Spark keeps both
+    keys → AMBIGUOUS_REFERENCE downstream; DuckDB keeps the last —
+    exclusion is the only parity-safe call, R10_BADJSON_PLAN).  The
+    driver scans a bounded candidate list (longest-first, the same
+    maximal-sample order) and takes the first clean one.  A corpus with
+    NO inferable sample — day-one empty table (R10_EMPTY_PLAN class 3)
+    or all-corrupt props — yields the op's declared 0-row schema:
+    empty is a legitimate answer to an uninferable input."""
+    import json
+
     e = load_table(spark, sf_dir, "events")
-    sample = (
+    cands = (
         e.select("props")
+        .filter(F.col("props").isNotNull())
         .orderBy(F.length("props").desc(), "props")
-        .limit(1)
-        .collect()[0][0]
-    )  # ONE maximal sample row — bounded by design
+        .limit(64)
+        .collect()
+    )  # bounded candidate list — driver cost is the literal, not data
+
+    def _clean(s: str) -> bool:
+        def no_dups(pairs):
+            keys = [k for k, _ in pairs]
+            if len(keys) != len(set(keys)):
+                raise ValueError("duplicate keys")
+            return dict(pairs)
+
+        try:
+            json.loads(s, object_pairs_hook=no_dups)
+            return True
+        except ValueError:
+            return False
+
+    sample = next((r[0] for r in cands if _clean(r[0])), None)
+    if sample is None:
+        return spark.createDataFrame(
+            [], "event_type string, n long, sum_k long, max_k long"
+        )
     schema_str = spark.range(1).select(
         F.schema_of_json(F.lit(sample)).alias("s")
     ).collect()[0][0]

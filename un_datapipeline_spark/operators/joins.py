@@ -500,13 +500,14 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     out = tempfile.mkdtemp(prefix="udps_dpp_")
-    (
-        ev.withColumn("event_date", F.to_date("ts"))
-        .write.mode("overwrite")
-        .partitionBy("event_date")
-        .parquet(out)
-    )
-    fact = spark.read.parquet(out)
+    part = ev.withColumn("event_date", F.to_date("ts"))
+    part.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    # Explicit schema (round 10, R10_EMPTY_PLAN class 1): an empty
+    # source writes no data files and inference dies; the writer knows
+    # the schema.  Partition discovery (and the DPP PartitionFilters
+    # injection this op exists to prove) is unaffected — only footer
+    # inference is skipped.
+    fact = spark.read.schema(part.schema).parquet(out)
     iso_dow = (F.dayofweek("d") + 5) % 7 + 1
     dim = (
         ev.select(F.to_date("ts").alias("d"))

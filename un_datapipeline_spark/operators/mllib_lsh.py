@@ -172,6 +172,15 @@ def brp_topk(
 
     c = vecs(corpus).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     p = vecs(probes).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    if c.isEmpty():
+        # Day-one empty table, or every vector voided by the validity
+        # contract: MLlib's fit() throws on a 0-row frame, but an empty
+        # corpus has a perfectly defined ANN answer — no neighbors
+        # (round 10, R10_EMPTY_PLAN class 3).  The isEmpty() probe reads
+        # one partition of the just-materialized checkpoint — O(1).
+        return corpus.sparkSession.createDataFrame(
+            [], "probe_id long, rank int, neighbor_id long, dist double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",

@@ -310,13 +310,13 @@ def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned roundtrip loses nothing."""
     ev = load_table(spark, sf_dir, "events")
     out = tempfile.mkdtemp(prefix="udps_part_")
-    (
-        ev.withColumn("event_date", F.to_date("ts"))
-        .write.mode("overwrite")
-        .partitionBy("event_date")
-        .parquet(out)
-    )
-    back = spark.read.parquet(out)
+    part = ev.withColumn("event_date", F.to_date("ts"))
+    part.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    # Explicit schema (round 10, R10_EMPTY_PLAN class 1): an empty write
+    # emits no data files and inference dies with UNABLE_TO_INFER_SCHEMA;
+    # the writer knows the schema.  PartitionFilters pruning (the point
+    # of this op) is listing-time and unaffected.
+    back = spark.read.schema(part.schema).parquet(out)
     return (
         back.filter(
             F.col("event_date").between(F.lit("2024-01-08"), F.lit("2024-01-14"))

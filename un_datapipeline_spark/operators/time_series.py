@@ -530,7 +530,12 @@ WITH yrs AS (
                   THEN INTERVAL 1 HOUR ELSE INTERVAL 0 HOUR END AS local_ts
   FROM events e JOIN bounds b ON year(CAST(e.ts AS TIMESTAMP)) = b.y
 )
-SELECT CAST(local_ts AS DATE) AS local_day,
+-- local_day is relabeled TIMESTAMP on BOTH sides (round 10,
+-- R10_EMPTY_PLAN class 4): a 0-row DateType column loses its dtype at
+-- the pandas boundary (object column with no values to infer from);
+-- the midnight-timestamp relabel is bitwise-neutral on non-empty data
+-- and arrow-stable at 0 rows.
+SELECT CAST(CAST(local_ts AS DATE) AS TIMESTAMP) AS local_day,
        CAST(count(*) AS BIGINT) AS n
 FROM shifted
 GROUP BY 1
@@ -558,9 +563,11 @@ def ts_local_day_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(
-            F.to_date(
-                F.from_utc_timestamp("ts", "America/New_York")
-            ).alias("local_day")
+            # cast to TIMESTAMP (round 10, class 4): see the oracle note
+            # — a pure type relabel of the local date, empty-frame-stable
+            F.to_date(F.from_utc_timestamp("ts", "America/New_York"))
+            .cast("timestamp")
+            .alias("local_day")
         )
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("local_day")

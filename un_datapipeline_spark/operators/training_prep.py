@@ -935,8 +935,12 @@ def llm_training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"udp_shards_{tag}")
     sharded.write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    # Explicit schema (round 10, R10_EMPTY_PLAN class 1): an empty
+    # corpus writes no shard files and inference dies; the writer knows
+    # the schema (and skipping footer inference is the right cluster
+    # posture regardless).
     return (
-        spark.read.parquet(out)
+        spark.read.schema(sharded.schema).parquet(out)
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
