@@ -528,6 +528,98 @@ def test_magnitude_corpus_class(spark, magnitude_sf, name):
 
 
 @pytest.fixture(scope="module")
+def bigdoc_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bigdocsf")
+    _tool().build_bigdoc_dataset(str(d))
+    return str(d)
+
+
+# one representative per round-10 --bigdoc mechanism (R10_BIGDOC_PLAN;
+# the TIMING gate is tools/probe_bigdoc_r10.py's subprocess-per-op run)
+BIGDOC_OPS = [
+    "llm_dedup_ngram_jaccard",   # capped gram signature + linear build
+    "llm_dedup_fuzzy_edit",      # 4 KB edit-distance verify cap
+    "llm_line_dedup_reconstruct",  # capped line grid, stride chunking
+]
+
+
+@pytest.mark.parametrize("name", BIGDOC_OPS)
+def test_bigdoc_corpus_class(spark, bigdoc_sf, name):
+    """Round-10 hazard class: one oversized document (520 KB OCR dump /
+    minified JS class).  The bounded-prefix signature contract
+    (tables.SIG_PREFIX_CHARS, mirrored in each paired oracle) bounds
+    every per-doc kernel, and the k-gram builders are LINEAR
+    (dedup_extras.ngram_array) — the index-lambda formulation
+    re-evaluated the split per element, O(len²) per doc, which was the
+    real straggler mechanism."""
+    _both(spark, bigdoc_sf, name)
+
+
+@pytest.fixture(scope="module")
+def ctrlchars_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ctrlsf")
+    _tool().build_ctrlchars_dataset(str(d))
+    return str(d)
+
+
+CTRLCHARS_OPS = [
+    "src_text_wholetext",   # wholetext KWARG (the .option() form is
+    #                         silently overwritten by text()'s defaults
+    #                         → latent line-mode read, 23 rows from 20
+    #                         files)
+    "src_csv_multiline",    # oracle replays the wrap+flatten transform
+]
+
+
+@pytest.mark.parametrize("name", CTRLCHARS_OPS)
+def test_ctrlchars_corpus_class(spark, ctrlchars_sf, name):
+    """Round-10 hazard class: control characters inside documents.text
+    (embedded newlines, CRLF, quotes+commas, tabs, NUL).  Exposed a
+    LATENT PySpark trap: reader options set via .option() before
+    .text() are overwritten by the method's own kwarg defaults."""
+    _both(spark, ctrlchars_sf, name)
+
+
+def test_text_lines_contract_violation_is_typed(spark, ctrlchars_sf):
+    """src_text_lines must fail FAST and TYPED on embedded newlines —
+    a quiet line-split roundtrip would corrupt the corpus; the typed
+    error is what lets the sweeps count the refusal as contracted."""
+    from un_datapipeline_spark.registry import ContractViolation, all_operators
+
+    with pytest.raises(ContractViolation):
+        all_operators()["src_text_lines"].fn(spark, ctrlchars_sf).collect()
+
+
+@pytest.fixture(scope="module")
+def badjson_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("badjsonsf")
+    _tool().build_badjson_dataset(str(d))
+    return str(d)
+
+
+# one representative per round-10 --badjson mechanism (R10_BADJSON_PLAN)
+BADJSON_OPS = [
+    "fn_json",                  # oracle json_valid CASE (DuckDB
+    #                             json_extract throws where Spark NULLs)
+    "fn_variant_json",          # try_parse_json ↔ json_usable mirror
+    #                             incl. the dup-key rejection rule
+    "etl_quarantine_bad_rows",  # malformed rows route INTO quarantine
+    #                             on both engines
+]
+
+
+@pytest.mark.parametrize("name", BADJSON_OPS)
+def test_badjson_corpus_class(spark, badjson_sf, name):
+    """Round-10 hazard class: malformed JSON payloads (truncated
+    objects, bare text, wrong types, duplicate keys).  Spark's JSON
+    surfaces NULL malformed input; the oracles mirror with
+    json_valid/json_usable guards, and ambiguous duplicate-key objects
+    (Spark keeps the LAST dup, DuckDB the FIRST) are rejected on both
+    sides."""
+    _both(spark, badjson_sf, name)
+
+
+@pytest.fixture(scope="module")
 def empty_sf(tmp_path_factory):
     d = tmp_path_factory.mktemp("emptysf")
     _tool().build_empty_dataset(str(d))

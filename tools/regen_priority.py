@@ -114,7 +114,45 @@ FORCE_REFRESH = (
     "llm_training_shard_write",
     "win_event_pattern",        # count_if match counters (class 2)
     "fn_json_schema_infer",     # clean-sample scan + 0-row short-circuit
+    #                             + json_usable parse gate (badjson)
     "ts_local_day_dst",         # DATE→TIMESTAMP relabel (class 4)
+    # -- malformed-JSON wave (R10_BADJSON_PLAN.md; fn_json_schema_infer
+    # above already holds its slot):
+    "fn_json",                  # oracle json_valid CASE guards
+    "fn_variant_json",          # try_parse_json ↔ json_usable mirror
+    "etl_quarantine_bad_rows",  # bad rows route INTO quarantine
+    # -- bigdoc wave (R10_BIGDOC_PLAN.md): bounded-prefix signature
+    # contract (oracle-text caps) + the linear k-gram rewrite
+    # (ngram_array — the index-lambda/array-copy quadratics were the
+    # true straggler mechanism).  jaccard/containment/novelty/
+    # line_dedup already hold slots above.
+    "llm_dedup_incremental",    # capped gram lane, both sides
+    "llm_dedup_cluster",        # capped edge grams, both sides
+    "llm_canonical_select",     # same edge builder + capped oracle
+    "llm_dedup_fuzzy_edit",     # 4 KB edit-distance cap, both sides
+    "llm_boilerplate_ngrams",   # capped + linear 8-gram build
+    "llm_contamination_check",  # linear 8-gram build (no oracle change)
+    "llm_dedup_substr",         # linear window build (no oracle change)
+    "llm_dedup_near_minhash",   # _shingled: capped + linear char grams
+    # -- ctrlchars micro-wave (tools/probe_ctrlchars_r10.py):
+    "src_csv_multiline",        # oracle replays wrap+flatten transform
+    #                             (src_text_wholetext above also gained
+    #                             the wholetext-kwarg read fix)
+)
+
+# Round-10 window OVERFLOW (53 stamp-void edits, 50 slots): these three
+# rows-only, code-only rewrites are deferred to the TOP of the round-11
+# window — least risk of the 53 (no oracle text changed, semantics
+# locally verified across seven sweep corpora, each with its own pytest
+# invariant vs an exact baseline).  ROUND 11 MUST move them into
+# FORCE_REFRESH first.
+DEFERRED_REFRESH_R11 = (
+    "llm_dedup_minhash_ml",     # linear trigram build (rows-only)
+    "llm_doc_fingerprint",      # linear char-8-gram build (rows-only)
+    "llm_neardup_cluster",      # dependency-only (_shingled) change
+    "src_text_lines",           # assert → typed ContractViolation raise
+    #                             (identical behavior on every corpus
+    #                             the driver can see)
 )
 
 

@@ -72,6 +72,21 @@ crashed before the round-10 ingest-contract extension
 |value| > ~9.2e16.  1e-300 is deliberately kept by the contract (tiny
 rounds to 0 cents like 0.001 does) and rides along here to pin that.
 
+Twelfth and thirteenth modes (round 10): --bigdoc splices ~130 KB and
+~520 KB documents into the corpus (PARITY check of the bounded-prefix
+signature contract; the straggler TIMING gate is
+tools/probe_bigdoc_r10.py's subprocess-per-op run), and --ctrlchars
+stripes embedded newlines / CRLF / quotes / tabs / NUL bytes into
+documents.text (serialization boundaries; src_text_lines' typed
+ContractViolation fail-fast counts as a contracted pass).
+
+An eleventh mode (--badjson, promoted round 10 from
+tools/probe_badjson_r10.py) stripes real-feed JSON corruption into
+``events.props`` (truncated objects, bare text, empty strings, null
+literals, wrong types, duplicate keys).  4 ops failed before the
+json_usable/try_parse_json guards — including the quarantine op
+crashing on exactly the rows it exists to quarantine.
+
 A tenth mode (--empty, promoted round 10 from tools/probe_empty_r10.py)
 writes events/documents/embeddings as 0-row parquet with the shipped
 schemas — the day-one shape of every scheduled pipeline.  9 ops failed
@@ -107,6 +122,9 @@ Usage:
     python tools/sweep_degenerate.py --magnitude [ops...] # absurd |value|
     python tools/sweep_degenerate.py --dupkeys [ops...]  # replayed keys
     python tools/sweep_degenerate.py --empty [ops...]    # zero-row tables
+    python tools/sweep_degenerate.py --badjson [ops...]  # malformed props
+    python tools/sweep_degenerate.py --bigdoc [ops...]   # 130/520 KB docs
+    python tools/sweep_degenerate.py --ctrlchars [ops...] # control chars
 """
 
 from __future__ import annotations
@@ -408,6 +426,120 @@ def build_magnitude_dataset(d: str) -> None:
     )
 
 
+def build_badjson_dataset(d: str) -> None:
+    """Malformed-JSON corpus (--badjson, promoted round 10 from
+    tools/probe_badjson_r10.py after the fix wave): ``events.props``
+    striped (1/7 rows) with real-feed corruption — truncated objects,
+    bare non-JSON text, empty strings, ``null`` literals, wrong-type
+    payloads, duplicate-key objects.  Spark's JSON surfaces NULL
+    malformed input natively; the 4 ops that failed needed json_valid /
+    json_usable oracle guards, try_parse_json for the VARIANT lane, and
+    the dup-key ambiguity rule (Spark keeps the LAST duplicate key,
+    DuckDB extracts the FIRST — such payloads are rejected/quarantined
+    outright on both sides, tables.json_usable_sql)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bad = [
+        '{"k": 8',
+        "not json at all",
+        "",
+        "null",
+        "[1,2,3]",
+        '{"k": 1, "k": 2}',
+    ]
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    ev = pd.read_parquet(f"{BASE}/events.parquet").copy()
+    props = list(ev["props"])
+    for i in range(0, len(props), 7):
+        props[i] = bad[(i // 7) % len(bad)]
+    ev["props"] = props
+    pq.write_table(
+        pa.Table.from_pandas(
+            ev, schema=pq.read_schema(f"{BASE}/events.parquet"), preserve_index=False
+        ),
+        f"{d}/events.parquet",
+    )
+
+
+def build_bigdoc_dataset(d: str) -> None:
+    """Oversized-document corpus (--bigdoc, promoted round 10 from
+    tools/probe_bigdoc_r10.py after the bounded-prefix + linear-kernel
+    wave): the first two documents replaced with ~130 KB (20k-word) and
+    ~520 KB (80k-word) outliers — the multi-MB crawl artifacts
+    (concatenated logs, minified JS, OCR dumps) that turn super-linear
+    per-doc kernels into job-tail stragglers.  This parity sweep checks
+    the capped signatures agree on both engines; the TIMING gate is the
+    probe itself (subprocess-per-op isolation — a parity sweep cannot
+    pin a straggler)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    docs = pd.read_parquet(f"{BASE}/documents.parquet").copy()
+    rng = np.random.RandomState(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "river", "stone", "cloud", "ember"]
+    docs.loc[docs.index[0], "text"] = " ".join(rng.choice(words, 20_000))
+    docs.loc[docs.index[1], "text"] = " ".join(rng.choice(words, 80_000))
+    docs["n_chars"] = docs["text"].str.len()
+    pq.write_table(
+        pa.Table.from_pandas(
+            docs,
+            schema=pq.read_schema(f"{BASE}/documents.parquet"),
+            preserve_index=False,
+        ),
+        f"{d}/documents.parquet",
+    )
+
+
+def build_ctrlchars_dataset(d: str) -> None:
+    """Control-character corpus (--ctrlchars, promoted round 10 from
+    tools/probe_ctrlchars_r10.py): documents.text striped with embedded
+    newlines, CRLF, quotes+commas, tabs, NUL bytes, and literal
+    backslash-n — serialization-boundary stress for the text/CSV
+    writers.  src_text_lines raises its typed ContractViolation here
+    (deliberate fail-fast: a line-per-doc roundtrip would corrupt the
+    corpus) and is counted as a contracted pass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ctrl = [
+        "line one\nline two\nline three",
+        "crlf line\r\nsecond",
+        'a "quoted" phrase, with commas, and more',
+        "tab\tseparated\ttokens here",
+        "nul\x00byte inside",
+        "backslash \\n literal not newline",
+        'mixed: "q", comma,\nnewline\ttab \x00 nul',
+    ]
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    docs = pd.read_parquet(f"{BASE}/documents.parquet").copy()
+    texts = list(docs["text"])
+    for i in range(0, len(texts), 5):
+        texts[i] = ctrl[(i // 5) % len(ctrl)]
+    docs["text"] = texts
+    docs["n_chars"] = [len(t) if t is not None else None for t in texts]
+    pq.write_table(
+        pa.Table.from_pandas(
+            docs,
+            schema=pq.read_schema(f"{BASE}/documents.parquet"),
+            preserve_index=False,
+        ),
+        f"{d}/documents.parquet",
+    )
+
+
 def build_empty_dataset(d: str) -> None:
     """Zero-row corpus (--empty, promoted round 10 from
     tools/probe_empty_r10.py after the fix wave): events, documents and
@@ -695,6 +827,16 @@ def run_registry(d: str, only: set[str], app_name: str = "degen-sweep"):
         try:
             spdf = op.fn(spark, d).toPandas()
         except Exception as ex:
+            from un_datapipeline_spark.registry import ContractViolation
+
+            if isinstance(ex, ContractViolation):
+                # deliberate fail-fast on input the op's contract forbids
+                # (e.g. src_text_lines on embedded newlines) — the
+                # engine-correct answer on a corrupt corpus, counted as
+                # a contracted pass, never a crash
+                print(f"CONTRACT {name}: {str(ex).splitlines()[0][:160]}")
+                n_ro += 1
+                continue
             print(f"FAIL {name}: SPARK CRASH {str(ex).splitlines()[0][:160]}")
             fails.append(name)
             continue
@@ -736,6 +878,9 @@ def main() -> int:
         "--magnitude",
         "--dupkeys",
         "--empty",
+        "--badjson",
+        "--bigdoc",
+        "--ctrlchars",
     )
     bad = [a for a in args if a.startswith("--") and a not in flags]
     if bad:
@@ -758,6 +903,9 @@ def main() -> int:
     magnitude_mode = "--magnitude" in args
     dupkeys_mode = "--dupkeys" in args
     empty_mode = "--empty" in args
+    badjson_mode = "--badjson" in args
+    bigdoc_mode = "--bigdoc" in args
+    ctrlchars_mode = "--ctrlchars" in args
     only = set(a for a in args if a not in flags)
     d = tempfile.mkdtemp(prefix="degen_")
     if tiny:
@@ -778,6 +926,12 @@ def main() -> int:
         build_dupkeys_dataset(d)
     elif empty_mode:
         build_empty_dataset(d)
+    elif badjson_mode:
+        build_badjson_dataset(d)
+    elif bigdoc_mode:
+        build_bigdoc_dataset(d)
+    elif ctrlchars_mode:
+        build_ctrlchars_dataset(d)
     else:
         build_dataset(d)
     _, _, fails = run_registry(d, only)

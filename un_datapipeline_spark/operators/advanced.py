@@ -18,7 +18,8 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.operators.dedup_extras import trigram_array
+from un_datapipeline_spark.tables import capped_text_sql, load_table
 
 # ---------------------------------------------------------------------------
 # SCD2 snapshot maintenance
@@ -423,7 +424,8 @@ WITH RECURSIVE grams AS (
            unnest(list_transform(
              generate_series(1, greatest(len(toks) - 2, 1)),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    FROM (SELECT doc_id, string_split(CAPPED_TEXT_SQL, ' ') AS toks
+          FROM documents)
   ) WHERE len(string_split(gram, ' ')) = 3
 ), sizes AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id
@@ -458,20 +460,13 @@ def _dup_edges(d: DataFrame) -> DataFrame:
     Jaccard ≥ 0.5.  The gram-equality join is vocabulary-keyed (meets
     only docs sharing a trigram) — the same sub-quadratic shape as
     llm_dedup_ngram_jaccard, here without the probe bound because
-    clustering needs the full edge set."""
-    toks = F.split("text", " ")
-    grams_arr = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.try_element_at(toks, i),
-                F.try_element_at(toks, i + 1),
-                F.try_element_at(toks, i + 2),
-            ),
-        ),
-        lambda g: F.size(F.split(g, " ")) == 3,
-    )
+    clustering needs the full edge set.  The gram SIGNATURES are
+    prefix-capped (bounded-prefix contract, tables.capped_text) — the
+    exact-md5 edge lane stays whole-document."""
+    from un_datapipeline_spark.tables import capped_text
+
+    toks = F.split(capped_text(), " ")
+    grams_arr = trigram_array(toks)  # linear k-gram build (see ngram_array)
     grams = d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram"))
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
@@ -589,6 +584,9 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         return labels
     finally:
         spark.conf.set(key, before)
+
+
+_CLUSTER_ORACLE = _CLUSTER_ORACLE.replace("CAPPED_TEXT_SQL", capped_text_sql())
 
 
 @register("llm_dedup_cluster", oracle=_CLUSTER_ORACLE, tier="T3")
@@ -1079,7 +1077,8 @@ WITH RECURSIVE grams AS (
            unnest(list_transform(
              generate_series(1, greatest(len(toks) - 2, 1)),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    FROM (SELECT doc_id, string_split(CAPPED_TEXT_SQL, ' ') AS toks
+          FROM documents)
   ) WHERE len(string_split(gram, ' ')) = 3
 ), sizes AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id
@@ -1115,6 +1114,9 @@ SELECT rep, doc_id AS canonical_doc, CAST(n_chars AS BIGINT) AS canonical_chars,
        CAST(n_docs - 1 AS BIGINT) AS n_dropped
 FROM ranked WHERE rn = 1
 """
+
+
+_CANONICAL_ORACLE = _CANONICAL_ORACLE.replace("CAPPED_TEXT_SQL", capped_text_sql())
 
 
 @register("llm_canonical_select", oracle=_CANONICAL_ORACLE, tier="T3")

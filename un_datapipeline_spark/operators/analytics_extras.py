@@ -19,7 +19,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table, valid_ts, valid_ts_sql
+from un_datapipeline_spark.tables import (
+    json_usable_sql,
+    load_table,
+    valid_ts,
+    valid_ts_sql,
+)
 
 def _cents() -> F.Column:
     # classic-mode F.col needs an active SparkContext, so build lazily
@@ -465,12 +470,36 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VARIANT_ORACLE = """
+# Dirty-payload mirror (round 10, R10_BADJSON_PLAN): Spark's
+# try_parse_json yields a NULL variant for malformed JSON AND for
+# duplicate-key objects (probed — DuckDB's json_valid accepts dup keys
+# and json_extract takes the FIRST, so validity alone under-mirrors);
+# `usable` replicates the variant parser's acceptance exactly
+# (json_valid + top-level key uniqueness via json_keys).  canon_json
+# uses the independent printf rebuild on the object-with-k fast path
+# (the canonicalization pin) and DuckDB's own json() normalizer for
+# other parseable shapes ('null' literal, arrays) — both match Spark's
+# to_json(variant) byte-for-byte on this corpus family.
+_VARIANT_ORACLE = f"""
+WITH flags AS (
+  SELECT event_id, props, {json_usable_sql()} AS usable
+  FROM events
+), vals AS (
+  SELECT event_id, props, usable,
+         CASE WHEN usable
+              THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k_val
+  FROM flags
+)
 SELECT event_id,
-       json_extract(props, '$.k')::BIGINT AS k_val,
-       CAST(json_extract(props, '$.k') IS NULL AS INT) AS k_missing,
-       printf('{"k":%d}', json_extract(props, '$.k')::BIGINT) AS canon_json
-FROM events
+       k_val,
+       CAST(k_val IS NULL AS INT) AS k_missing,
+       CASE WHEN NOT usable THEN NULL
+            WHEN k_val IS NOT NULL THEN printf('{{"k":%d}}', k_val)
+            -- coalesce: the JSON null literal is the ONE usable payload
+            -- whose json()::VARCHAR collapses to SQL NULL, but Spark's
+            -- to_json(variant) spells it 'null'
+            ELSE coalesce(CAST(json(props) AS VARCHAR), 'null') END AS canon_json
+FROM vals
 """
 
 
@@ -485,9 +514,13 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     path for schema-on-read JSON: the binary encoding is parsed once at
     scan time and every downstream path access is a cheap binary probe,
     where the legacy get_json_object re-parses the string per
-    expression (fn_json covers that surface)."""
+    expression (fn_json covers that surface).  try_parse_json (round
+    10, R10_BADJSON_PLAN): one malformed payload must become a NULL
+    variant, not a MALFORMED_RECORD_IN_PARSING task crash — the oracle
+    mirrors the parser's acceptance including its duplicate-key
+    rejection."""
     e = load_table(spark, sf_dir, "events")
-    v = e.select("event_id", F.parse_json("props").alias("v"))
+    v = e.select("event_id", F.try_parse_json("props").alias("v"))
     return v.select(
         "event_id",
         F.variant_get("v", "$.k", "bigint").alias("k_val"),

@@ -19,7 +19,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
+from un_datapipeline_spark.operators.dedup_extras import ngram_array, trigram_array
 from un_datapipeline_spark.tables import (
+    capped_text,
+    capped_text_sql,
     load_table,
     winner_document,
     winner_document_sql,
@@ -122,13 +125,21 @@ def llm_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cross-document boilerplate n-gram detection
 # ---------------------------------------------------------------------------
 
-_BOILERPLATE_ORACLE = """
+_BOILERPLATE_ORACLE = f"""
 WITH toked AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  -- zip-of-shifted-slices (see llm_contamination_check's oracle): the
+  -- LATERAL slice form copies an O(len) list per row — quadratic
+  SELECT doc_id, string_split({capped_text_sql()}, ' ') AS toks,
+         len(string_split({capped_text_sql()}, ' ')) AS n
+  FROM documents
 ), grams AS (
-  SELECT DISTINCT doc_id, md5(array_to_string(toks[i : i + 7], ' ')) AS g
-  FROM toked, LATERAL (
-    SELECT unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+  SELECT DISTINCT doc_id, md5(g) AS g FROM (
+    SELECT doc_id, unnest(list_transform(
+      list_zip(toks[1:n-7], toks[2:n-6], toks[3:n-5], toks[4:n-4],
+               toks[5:n-3], toks[6:n-2], toks[7:n-1], toks[8:n]),
+      t -> t[1] || ' ' || t[2] || ' ' || t[3] || ' ' || t[4] || ' ' ||
+           t[5] || ' ' || t[6] || ' ' || t[7] || ' ' || t[8])) AS g
+    FROM toked WHERE n >= 8
   )
 ), bp AS (
   SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
@@ -160,16 +171,23 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (true boilerplate) stay bounded because the per-gram state is one
     counter, not a pair list."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    idx = F.when(
-        F.size(toks) >= 8, F.sequence(F.lit(1), F.size(toks) - 7)
-    ).otherwise(F.array().cast("array<int>"))
+    # prefix-capped gram SIGNATURES (bounded-prefix contract): one
+    # 520 KB doc otherwise dominates the corpus gram table and stalls
+    # its task >90 s
+    toks = F.split(capped_text(), " ")
+    # linear 8-gram build (dedup_extras.ngram_array): the explode-an-
+    # index-then-slice-the-array-column pattern materializes a COPY of
+    # the token array per exploded row — O(words²) bytes per doc, the
+    # bigdoc probe's 100 s mechanism here
+    gram_arr = F.when(F.size(toks) >= 8, ngram_array(toks, 8)).otherwise(
+        F.array().cast("array<string>")
+    )
+    # distinct() is GLOBAL (not just in-array): a duplicate surrogate
+    # key delivers two rows whose gram sets overlap — the per-doc gram
+    # SET must union them exactly as the oracle's SELECT DISTINCT does
     grams = (
-        d.select("doc_id", toks.alias("toks"), F.explode(idx).alias("i"))
-        .select(
-            "doc_id",
-            F.md5(F.array_join(F.slice(F.col("toks"), F.col("i"), 8), " ")).alias("g"),
-        )
+        d.select("doc_id", F.explode(F.array_distinct(gram_arr)).alias("gt"))
+        .select("doc_id", F.md5("gt").alias("g"))
         .distinct()
     )
     bp = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 2)
@@ -751,7 +769,7 @@ WITH grams AS (
            unnest(list_transform(
              generate_series(1, greatest(len(toks) - 2, 1)),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+    FROM (SELECT doc_id, string_split({capped_text_sql()}, ' ') AS toks
           FROM {winner_document_sql()} documents)
   ) WHERE gram IS NOT NULL AND len(string_split(gram, ' ')) = 3
 ), first_seen AS (
@@ -788,19 +806,8 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     45 vs 24) — the deterministic per-key winner (tables.
     winner_document, oracle-mirrored) restores one-set-per-id."""
     d = winner_document(load_table(spark, sf_dir, "documents"))
-    toks = F.split("text", " ")
-    grams_arr = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.try_element_at(toks, i),
-                F.try_element_at(toks, i + 1),
-                F.try_element_at(toks, i + 2),
-            ),
-        ),
-        lambda g: F.size(F.split(g, " ")) == 3,
-    )
+    toks = F.split(capped_text(), " ")  # bounded-prefix signature contract
+    grams_arr = trigram_array(toks)  # linear k-gram build (see ngram_array)
     grams = d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram"))
     first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (

@@ -15,6 +15,9 @@ from pyspark.storagelevel import StorageLevel
 
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import (
+    SIG_PREFIX_CHARS,
+    capped_text,
+    capped_text_sql,
     load_table,
     winner_document,
     winner_document_sql,
@@ -23,6 +26,34 @@ from un_datapipeline_spark.tables import (
 # --------------------------------------------------------------------------
 # Word 3-gram Jaccard similarity (probe-bounded exact computation)
 # --------------------------------------------------------------------------
+
+def ngram_array(toks, k: int, sep: str = " "):
+    """k-gram array of the element array ``toks`` via shifted-slice
+    ``zip_with`` — NEVER via a ``transform(sequence(...), i ->
+    element_at(toks, i))`` index lambda: an outer expression referenced
+    INSIDE a higher-order-function lambda body is re-evaluated PER
+    ELEMENT, so when ``toks`` is ``split(text)`` the gram build costs
+    O(len * split_cost) = O(len²) per document — measured 78 s for ONE
+    64 KB document (round-10 bigdoc probe: the quadratic re-evaluation,
+    not gram volume, was the true straggler mechanism; the
+    explode-an-index-then-slice-the-array-column variant is quadratic
+    too, because every exploded row materializes its own copy of the
+    array column).  ``slice``/``zip_with`` ARGUMENTS are ordinary
+    expressions evaluated once per row; only the lambda bodies (O(1)
+    concats of bound elements) run per element.  Inputs shorter than k
+    yield an empty array, matching the oracles' NULL-gram drop."""
+    ln = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, ln) for i in range(k)]
+    out = parts[-1]
+    for p in reversed(parts[:-1]):
+        out = F.zip_with(p, out, lambda a, b: F.concat_ws(sep, a, b))
+    return out
+
+
+def trigram_array(toks):
+    """Word-trigram array (see :func:`ngram_array` for why this shape)."""
+    return ngram_array(toks, 3)
+
 
 # Grams appearing in more than this many documents are boilerplate and
 # are dropped before the gram-equality join: a gram with document
@@ -40,7 +71,7 @@ WITH grams AS (
            unnest(list_transform(
              generate_series(1, greatest(len(toks) - 2, 1)),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+    FROM (SELECT doc_id, string_split({capped_text_sql()}, ' ') AS toks
           FROM {winner_document_sql()} documents)
   ) WHERE gram IS NOT NULL
 ), hot AS (
@@ -87,21 +118,8 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key winner (tables.winner_document, mirrored in the oracle)
     restores set semantics; 0 <= jac <= 1 is pytest-pinned."""
     d = winner_document(load_table(spark, sf_dir, "documents"))
-    toks = F.split("text", " ")
-    grams_arr = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.try_element_at(toks, i),
-                F.try_element_at(toks, i + 1),
-                F.try_element_at(toks, i + 2),
-            ),
-        ),
-        # concat_ws skips NULLs, so a short doc yields a 1-2 word gram;
-        # keep only true trigrams (two spaces).
-        lambda g: F.size(F.split(g, " ")) == 3,
-    )
+    toks = F.split(capped_text(), " ")  # bounded-prefix signature contract
+    grams_arr = trigram_array(toks)  # linear k-gram build (see ngram_array)
     grams = (
         d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram"))
     )
@@ -391,11 +409,17 @@ SUBSTR_WINDOW = 8
 
 _SUBSTR_ORACLE = f"""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  -- zip-of-shifted-slices (see llm_contamination_check's oracle): the
+  -- LATERAL slice form copies an O(len) list per row — quadratic
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n FROM documents
 ), w AS (
-  SELECT doc_id, array_to_string(t[i:i+{SUBSTR_WINDOW - 1}], ' ') AS g
-  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {SUBSTR_WINDOW - 1})) AS i
-        FROM t WHERE len(t) >= {SUBSTR_WINDOW})
+  SELECT doc_id, unnest(list_transform(
+    list_zip(t[1:n-7], t[2:n-6], t[3:n-5], t[4:n-4],
+             t[5:n-3], t[6:n-2], t[7:n-1], t[8:n]),
+    x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4] || ' ' ||
+         x[5] || ' ' || x[6] || ' ' || x[7] || ' ' || x[8])) AS g
+  FROM t WHERE n >= {SUBSTR_WINDOW}
 ), dupg AS (
   SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2
 )
@@ -429,17 +453,13 @@ def llm_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the DuckDB oracle can replay it exactly."""
     w = SUBSTR_WINDOW
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= w
-    )
-    wins = toks.select(
+    # linear window build (ngram_array): the transform-lambda slice over
+    # the aliased token column inlines the split back into the lambda —
+    # O(words²) per doc; ngram_array yields an empty array below w
+    # tokens, so the old size >= w filter is structural now
+    wins = docs.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - w),
-                lambda i: F.array_join(F.slice(F.col("t"), i + 1, w), " "),
-            )
-        ).alias("g"),
+        F.explode(ngram_array(F.split("text", " "), w)).alias("g"),
     )
     dupg = (
         wins.groupBy("g")
@@ -476,7 +496,7 @@ WITH grams AS (
            unnest(list_transform(
              generate_series(1, greatest(len(toks) - 2, 1)),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+    FROM (SELECT doc_id, string_split({capped_text_sql()}, ' ') AS toks
           FROM {winner_document_sql()} documents)
   ) WHERE gram IS NOT NULL
 ), hot AS (
@@ -517,19 +537,8 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts' gram sets and containment leaves [0,1] (probed: 2.0 — a
     silent wrong answer)."""
     d = winner_document(load_table(spark, sf_dir, "documents"))
-    toks = F.split("text", " ")
-    grams_arr = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.try_element_at(toks, i),
-                F.try_element_at(toks, i + 1),
-                F.try_element_at(toks, i + 2),
-            ),
-        ),
-        lambda g: F.size(F.split(g, " ")) == 3,
-    )
+    toks = F.split(capped_text(), " ")  # bounded-prefix signature contract
+    grams_arr = trigram_array(toks)  # linear k-gram build (see ngram_array)
     grams = d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram"))
     hot = (
         grams.groupBy("gram")
@@ -580,7 +589,8 @@ WITH base AS (
            unnest(list_transform(
              generate_series(1, greatest(len(toks) - 2, 1)),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    FROM (SELECT doc_id, string_split({capped_text_sql()}, ' ') AS toks
+          FROM documents)
   ) WHERE gram IS NOT NULL
 ), hot AS (
   SELECT gram FROM grams GROUP BY gram HAVING count(*) > {MAX_GRAM_DF}
@@ -638,19 +648,10 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("base_id").alias("exact_match"))
     )
-    toks = F.split("text", " ")
-    grams_arr = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.try_element_at(toks, i),
-                F.try_element_at(toks, i + 1),
-                F.try_element_at(toks, i + 2),
-            ),
-        ),
-        lambda g: F.size(F.split(g, " ")) == 3,
-    )
+    # gram SIGNATURE lane is prefix-capped (bounded-prefix contract);
+    # the exact lane above stays whole-document md5 by design
+    toks = F.split(capped_text(), " ")
+    grams_arr = trigram_array(toks)  # linear k-gram build (see ngram_array)
     grams = d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram"))
     hot = (
         grams.groupBy("gram")
@@ -799,14 +800,18 @@ _LINE_DF_CAP = 3  # a line present in more than this many docs is boilerplate
 
 _LINE_DEDUP_ORACLE = f"""
 WITH w AS (
-  SELECT doc_id, source, string_split(text, ' ') AS ws,
-         len(string_split(text, ' ')) AS n
+  SELECT doc_id, source, string_split({capped_text_sql()}, ' ') AS ws,
+         len(string_split({capped_text_sql()}, ' ')) AS n
   FROM {winner_document_sql()} documents
 ), lines AS (
   SELECT doc_id, source, g,
          array_to_string(ws[g * {_LINE_W} + 1 : g * {_LINE_W} + {_LINE_W}], ' ')
            AS line
-  FROM w JOIN generate_series(0, 100) t(g)
+  -- series bound covers the contract maximum: SIG_PREFIX_CHARS chars
+  -- can hold at most SIG_PREFIX_CHARS/2 one-char words = 8192 4-word
+  -- lines (Spark's sequence() is data-sized; a short fixed bound would
+  -- silently truncate big-doc line grids on the oracle side only)
+  FROM w JOIN generate_series(0, {SIG_PREFIX_CHARS // (2 * _LINE_W)}) t(g)
     ON g < CAST(ceil(n / {_LINE_W}.0) AS INT)
 ), boiler AS (
   SELECT line FROM lines GROUP BY line
@@ -863,21 +868,29 @@ def llm_line_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts' lines into one garbled document and the corpus digest
     diverges.  Deterministic per-key winner on both sides."""
     d = winner_document(load_table(spark, sf_dir, "documents"))
-    words = F.split(F.col("text"), " ")
-    n_lines = F.ceil(F.size(words) / float(_LINE_W)).cast("int")
-    lines = (
-        d.select(
-            "doc_id",
-            "source",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_lines - 1),
-                    lambda g: F.concat_ws(
-                        " ", F.slice(words, g * _LINE_W + 1, _LINE_W)
-                    ),
-                )
-            ).alias("g", "line"),
-        )
+    # prefix-capped (bounded-prefix contract): the line DF index and the
+    # rebuilt/digested text consider the first SIG_PREFIX_CHARS — one
+    # 520 KB outlier otherwise stalls the per-doc explode+reassemble
+    # lane >90 s (the job-tail straggler class)
+    words = F.split(capped_text(), " ")
+    # Linear line chunking: full lines are every _LINE_W-th entry of the
+    # overlapping _LINE_W-gram array (two-arg filter binds the gram
+    # array; the index check is O(1)), plus the short tail chunk built
+    # from one bound slice.  The old index-lambda slice(words, g*4+1, 4)
+    # re-evaluated the split per line (see ngram_array).
+    nw = F.size(words)
+    tail_len = nw % _LINE_W
+    full_lines = F.filter(
+        ngram_array(words, _LINE_W), lambda x, i: i % _LINE_W == 0
+    )
+    tail = F.when(
+        tail_len != 0,
+        F.array(F.concat_ws(" ", F.slice(words, nw - tail_len + 1, tail_len))),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.concat(full_lines, tail)).alias("g", "line"),
     )
     boiler = (
         lines.groupBy("line")

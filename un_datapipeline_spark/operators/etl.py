@@ -17,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import json_usable_sql, load_table
 
 _LATEST_ORACLE = """
 SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
@@ -398,11 +398,20 @@ def etl_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corrupt-record quarantine
 # ---------------------------------------------------------------------------
 
-_QUARANTINE_ORACLE = """
+# json_usable + try-cast guard (round 10, R10_BADJSON_PLAN): the op
+# whose PURPOSE is quarantining bad rows must not die on them.  The
+# acceptance gate on BOTH sides is Spark's variant parser (try_parse_
+# json ↔ tables.json_usable_sql): malformed payloads, duplicate-key
+# objects (json_extract takes the FIRST dup where from_json keeps the
+# LAST — ambiguous, so quarantined outright), and wrong-typed k
+# (TRY_CAST) all land in n_quarantined on BOTH engines, which is this
+# op's whole semantics.
+_QUARANTINE_ORACLE = f"""
 WITH parsed AS (
   SELECT event_id,
-         CASE WHEN event_id % 97 = 0 THEN NULL
-              ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+         CASE WHEN event_id % 97 = 0 OR NOT {json_usable_sql()}
+              THEN NULL
+              ELSE TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
   FROM events
 )
 SELECT count(*) AS n_total,
@@ -420,7 +429,10 @@ def etl_quarantine_bad_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     corruption), PERMISSIVE from_json turns those into NULL structs, and
     the pipeline splits good rows from quarantined ones instead of
     failing the batch.  Counts + payload checksum verify nothing is
-    silently dropped.
+    silently dropped.  Pre-existing feed corruption (truncated objects,
+    bare text, wrong-typed payloads — R10_BADJSON_PLAN) routes into the
+    SAME quarantine count on both engines: Spark via PERMISSIVE
+    from_json, the oracle via its json_valid/TRY_CAST guard.
 
     Scale shape: pure per-row Column expressions (regexp + from_json in
     codegen); the quarantine split is two filters over one scan — the
@@ -432,8 +444,14 @@ def etl_quarantine_bad_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         # chop the payload mid-object: '{"k": 12' — invalid JSON
         F.expr("substring(props, 1, length(props) - 2)"),
     ).otherwise(F.col("props"))
+    # try_parse_json gate (see the oracle note): dup-key payloads are
+    # ambiguous and quarantined, not last-key-parsed
     parsed = e.select(
-        "event_id", F.from_json(corrupted, "k long").alias("p")
+        "event_id",
+        F.when(
+            F.try_parse_json(corrupted).isNotNull(),
+            F.from_json(corrupted, "k long"),
+        ).alias("p"),
     ).select("event_id", F.col("p.k").alias("k"))
     return parsed.agg(
         F.count(F.lit(1)).alias("n_total"),

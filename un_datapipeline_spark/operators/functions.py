@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import json_usable_sql, load_table
 
 _COND_ORACLE = """
 SELECT coalesce(CASE WHEN o_orderpriority LIKE '1%' THEN 'hi'
@@ -267,12 +267,20 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# json_valid guard (round 10, R10_BADJSON_PLAN): Spark's
+# get_json_object/from_json return NULL on malformed input, but
+# DuckDB's json_extract THROWS on a truncated object — the CASE pins
+# the NULL-on-malformed semantics so one dirty payload cannot kill the
+# oracle where the engine sails through.
 _JSON_ORACLE = """
 SELECT event_type,
        count(*)                                         AS n,
-       ROUND(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
-       max(CAST(json_extract(props, '$.k') AS INT))     AS max_k,
-       min(CAST(json_extract(props, '$.k') AS INT))     AS min_k
+       ROUND(avg(CASE WHEN json_valid(props)
+                 THEN CAST(json_extract(props, '$.k') AS INT) END), 6) AS avg_k,
+       max(CASE WHEN json_valid(props)
+           THEN CAST(json_extract(props, '$.k') AS INT) END)     AS max_k,
+       min(CASE WHEN json_valid(props)
+           THEN CAST(json_extract(props, '$.k') AS INT) END)     AS min_k
 FROM events
 GROUP BY event_type
 """
@@ -283,7 +291,9 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family on events.props: path extraction via get_json_object
     AND schema-full parse via from_json — both feed the same aggregate so
     any disagreement between the two parsers breaks parity (max uses the
-    from_json path, the rest get_json_object)."""
+    from_json path, the rest get_json_object).  Malformed payloads parse
+    to NULL on both engines (Spark natively; the oracle via its
+    json_valid CASE — R10_BADJSON_PLAN)."""
     e = load_table(spark, sf_dir, "events")
     k_path = F.get_json_object("props", "$.k").cast("int")
     k_struct = F.from_json("props", "k INT")["k"]
@@ -835,11 +845,19 @@ def fn_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JSON_INFER_ORACLE = """
+# json_usable guard (round 10, R10_BADJSON_PLAN): the parse lanes are
+# gated by Spark's variant-parser acceptance on BOTH sides — DuckDB's
+# ->> throws on truncated JSON where Spark NULLs, json_extract takes
+# the FIRST duplicate key where from_json keeps the LAST (so dup-key
+# payloads are excluded outright, matching the Spark-side
+# try_parse_json gate), and TRY_CAST covers a wrong-typed k.
+_JSON_INFER_ORACLE = f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+       CAST(sum(CASE WHEN {json_usable_sql()}
+                THEN TRY_CAST(props->>'$.k' AS BIGINT) END) AS BIGINT) AS sum_k,
+       CAST(max(CASE WHEN {json_usable_sql()}
+                THEN TRY_CAST(props->>'$.k' AS BIGINT) END) AS BIGINT) AS max_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -905,8 +923,16 @@ def fn_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema_str = spark.range(1).select(
         F.schema_of_json(F.lit(sample)).alias("s")
     ).collect()[0][0]
+    # try_parse_json gate: rows the variant parser rejects (malformed OR
+    # duplicate-key) contribute NULL — from_json alone would keep the
+    # LAST duplicate key where the oracle's json_extract takes the
+    # FIRST, a silent value drift (R10_BADJSON_PLAN)
     parsed = e.select(
-        "event_type", F.from_json("props", schema_str).alias("p")
+        "event_type",
+        F.when(
+            F.try_parse_json("props").isNotNull(),
+            F.from_json("props", schema_str),
+        ).alias("p"),
     )
     return (
         parsed.groupBy("event_type")

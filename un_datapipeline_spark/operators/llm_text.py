@@ -208,10 +208,26 @@ def _shingled(d: DataFrame) -> DataFrame:
     the Jaccard verifier would hit ANSI DIVIDE_BY_ZERO on the empty
     union.  (An EMPTY text is different: it yields the '' shingle and
     participates normally.)"""
-    shingles = F.expr(
-        f"transform(sequence(1, greatest(length(text) - {SHINGLE - 1}, 1)),"
-        f" i -> substring(text, i, {SHINGLE}))"
-    )
+    # prefix-capped SIGNATURE (round 10, bounded-prefix contract,
+    # tables.SIG_PREFIX_CHARS): one 520 KB outlier doc otherwise
+    # explodes to ~500k shingle rows feeding the minhash/band stages and
+    # stalls its task >90 s — the job-tail straggler class at 100 TB.
+    # A 64 KB prefix is as selective a near-dup signature as the full
+    # text; parity holds because every consumer's oracle caps too.
+    # Built with the LINEAR shifted-slice zip over the char array
+    # (dedup_extras.ngram_array) — the substring-per-index lambda
+    # re-evaluated the O(cap) substring per element, O(cap²) per doc
+    # (the round-10 bigdoc probe's 75 s mechanism).
+    from un_datapipeline_spark.operators.dedup_extras import ngram_array
+    from un_datapipeline_spark.tables import capped_text
+
+    chars = F.split(capped_text(), "")
+    # a sub-SHINGLE-length doc contributes its whole text as ONE shingle
+    # (including the '' shingle for an empty text — see the docstring),
+    # exactly as the old greatest(len-4, 1) sequence formulation did
+    shingles = F.when(
+        F.length(capped_text()) < SHINGLE, F.array(capped_text())
+    ).otherwise(ngram_array(chars, SHINGLE, sep=""))
     return (
         d.filter(F.col("text").isNotNull())
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))

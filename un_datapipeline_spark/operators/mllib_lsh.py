@@ -56,7 +56,13 @@ def minhash_ml_pairs(docs: DataFrame, max_jaccard_dist: float = 0.5) -> DataFram
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    words = F.split(F.lower(F.col("text")), "\\s+")
+    from un_datapipeline_spark.tables import capped_text
+
+    # prefix-capped shingle SIGNATURE (round 10, bounded-prefix
+    # contract): one 520 KB doc otherwise feeds ~500k shingles into the
+    # LSH feature vector and stalls its task (rows-only op — no oracle
+    # mirror needed; the recall invariant tests re-baseline)
+    words = F.split(F.lower(capped_text()), "\\s+")
     # trigram shingling needs >= 3 words: on a shorter doc element_at
     # (words, i+3) runs off the array (INVALID_ARRAY_INDEX under ANSI —
     # degenerate-corpus sweep, round 6).  The CASE guard makes the
@@ -66,17 +72,14 @@ def minhash_ml_pairs(docs: DataFrame, max_jaccard_dist: float = 0.5) -> DataFram
     # where the filter no longer precedes it (reproduced).  The filter
     # still runs too — MinHashLSH requires >= 1 non-zero feature, and
     # sub-trigram docs have no trigram near-dup signal by definition.
+    # linear k-gram build (dedup_extras.ngram_array): the index-lambda
+    # formulation re-evaluated the split per element — O(words²) per doc
+    # (round-10 bigdoc probe).  The when() keeps the expression TOTAL
+    # for re-planned pre-filter rows (see below).
+    from un_datapipeline_spark.operators.dedup_extras import ngram_array
+
     shingles_expr = F.when(
-        F.size(words) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-                F.element_at(words, i + 3),
-            ),
-        ),
+        F.size(words) >= 3, ngram_array(words, 3)
     ).otherwise(F.array().cast("array<string>"))
     shingled = docs.filter(F.size(words) >= 3).select(
         "doc_id", shingles_expr.alias("shingles")

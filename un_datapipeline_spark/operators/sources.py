@@ -354,14 +354,22 @@ def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-text contract (round 9, class 2): a NULL document has no line
     — the text sink would otherwise serialize it as an EMPTY line,
     indistinguishable from a real empty document on read-back (probed:
-    min_len flipped 47→0).  Filtered on both sides."""
+    min_len flipped 47→0).  Filtered on both sides.
+
+    The embedded-newline fail-fast is a TYPED ContractViolation (round
+    10): deliberate, loud, and recognized by the degenerate sweeps as a
+    contracted pass — the engine-correct behavior is refusing to
+    corrupt the corpus, not a quiet wrong roundtrip."""
+    from un_datapipeline_spark.registry import ContractViolation
+
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    assert docs.filter(F.col("text").contains("\n")).limit(1).count() == 0, (
-        "documents.text contains embedded newlines — line-per-doc text "
-        "roundtrip would corrupt the corpus"
-    )
+    if docs.filter(F.col("text").contains("\n")).limit(1).count() != 0:
+        raise ContractViolation(
+            "documents.text contains embedded newlines — line-per-doc text "
+            "roundtrip would corrupt the corpus"
+        )
     out = tempfile.mkdtemp(prefix="udps_text_")
     docs.select("text").write.mode("overwrite").text(out)
     back = spark.read.text(out)
@@ -765,14 +773,23 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle REPLAYS the op's wrap + flatten transformation instead of
+# assuming it is an identity: on text whose whitespace is not single
+# spaces (embedded newlines/tabs/CRLF — the round-10 ctrlchars probe),
+# the 10-word re-wrap canonicalizes each matched separator to one
+# newline and the read-back flatten turns it into one space, so the
+# digested string differs from the raw source text.  Mirroring the same
+# two regex steps (RE2 'g' flag ↔ Spark's global-by-default
+# regexp_replace) keeps the digest meaningful: it still certifies the
+# CSV round trip byte-exactly, just over the canonical wrapped form.
 _CSV_MULTILINE_ORACLE = """
 SELECT doc_id,
-       CAST(n_lines AS BIGINT) AS n_lines,
-       digest
+       CAST(len(string_split(wrapped, chr(10))) AS BIGINT) AS n_lines,
+       md5(doc_id || ':' || replace(wrapped, chr(10), ' ')) AS digest
 FROM (
   SELECT doc_id,
-         (len(string_split(text, ' ')) + 9) // 10 AS n_lines,
-         md5(doc_id || ':' || text) AS digest
+         regexp_replace(text, '((?:\S+\s+){9}\S+)\s+',
+                        '\\1' || chr(10), 'g') AS wrapped
   FROM documents
   WHERE doc_id < 50 AND text IS NOT NULL
 )
@@ -974,9 +991,14 @@ def src_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the empty ingest equals the oracle's empty filter (round-6
         # tiny-tables sweep)
         return spark.createDataFrame([], "doc_id long, n_bytes long, digest string")
+    # wholetext MUST go through the text() kwarg: PySpark's text()
+    # wrapper re-sets the option from its own parameter defaults, so a
+    # prior .option("wholetext", "true") is silently OVERWRITTEN with
+    # false and the reader splits on lines — invisible on newline-free
+    # docs, 23 rows from 20 files on a real corpus (round-10 ctrlchars
+    # probe caught the latent line-mode read).
     return (
-        spark.read.option("wholetext", "true")
-        .text(f"{out}/*.txt")
+        spark.read.text(f"{out}/*.txt", wholetext=True)
         .select(
             F.regexp_extract(F.input_file_name(), r"doc_(\d+)\.txt$", 1)
             .cast("long")

@@ -248,11 +248,24 @@ def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fingerprints(d: DataFrame) -> DataFrame:
     """(doc_id, h) sampled fingerprints: xxhash64 of every 8-char shingle,
-    kept when h ≡ 0 (mod 16) — a deterministic content-defined ~6% sample."""
-    shingles = F.expr(
-        "transform(sequence(1, greatest(length(text) - 7, 1)),"
-        " i -> substring(text, i, 8))"
-    )
+    kept when h ≡ 0 (mod 16) — a deterministic content-defined ~6% sample.
+
+    Prefix-capped SIGNATURE (round 10, bounded-prefix contract,
+    tables.SIG_PREFIX_CHARS): the rolling shingle explode is linear in
+    doc length, and one 520 KB outlier stalls its task >90 s — the cap
+    bounds every per-doc kernel; a 64 KB prefix fingerprint is as
+    selective for containment candidates as the full text."""
+    # linear build (dedup_extras.ngram_array over the char array): the
+    # substring-per-index lambda re-evaluated the O(cap) substring per
+    # element — O(cap²) per doc, 84 s for one 520 KB doc (bigdoc probe).
+    from un_datapipeline_spark.operators.dedup_extras import ngram_array
+    from un_datapipeline_spark.tables import capped_text
+
+    # sub-8-char docs contribute their whole text as one shingle, like
+    # the old greatest(len-7, 1) sequence formulation
+    shingles = F.when(
+        F.length(capped_text()) < 8, F.array(capped_text())
+    ).otherwise(ngram_array(F.split(capped_text(), ""), 8, sep=""))
     return (
         d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
         .select("doc_id", F.xxhash64("sh").alias("h"))

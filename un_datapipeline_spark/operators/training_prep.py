@@ -28,11 +28,22 @@ from un_datapipeline_spark.tables import (
 
 _CONTAM_ORACLE = """
 WITH toked AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  -- zip-of-shifted-slices 8-grams: the LATERAL array_to_string(
+  -- toks[i:i+7]) form copies an O(len) list slice per generated row —
+  -- quadratic per doc, 167 s for ONE 520 KB document (round-10 bigdoc
+  -- probe); the zip builds each gram from bound slices in one linear
+  -- pass (0.1 s, identical output)
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
 ), grams AS (
-  SELECT DISTINCT doc_id, md5(array_to_string(toks[i : i + 7], ' ')) AS g
-  FROM toked, LATERAL (
-    SELECT unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+  SELECT DISTINCT doc_id, md5(g) AS g FROM (
+    SELECT doc_id, unnest(list_transform(
+      list_zip(toks[1:n-7], toks[2:n-6], toks[3:n-5], toks[4:n-4],
+               toks[5:n-3], toks[6:n-2], toks[7:n-1], toks[8:n]),
+      t -> t[1] || ' ' || t[2] || ' ' || t[3] || ' ' || t[4] || ' ' ||
+           t[5] || ' ' || t[6] || ' ' || t[7] || ' ' || t[8])) AS g
+    FROM toked WHERE n >= 8
   )
 ), eval_grams AS (
   SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
@@ -66,18 +77,21 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     one corpus scan, no corpus-keyed shuffle for the probe.  The per-doc
     distinct-gram counts shuffle on doc_id once."""
     d = load_table(spark, sf_dir, "documents")
+    from un_datapipeline_spark.operators.dedup_extras import ngram_array
+
     toks = F.split("text", " ")
-    # Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard the short-doc
-    # case to an empty array (DuckDB generate_series(1, 0) is empty).
-    idx = F.when(
-        F.size(toks) >= 8, F.sequence(F.lit(1), F.size(toks) - 7)
-    ).otherwise(F.array().cast("array<int>"))
+    # linear 8-gram build (dedup_extras.ngram_array; short docs yield an
+    # empty gram array on both engines) — the explode-index-then-slice
+    # pattern copies the token array per exploded row, O(words²) per doc
+    gram_arr = F.when(F.size(toks) >= 8, ngram_array(toks, 8)).otherwise(
+        F.array().cast("array<string>")
+    )
+    # distinct() is GLOBAL (not just in-array): a duplicate surrogate
+    # key delivers two rows whose gram sets overlap — the per-doc gram
+    # SET must union them exactly as the oracle's SELECT DISTINCT does
     grams = (
-        d.select("doc_id", toks.alias("toks"), F.explode(idx).alias("i"))
-        .select(
-            "doc_id",
-            F.md5(F.array_join(F.slice(F.col("toks"), F.col("i"), 8), " ")).alias("g"),
-        )
+        d.select("doc_id", F.explode(F.array_distinct(gram_arr)).alias("gt"))
+        .select("doc_id", F.md5("gt").alias("g"))
         .distinct()
     )
     eval_grams = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
@@ -100,13 +114,24 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fuzzy (edit-distance) near-duplicate detection
 # ---------------------------------------------------------------------------
 
-_FUZZY_ORACLE = """
+# The verify-stage kernel is O(len_a x len_b): even the engine-wide
+# 64 KB signature prefix leaves 4e9 cell updates per pair, so the edit-
+# distance lane gets its own tighter cap (R10_BIGDOC_PLAN) — 4 KB
+# bounds a pair at ~16M cells (< 100 ms) while character-level edit
+# similarity over the first 4 KB remains a faithful near-dup verdict
+# for prefix-blocked candidates (the block key IS a shared prefix).
+# Bitwise-neutral on shipped corpora (docs far under the cap); both
+# sides cap, so parity is exact above it.
+FUZZY_EDIT_CAP = 4096
+
+_FUZZY_ORACLE = f"""
 WITH blocked AS (
-  SELECT doc_id, text, n_chars, lang, substr(text, 1, 32) AS pfx FROM documents
+  SELECT doc_id, substr(text, 1, {FUZZY_EDIT_CAP}) AS captext, lang,
+         substr(text, 1, 32) AS pfx FROM documents
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         levenshtein(a.text, b.text) AS edit_dist,
-         greatest(a.n_chars, b.n_chars, 1) AS max_len
+         levenshtein(a.captext, b.captext) AS edit_dist,
+         greatest(strlen(a.captext), strlen(b.captext), 1) AS max_len
   FROM blocked a JOIN blocked b
     ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
 )
@@ -127,11 +152,17 @@ def llm_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the self-join is keyed by the (lang, prefix) BLOCK — a
     vocabulary-style shuffle whose per-bucket cost is quadratic only in
     bucket size (prefix blocks are near-unique outside true near-dup
-    clusters).  The O(len²) levenshtein runs only on surviving
-    candidates.  At 100 TB, widen blocking with several rotated prefix
-    offsets rather than loosening one block."""
+    clusters).  The levenshtein kernel runs only on surviving candidate
+    pairs and only over each text's first FUZZY_EDIT_CAP chars (see the
+    oracle note — O(len²) makes one 520 KB outlier a >90 s straggler
+    even under the engine-wide 64 KB signature prefix).  At 100 TB,
+    widen blocking with several rotated prefix offsets rather than
+    loosening one block."""
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "n_chars", "lang", F.substring("text", 1, 32).alias("pfx")
+        "doc_id",
+        F.substring("text", 1, FUZZY_EDIT_CAP).alias("captext"),
+        "lang",
+        F.substring("text", 1, 32).alias("pfx"),
     )
     a = d.alias("a")
     b = d.alias("b")
@@ -143,13 +174,17 @@ def llm_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("edit_dist"),
+        F.levenshtein(F.col("a.captext"), F.col("b.captext"))
+        .cast("long")
+        .alias("edit_dist"),
         # the extra 1 arm: a pair of EMPTY documents has max_len 0 and
         # edit_dist 0 — ANSI Spark would DIVIDE_BY_ZERO where DuckDB
         # NULLs (degenerate-corpus sweep, round 6); with the guard the
         # pair scores sim 1.0 on both engines, i.e. a duplicate, which
         # is the right answer for two empty texts.
-        F.greatest(F.col("a.n_chars"), F.col("b.n_chars"), F.lit(1)).alias("max_len"),
+        F.greatest(
+            F.length("a.captext"), F.length("b.captext"), F.lit(1)
+        ).alias("max_len"),
     )
     sim = F.lit(1.0) - F.col("edit_dist") / F.col("max_len")
     return pairs.filter(sim >= 0.8).select(

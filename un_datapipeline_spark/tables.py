@@ -291,3 +291,59 @@ def winner_embedding_sql(table: str = "embeddings") -> str:
         f"(PARTITION BY vec_id ORDER BY {elsum} DESC NULLS LAST, "
         f"label DESC NULLS LAST) = 1)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dirty-JSON contract (round 10, R10_BADJSON_PLAN)
+# ---------------------------------------------------------------------------
+# Spark's VARIANT parser (try_parse_json; also the acceptance gate this
+# engine uses in front of from_json lanes that must reject ambiguous
+# payloads) yields NULL for malformed JSON AND for duplicate-key
+# objects.  DuckDB's json_valid accepts dup keys, json_extract takes
+# the FIRST occurrence while Jackson's from_json keeps the LAST — so a
+# validity-only oracle mirror silently drifts on replayed-key payloads.
+# This predicate replicates the variant parser's acceptance exactly:
+# valid JSON whose top-level keys are unique.  CASE, not AND: DuckDB
+# does not short-circuit AND and json_keys() itself throws on malformed
+# input.  The Spark-side mirror is `F.try_parse_json(col).isNotNull()`.
+
+def json_usable_sql(col: str = "props") -> str:
+    """DuckDB predicate mirroring Spark try_parse_json acceptance."""
+    return (
+        f"(CASE WHEN coalesce(json_valid({col}), false) "
+        f"THEN len(json_keys({col})) = len(list_distinct(json_keys({col}))) "
+        f"ELSE false END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document-size contract: bounded-prefix signatures (round 10,
+# R10_BIGDOC_PLAN.md)
+# ---------------------------------------------------------------------------
+# Real crawls carry multi-MB outliers (concatenated logs, minified JS,
+# OCR dumps).  A per-document kernel that is super-linear in document
+# length — shingle sets, per-line explodes, rolling hashes, O(len²)
+# edit distance — stalls ONE task while its 999 siblings finish: the
+# classic job-tail straggler at 100 TB, invisible in aggregate timings
+# (probed: 11 ops > 90 s on a single 520 KB document).  The contract:
+# near-dup / fingerprint / boilerplate SIGNATURES are computed on the
+# first SIG_PREFIX_CHARS of the text, mirrored verbatim in each paired
+# oracle.  A 64 KB prefix is essentially as selective a near-dup
+# signature as the full text (the standard production-dedup cap) while
+# bounding every per-doc kernel to O(SIG_PREFIX_CHARS) — document
+# length becomes a constant multiplier, not a tail-latency lottery.
+# Bitwise-neutral on every shipped corpus (all documents are far under
+# the cap); parity-exact above it because BOTH texts cap.  Whole-
+# document SEMANTICS ops (exact-dup md5, length stats, writers) stay
+# uncapped — they are linear and cheap.
+SIG_PREFIX_CHARS = 65536
+
+
+def capped_text(col: str = "text"):
+    """The signature prefix of ``col`` (Spark side)."""
+    return F.substring(F.col(col), 1, SIG_PREFIX_CHARS)
+
+
+def capped_text_sql(col: str = "text") -> str:
+    """DuckDB mirror of :func:`capped_text`."""
+    return f"substr({col}, 1, {SIG_PREFIX_CHARS})"
