@@ -587,7 +587,14 @@ def build_dupkeys_dataset(d: str) -> None:
 
     ev = pd.read_parquet(f"{BASE}/events.parquet")
     dup = ev[ev["event_id"] % 10 == 0].copy()
-    dup["ts"] = dup["ts"] + pd.Timedelta(minutes=3)  # replay arrives later
+    # branch on the base layout like build_timewarp_dataset (review
+    # catch): under the round-1/2 bigint-ns parquet layout ts is int64
+    # epoch-ns and Timedelta addition would break the schema-preserving
+    # write
+    if pd.api.types.is_integer_dtype(dup["ts"].dtype):
+        dup["ts"] = dup["ts"] + int(pd.Timedelta(minutes=3).value)
+    else:
+        dup["ts"] = dup["ts"] + pd.Timedelta(minutes=3)  # replay arrives later
     dup["value"] = dup["value"].round(2) + 0.07
     dup["event_type"] = "replay"
     write("events", pd.concat([ev, dup], ignore_index=True))

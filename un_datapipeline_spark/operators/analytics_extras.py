@@ -480,21 +480,52 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the canonicalization pin) and DuckDB's own json() normalizer for
 # other parseable shapes ('null' literal, arrays) — both match Spark's
 # to_json(variant) byte-for-byte on this corpus family.
+# k_val mirrors try_variant_get('$.k', 'bigint') type-by-type (probed):
+# integer JSON numbers pass through; DOUBLE TRUNCATES toward zero
+# (1.5→1, -1.5→-1; DuckDB's bare CAST would ROUND) with TRY_CAST
+# NULLing beyond-int64 magnitudes; VARCHAR parses only integer-spelled
+# strings (" 7 "→7, "1.5"→NULL — DuckDB's varchar cast would round);
+# BOOLEAN is 1/0; everything else NULL.  canon_json: printf rebuild for
+# integer k (the canonicalization pin), DuckDB's json() normalizer for
+# other parseable shapes, and an EXPLICIT NULL for non-integer NUMERIC
+# k on BOTH sides (Spark mirrors via schema_of_variant DOUBLE/DECIMAL
+# detection): each engine's canonical float repr is its own formatter
+# ('1.0E300' vs '1e300', 2.0 → '2' vs '2.0'), so the lane declares the
+# shape uncanonicalizable instead of pinning one engine's repr.
 _VARIANT_ORACLE = f"""
 WITH flags AS (
   SELECT event_id, props, {json_usable_sql()} AS usable
   FROM events
 ), vals AS (
   SELECT event_id, props, usable,
-         CASE WHEN usable
-              THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k_val
+         CASE WHEN NOT usable THEN NULL ELSE json_type(props, '$.k') END AS jt,
+         CASE WHEN NOT usable THEN NULL
+              WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+              WHEN json_type(props, '$.k') = 'DOUBLE'
+                THEN TRY_CAST(trunc(CAST(json_extract(props, '$.k') AS DOUBLE))
+                              AS BIGINT)
+              WHEN json_type(props, '$.k') = 'VARCHAR'
+                THEN CASE WHEN regexp_matches(
+                            coalesce(props->>'$.k', ''),
+                            '^\s*[+-]?[0-9]+\s*$')
+                          THEN TRY_CAST(props->>'$.k' AS BIGINT) END
+              WHEN json_type(props, '$.k') = 'BOOLEAN'
+                THEN CASE WHEN props->>'$.k' = 'true' THEN 1 ELSE 0 END
+              END AS k_val
   FROM flags
 )
 SELECT event_id,
        k_val,
        CAST(k_val IS NULL AS INT) AS k_missing,
        CASE WHEN NOT usable THEN NULL
-            WHEN k_val IS NOT NULL THEN printf('{{"k":%d}}', k_val)
+            -- DOUBLE carve is EXPLICIT on both sides (review stress):
+            -- each engine's canonical repr of a non-integer numeric k
+            -- is its own float formatter ('1.0E300' vs '1e300', '2' vs
+            -- '2.0') — the canon lane declares it NULL rather than
+            -- pinning one engine's repr
+            WHEN jt = 'DOUBLE' THEN NULL
+            WHEN jt IN ('BIGINT', 'UBIGINT') THEN printf('{{"k":%d}}', k_val)
             -- coalesce: the JSON null literal is the ONE usable payload
             -- whose json()::VARCHAR collapses to SQL NULL, but Spark's
             -- to_json(variant) spells it 'null'
@@ -521,11 +552,27 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejection."""
     e = load_table(spark, sf_dir, "events")
     v = e.select("event_id", F.try_parse_json("props").alias("v"))
+    # try_variant_get (review catch): the plain variant_get THROWS
+    # INVALID_VARIANT_CAST on a beyond-int64 numeric k (probed: 1e300)
+    # — one absurd payload must not kill the scan
     return v.select(
         "event_id",
-        F.variant_get("v", "$.k", "bigint").alias("k_val"),
-        F.variant_get("v", "$.k", "bigint").isNull().cast("int").alias("k_missing"),
-        F.to_json("v").alias("canon_json"),
+        F.try_variant_get("v", "$.k", "bigint").alias("k_val"),
+        F.try_variant_get("v", "$.k", "bigint")
+        .isNull()
+        .cast("int")
+        .alias("k_missing"),
+        F.when(
+            F.coalesce(
+                F.expr(
+                    "schema_of_variant(try_variant_get(v, '$.k'))"
+                ).rlike("^(DOUBLE|DECIMAL)"),
+                F.lit(False),
+            ),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.to_json("v"))
+        .alias("canon_json"),
     )
 
 

@@ -807,11 +807,13 @@ WITH w AS (
   SELECT doc_id, source, g,
          array_to_string(ws[g * {_LINE_W} + 1 : g * {_LINE_W} + {_LINE_W}], ' ')
            AS line
-  -- series bound covers the contract maximum: SIG_PREFIX_CHARS chars
-  -- can hold at most SIG_PREFIX_CHARS/2 one-char words = 8192 4-word
-  -- lines (Spark's sequence() is data-sized; a short fixed bound would
-  -- silently truncate big-doc line grids on the oracle side only)
-  FROM w JOIN generate_series(0, {SIG_PREFIX_CHARS // (2 * _LINE_W)}) t(g)
+  -- series bound covers the contract maximum: consecutive spaces make
+  -- EMPTY tokens, so a SIG_PREFIX_CHARS prefix can split into up to
+  -- SIG_PREFIX_CHARS+1 tokens = SIG_PREFIX_CHARS/4 + 1 lines (review
+  -- catch: the one-char-word bound under-counted 2x; a short bound
+  -- silently truncates the oracle's line grid where Spark's
+  -- data-sized chunking emits every line)
+  FROM w JOIN generate_series(0, {SIG_PREFIX_CHARS // _LINE_W + 1}) t(g)
     ON g < CAST(ceil(n / {_LINE_W}.0) AS INT)
 ), boiler AS (
   SELECT line FROM lines GROUP BY line

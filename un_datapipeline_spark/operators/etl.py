@@ -17,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import json_usable_sql, load_table
+from un_datapipeline_spark.tables import json_long_strict_sql, json_usable_sql, load_table
 
 _LATEST_ORACLE = """
 SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
@@ -409,9 +409,12 @@ def etl_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUARANTINE_ORACLE = f"""
 WITH parsed AS (
   SELECT event_id,
+         -- json_long_strict_sql: from_json('k long') parses ONLY an
+         -- integer JSON number; the bare TRY_CAST coerced 1.5/'7'/true
+         -- (review catch)
          CASE WHEN event_id % 97 = 0 OR NOT {json_usable_sql()}
               THEN NULL
-              ELSE TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+              ELSE {json_long_strict_sql()} END AS k
   FROM events
 )
 SELECT count(*) AS n_total,

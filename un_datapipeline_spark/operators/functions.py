@@ -12,7 +12,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import json_usable_sql, load_table
+from un_datapipeline_spark.tables import (
+    json_long_strict_sql,
+    json_str_int_sql,
+    json_usable_sql,
+    load_table,
+)
 
 _COND_ORACLE = """
 SELECT coalesce(CASE WHEN o_orderpriority LIKE '1%' THEN 'hi'
@@ -272,15 +277,13 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB's json_extract THROWS on a truncated object — the CASE pins
 # the NULL-on-malformed semantics so one dirty payload cannot kill the
 # oracle where the engine sails through.
-_JSON_ORACLE = """
+_JSON_ORACLE = f"""
 SELECT event_type,
        count(*)                                         AS n,
-       ROUND(avg(CASE WHEN json_valid(props)
-                 THEN CAST(json_extract(props, '$.k') AS INT) END), 6) AS avg_k,
-       max(CASE WHEN json_valid(props)
-           THEN CAST(json_extract(props, '$.k') AS INT) END)     AS max_k,
-       min(CASE WHEN json_valid(props)
-           THEN CAST(json_extract(props, '$.k') AS INT) END)     AS min_k
+       ROUND(avg({json_str_int_sql()}), 6)              AS avg_k,
+       CAST(max(CASE WHEN {json_usable_sql()}
+           THEN {json_long_strict_sql()} END) AS INT)   AS max_k,
+       min({json_str_int_sql()})                        AS min_k
 FROM events
 GROUP BY event_type
 """
@@ -295,8 +298,15 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     to NULL on both engines (Spark natively; the oracle via its
     json_valid CASE — R10_BADJSON_PLAN)."""
     e = load_table(spark, sf_dir, "events")
-    k_path = F.get_json_object("props", "$.k").cast("int")
-    k_struct = F.from_json("props", "k INT")["k"]
+    # try_cast: ANSI cast of an extracted '1.5'/'true' string CRASHES
+    # where the oracle's strict string mirror NULLs (review catch)
+    k_path = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+    # try_parse_json gate: from_json keeps the LAST duplicate key while
+    # json_extract takes the FIRST — ambiguous payloads yield NULL on
+    # both sides (review catch: the max_k lane silently diverged)
+    k_struct = F.when(
+        F.try_parse_json("props").isNotNull(), F.from_json("props", "k INT")["k"]
+    )
     return (
         e.select("event_type", k_path.alias("k1"), k_struct.alias("k2"))
         .groupBy("event_type")
@@ -851,14 +861,26 @@ def fn_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the FIRST duplicate key where from_json keeps the LAST (so dup-key
 # payloads are excluded outright, matching the Spark-side
 # try_parse_json gate), and TRY_CAST covers a wrong-typed k.
+# The WHERE EXISTS gate mirrors the Spark side's no-inferable-sample
+# short-circuit (review catch): when none of the 64 longest props is
+# clean the op returns its declared 0-row frame, so the oracle must go
+# empty too, not aggregate the raw rows.  The value lanes use the
+# strict integer mirror of from_json (fractional/string/bool k is NULL,
+# never coerced).
 _JSON_INFER_ORACLE = f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN {json_usable_sql()}
-                THEN TRY_CAST(props->>'$.k' AS BIGINT) END) AS BIGINT) AS sum_k,
+                THEN {json_long_strict_sql()} END) AS BIGINT) AS sum_k,
        CAST(max(CASE WHEN {json_usable_sql()}
-                THEN TRY_CAST(props->>'$.k' AS BIGINT) END) AS BIGINT) AS max_k
+                THEN {json_long_strict_sql()} END) AS BIGINT) AS max_k
 FROM events
+WHERE EXISTS (
+  SELECT 1 FROM (
+    SELECT props FROM events WHERE props IS NOT NULL
+    ORDER BY len(props) DESC, props LIMIT 64
+  ) c WHERE {json_usable_sql('c.props')}
+)
 GROUP BY event_type
 ORDER BY event_type
 """
@@ -929,17 +951,35 @@ def fn_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FIRST, a silent value drift (R10_BADJSON_PLAN)
     parsed = e.select(
         "event_type",
+        "props",
         F.when(
             F.try_parse_json("props").isNotNull(),
             F.from_json("props", schema_str),
         ).alias("p"),
     )
+    # Value-lane hygiene (review stress): the inferred schema follows
+    # the MAXIMAL sample, so from_json's per-row coercion is
+    # SCHEMA-DEPENDENT — a beyond-int64 integer sample infers
+    # DECIMAL(20,0), under which 1.5 ROUNDS to 2, the string "7"
+    # COERCES to 7, and the huge row itself CAST_OVERFLOWs an ANSI
+    # cast.  The aggregate therefore masks to rows whose k is an
+    # in-range integer JSON NUMBER (schema_of_variant = BIGINT — the
+    # probed mirror of the oracle's json_type BIGINT/UBIGINT guard) and
+    # try_casts — the parsed struct p.k still feeds the lane, so the
+    # hash match keeps proving the inferred schema parsed every counted
+    # row.
+    k_is_int = (
+        F.expr("schema_of_variant(try_variant_get(try_parse_json(props), '$.k'))")
+        == "BIGINT"
+    )
+    kv = F.when(k_is_int, F.col("p.k").try_cast("long"))
     return (
-        parsed.groupBy("event_type")
+        parsed.select("event_type", "props", "p")
+        .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("p.k").cast("long")).alias("sum_k"),
-            F.max(F.col("p.k").cast("long")).alias("max_k"),
+            F.sum(kv).alias("sum_k"),
+            F.max(kv).alias("max_k"),
         )
         .orderBy("event_type")
     )

@@ -131,7 +131,10 @@ WITH blocked AS (
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          levenshtein(a.captext, b.captext) AS edit_dist,
-         greatest(strlen(a.captext), strlen(b.captext), 1) AS max_len
+         -- length() (CHARS) not strlen() (BYTES): Spark F.length counts
+         -- characters, and a byte denominator skews sim on multibyte
+         -- text (review catch)
+         greatest(length(a.captext), length(b.captext), 1) AS max_len
   FROM blocked a JOIN blocked b
     ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
 )

@@ -272,8 +272,15 @@ def winner_embedding(df: DataFrame) -> DataFrame:
         & (F.size(F.array_compact("embedding")) == F.size("embedding")),
         elsum,
     )
+    # the embedding itself joins the tiebreak (review catch): two valid
+    # duplicates with EQUAL sums (e.g. a permuted re-embed) would
+    # otherwise tie and each engine — and each Spark run — could pick a
+    # different winner; lexicographic array comparison is supported and
+    # numerically identical on both engines
     return winner_per_key(
-        df.withColumn("_elsum", key), "vec_id", ("_elsum", "label")
+        df.withColumn("_elsum", key),
+        "vec_id",
+        ("_elsum", "embedding", "label"),
     ).drop("_elsum")
 
 
@@ -289,7 +296,7 @@ def winner_embedding_sql(table: str = "embeddings") -> str:
     return (
         f"(SELECT * FROM {table} QUALIFY row_number() OVER "
         f"(PARTITION BY vec_id ORDER BY {elsum} DESC NULLS LAST, "
-        f"label DESC NULLS LAST) = 1)"
+        f"embedding DESC NULLS LAST, label DESC NULLS LAST) = 1)"
     )
 
 
@@ -308,7 +315,16 @@ def winner_embedding_sql(table: str = "embeddings") -> str:
 # input.  The Spark-side mirror is `F.try_parse_json(col).isNotNull()`.
 
 def json_usable_sql(col: str = "props") -> str:
-    """DuckDB predicate mirroring Spark try_parse_json acceptance."""
+    """DuckDB predicate mirroring Spark try_parse_json acceptance.
+
+    KNOWN RESIDUAL (review catch, documented): the key-uniqueness check
+    is TOP-LEVEL only (json_keys walks one level), while Spark's
+    variant parser rejects duplicate keys at ANY depth — a payload like
+    ``{"a":{"b":1,"b":2}}`` is accepted here but NULLed by Spark.  The
+    data model's props column is flat single-key JSON (FIXTURES.md) and
+    no sweep corpus carries nested objects; if one ever does, the
+    badjson sweep flags the divergence and this predicate needs a
+    recursive walk (non-trivial in SQL — revisit then, not before)."""
     return (
         f"(CASE WHEN coalesce(json_valid({col}), false) "
         f"THEN len(json_keys({col})) = len(list_distinct(json_keys({col}))) "
@@ -347,3 +363,35 @@ def capped_text(col: str = "text"):
 def capped_text_sql(col: str = "text") -> str:
     """DuckDB mirror of :func:`capped_text`."""
     return f"substr({col}, 1, {SIG_PREFIX_CHARS})"
+
+
+def json_long_strict_sql(col: str = "props", path: str = "$.k") -> str:
+    """Mirror of Spark ``from_json('k long')`` VALUE semantics (probed):
+    only an INTEGER JSON number parses — fractional (1.5), string
+    ("7"), boolean, and beyond-int64 numbers all yield NULL.  DuckDB's
+    bare ``TRY_CAST(json_extract(...) AS BIGINT)`` instead COERCES
+    (1.5→2 by rounding, "7"→7, true→1), silently counting rows the
+    engine rejects.  Callers must wrap in a json_valid/json_usable
+    guard — ``json_type`` itself throws on malformed input."""
+    jt = f"json_type({col}, '{path}')"
+    return (
+        f"(CASE WHEN {jt} IN ('BIGINT', 'UBIGINT') "
+        f"THEN TRY_CAST(json_extract({col}, '{path}') AS BIGINT) END)"
+    )
+
+
+def json_str_int_sql(col: str = "props", path: str = "$.k",
+                     typ: str = "INT") -> str:
+    """Mirror of Spark ``try_cast(get_json_object(...) AS INT)``
+    (probed): the extracted STRING parses only when it spells an
+    integer — '1.5' is NULL on Spark but ROUNDS to 2 under DuckDB's
+    varchar TRY_CAST, so an explicit digits regex pins the strict
+    semantics.  Includes its own json_valid guard (extraction throws on
+    malformed input)."""
+    ex = f"{col}->>'{path}'"
+    return (
+        f"(CASE WHEN coalesce(json_valid({col}), false) THEN "
+        f"CASE WHEN regexp_matches(coalesce({ex}, ''), "
+        f"'^\\s*[+-]?[0-9]+\\s*$') "
+        f"THEN TRY_CAST({ex} AS {typ}) END END)"
+    )
