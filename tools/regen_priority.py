@@ -62,7 +62,6 @@ FORCE_REFRESH = (
     # both sides; plus the ADVICE r09 watermark guard.
     "ts_day_over_day",          # pct_change NULLIF(prev, 0) both sides
     "ts_peak_detect",           # rise/fall_frac NULLIF both sides
-    "stream_watermark_late",    # valid_ts watermark guard (rows-only)
     # -- dimension-contract + kernel-vectorization wave (EMBED_DIM=64 in
     # valid_vec/valid_vec_sql per tools/probe_mixdim_r10.py; _vec_matrix
     # rewritten to one np.array build + matrix-wise isnan; element-NULL
@@ -78,10 +77,8 @@ FORCE_REFRESH = (
     # Spark-side-only consumers of the shared predicate/kernel:
     "llm_hard_negatives",
     "llm_simsearch_ivf",
-    "llm_simsearch_hnsw",
     "llm_vector_pq",
     "llm_kmeans_cluster",
-    "llm_semdedup",
     "llm_ann_brp_lsh",
     "llm_simsearch_lsh",        # + zero-norm/validity exclusion (was a
     #                             latent ANSI DIVIDE_BY_ZERO: zero probe
@@ -134,6 +131,12 @@ FORCE_REFRESH = (
     "llm_contamination_check",  # linear 8-gram build (no oracle change)
     "llm_dedup_substr",         # linear window build (no oracle change)
     "llm_dedup_near_minhash",   # _shingled: capped + linear char grams
+    # -- full-registry --bigdoc sweep catches (fixed in-round): three
+    # oracles carried fixed-bound generate_series / lateral-slice lanes
+    # that silently truncated or crawled on big docs:
+    "llm_pmi_collocations",     # correlated LATERAL, no 200-token cap
+    "llm_span_corruption",      # correlated LATERAL, no 200-span cap
+    "llm_leakage_safe_split",   # capped-signature zip fp, both sides
     # -- ctrlchars micro-wave (tools/probe_ctrlchars_r10.py):
     "src_csv_multiline",        # oracle replays wrap+flatten transform
     #                             (src_text_wholetext above also gained
@@ -153,6 +156,12 @@ DEFERRED_REFRESH_R11 = (
     "src_text_lines",           # assert → typed ContractViolation raise
     #                             (identical behavior on every corpus
     #                             the driver can see)
+    "stream_watermark_late",    # rows-only valid_ts guard, bitwise-
+    #                             neutral on clean feeds by construction
+    "llm_simsearch_hnsw",       # rows-only; the shared valid_vec/
+    "llm_semdedup",             # _vec_matrix edits are driver-covered
+    #                             by the five siblings that DO re-stamp
+    #                             (cosine/knn/ivf/pq/brp + kmeans)
 )
 
 

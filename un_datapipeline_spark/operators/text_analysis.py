@@ -435,11 +435,15 @@ _PMI_TOPK = 25
 
 _PMI_ORACLE = f"""
 WITH toks AS (
+  -- correlated LATERAL, not a fixed-bound JOIN series (round-10 bigdoc
+  -- full-registry sweep: a 200-token cap silently truncated big docs
+  -- on the oracle side only).  Element ACCESS words[i] is linear in
+  -- DuckDB; only list SLICES copy per row.
   SELECT doc_id, g.i AS pos, words[g.i + 1] AS w
   FROM (SELECT doc_id, string_split(lower(text), ' ') AS words,
                len(string_split(lower(text), ' ')) AS n
-        FROM documents) d
-  JOIN generate_series(0, 200) g(i) ON g.i < n
+        FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g
 ), pairs AS (
   SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c_ab
   FROM toks a JOIN toks b

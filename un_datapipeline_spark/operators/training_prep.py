@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import (
+    capped_text_sql,
     load_table,
     winner_document,
     winner_document_sql,
@@ -1306,14 +1307,24 @@ def llm_chat_template_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Leakage-safe train/val/test split (cluster-aware assignment)
 # ---------------------------------------------------------------------------
 
-_LEAK_ORACLE = """
+_LEAK_ORACLE = f"""
 WITH toked AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS ws,
-         len(string_split(lower(text), ' ')) AS n
+  -- prefix-capped SIGNATURE (bounded-prefix contract) + zip-of-shifted
+  -- slices (round-10 bigdoc sweep: the fixed 200-position series
+  -- truncated big docs' fingerprint search space on the oracle side
+  -- only, and the lateral list-slice form copies O(len) per row)
+  SELECT doc_id, string_split(lower({capped_text_sql()}), ' ') AS ws,
+         len(string_split(lower({capped_text_sql()}), ' ')) AS n
   FROM documents
 ), fp AS (
-  SELECT doc_id, min(md5(array_to_string(ws[i : i + 4], ' '))) AS cluster_id
-  FROM toked JOIN generate_series(1, 200) t(i) ON i <= n - 4
+  SELECT doc_id, min(md5(g)) AS cluster_id
+  FROM (
+    SELECT doc_id, unnest(list_transform(
+      list_zip(ws[1:n-4], ws[2:n-3], ws[3:n-2], ws[4:n-1], ws[5:n]),
+      t -> t[1] || ' ' || t[2] || ' ' || t[3] || ' ' || t[4] || ' ' || t[5]))
+      AS g
+    FROM toked WHERE n >= 5
+  )
   GROUP BY doc_id
 ), assigned AS (
   SELECT doc_id, cluster_id,
@@ -1367,22 +1378,23 @@ def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     all; at 100 TB the cluster id would come from the full
     llm_neardup_cluster CC pass, and this op is the assignment +
     audit stage bolted on top."""
+    from un_datapipeline_spark.operators.dedup_extras import ngram_array
+    from un_datapipeline_spark.tables import capped_text
+
     d = load_table(spark, sf_dir, "documents")
-    toked = d.select(
-        "doc_id",
-        F.split(F.lower(F.col("text")), " ").alias("ws"),
-        F.size(F.split(F.lower(F.col("text")), " ")).alias("n"),
+    # prefix-capped signature + linear 5-gram build (ngram_array): the
+    # explode-index-then-slice form copies the token array per exploded
+    # row — quadratic per doc (round-10 bigdoc class); docs shorter
+    # than 5 tokens have no shingle and fall out of fp on both sides
+    ws = F.split(F.lower(capped_text()), " ")
+    fp = (
+        d.select(
+            "doc_id", F.explode(ngram_array(ws, 5)).alias("shingle")
+        )
+        .select("doc_id", F.md5("shingle").alias("g"))
+        .groupBy("doc_id")
+        .agg(F.min("g").alias("cluster_id"))
     )
-    shingles = toked.select(
-        "doc_id",
-        F.explode(F.expr("sequence(1, greatest(n - 4, 1))")).alias("i"),
-        "ws",
-        "n",
-    ).filter(F.col("i") <= F.col("n") - 4)
-    fp = shingles.select(
-        "doc_id",
-        F.md5(F.array_join(F.expr("slice(ws, i, 5)"), " ")).alias("g"),
-    ).groupBy("doc_id").agg(F.min("g").alias("cluster_id"))
     cb = F.conv(F.substring(F.md5("cluster_id"), 1, 6), 16, 10).cast(
         "long"
     ) % 10
@@ -1541,7 +1553,10 @@ WITH toked AS (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
                                   || CAST(i AS VARCHAR)), 1, 6))
               AS BIGINT) % (n - {_SPAN_LEN - 1}) AS start0
-  FROM eligible JOIN generate_series(1, 200) t(i) ON i <= n_spans
+  -- correlated LATERAL, not a fixed-bound JOIN series (round-10
+  -- bigdoc sweep: the 200-span cap truncated big docs' corruption
+  -- budget on the oracle side only — corrupt_ppm 233016 vs 11663)
+  FROM eligible, LATERAL (SELECT unnest(generate_series(1, n_spans)) AS i) t
 ), posns AS (
   SELECT DISTINCT doc_id, source, start0 + off AS pos
   FROM spans JOIN generate_series(0, {_SPAN_LEN - 1}) o(off) ON TRUE
