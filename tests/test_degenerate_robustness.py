@@ -528,6 +528,32 @@ def test_magnitude_corpus_class(spark, magnitude_sf, name):
 
 
 @pytest.fixture(scope="module")
+def mixdim_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mixdimsf")
+    _tool().build_mixdim_dataset(str(d))
+    return str(d)
+
+
+# one representative per --mixdim mechanism (tools/probe_mixdim_r10.py)
+MIXDIM_OPS = [
+    "llm_simsearch_cosine_topk",  # matrix kernel: ragged lengths crashed
+    #                               np.stack before the EMBED_DIM layer
+    "llm_vector_norms",           # per-row stats: off-width value lanes
+    #                               NULL, min_dim/max_dim observe 32/72
+]
+
+
+@pytest.mark.parametrize("name", MIXDIM_OPS)
+def test_mixdim_corpus_class(spark, mixdim_sf, name):
+    """Round-10 hazard class: mixed embedding dimensions (model-version
+    mix — a re-embed job lands 32- or 72-wide rows into the 64-wide
+    table).  The dimension layer of the vector-validity contract
+    (llm_vectors.EMBED_DIM) excludes off-width vectors on both
+    engines."""
+    _both(spark, mixdim_sf, name)
+
+
+@pytest.fixture(scope="module")
 def bigdoc_sf(tmp_path_factory):
     d = tmp_path_factory.mktemp("bigdocsf")
     _tool().build_bigdoc_dataset(str(d))

@@ -72,6 +72,12 @@ crashed before the round-10 ingest-contract extension
 |value| > ~9.2e16.  1e-300 is deliberately kept by the contract (tiny
 rounds to 0 cents like 0.001 does) and rides along here to pin that.
 
+A fourteenth mode (--mixdim, promoted round 10 from
+tools/probe_mixdim_r10.py) mixes 32- and 72-dim vectors into the 64-dim
+embeddings table — the model-version-mix shape; the EMBED_DIM dimension
+layer of the vector-validity contract excludes off-width vectors on
+both engines (10 of 16 vector ops crashed before it).
+
 Twelfth and thirteenth modes (round 10): --bigdoc splices ~130 KB and
 ~520 KB documents into the corpus (PARITY check of the bounded-prefix
 signature contract; the straggler TIMING gate is
@@ -125,6 +131,7 @@ Usage:
     python tools/sweep_degenerate.py --badjson [ops...]  # malformed props
     python tools/sweep_degenerate.py --bigdoc [ops...]   # 130/520 KB docs
     python tools/sweep_degenerate.py --ctrlchars [ops...] # control chars
+    python tools/sweep_degenerate.py --mixdim [ops...]   # 32/72-dim vectors
 """
 
 from __future__ import annotations
@@ -462,6 +469,46 @@ def build_badjson_dataset(d: str) -> None:
             ev, schema=pq.read_schema(f"{BASE}/events.parquet"), preserve_index=False
         ),
         f"{d}/events.parquet",
+    )
+
+
+def build_mixdim_dataset(d: str) -> None:
+    """Mixed-embedding-dimension corpus (--mixdim, promoted round 10
+    from tools/probe_mixdim_r10.py after the EMBED_DIM contract): ~1/9
+    embedding rows truncated to 32 dims, ~1/17 padded to 72 — the
+    model-version mix every production embedding table accumulates (a
+    re-embed job lands different-width rows; list<float> is unbounded).
+    10 of 16 vector ops crashed (numpy inhomogeneous-shape) before the
+    dimension layer of the vector-validity contract
+    (llm_vectors.valid_vec EMBED_DIM=64, mirrored in every paired
+    oracle)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+    em = pd.read_parquet(f"{BASE}/embeddings.parquet").copy()
+    emb = list(em["embedding"])
+    for i in range(0, len(emb), 9):
+        emb[i] = list(emb[i])[:32]          # old-model rows: 32 dims
+    for i in range(4, len(emb), 17):
+        emb[i] = list(emb[i]) + [0.0] * 8   # padded rows: 72 dims
+    em["embedding"] = emb
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            em[["vec_id", "embedding", "label"]], schema=schema,
+            preserve_index=False
+        ),
+        f"{d}/embeddings.parquet",
     )
 
 
@@ -888,6 +935,7 @@ def main() -> int:
         "--badjson",
         "--bigdoc",
         "--ctrlchars",
+        "--mixdim",
     )
     bad = [a for a in args if a.startswith("--") and a not in flags]
     if bad:
@@ -913,6 +961,7 @@ def main() -> int:
     badjson_mode = "--badjson" in args
     bigdoc_mode = "--bigdoc" in args
     ctrlchars_mode = "--ctrlchars" in args
+    mixdim_mode = "--mixdim" in args
     only = set(a for a in args if a not in flags)
     d = tempfile.mkdtemp(prefix="degen_")
     if tiny:
@@ -939,6 +988,8 @@ def main() -> int:
         build_bigdoc_dataset(d)
     elif ctrlchars_mode:
         build_ctrlchars_dataset(d)
+    elif mixdim_mode:
+        build_mixdim_dataset(d)
     else:
         build_dataset(d)
     _, _, fails = run_registry(d, only)
