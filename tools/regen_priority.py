@@ -51,118 +51,26 @@ REFRESH_COUNT = 5
 # first, pure refactors last.  (Forced entries are never truncated —
 # see main() — so ordering is about review priority, not survival.)
 FORCE_REFRESH = (
-    # r09-stamped names (the 45-op NULL-bulk wave + 4 valid_ts ops)
-    # cleared per procedure — all 49 landed green in CORRECTNESS_r09.json
-    # (42 hash-match + the contracted rows-only subset).  Round 10 adds
-    # names below as the catalogued waves (R10_*_PLAN.md) edit ops.
-    # -- magnitude wave (R10_MAGNITUDE_PLAN.md): the ingest contract is
-    # scan-boundary (no per-op edits), but the --magnitude sweep exposed
-    # a second-order zero-denominator class in two ops (a day whose only
-    # surviving measurements round to 0 cents), fixed with NULLIF on
-    # both sides; plus the ADVICE r09 watermark guard.
-    "ts_day_over_day",          # pct_change NULLIF(prev, 0) both sides
-    "ts_peak_detect",           # rise/fall_frac NULLIF both sides
-    # -- dimension-contract + kernel-vectorization wave (EMBED_DIM=64 in
-    # valid_vec/valid_vec_sql per tools/probe_mixdim_r10.py; _vec_matrix
-    # rewritten to one np.array build + matrix-wise isnan; element-NULL
-    # check now size(array_compact()) not interpreted F.exists).
-    # Oracle TEXT changed (len(col) = 64 in the shared predicate):
-    "llm_simsearch_cosine_topk",
-    "llm_knn_join",
-    "llm_vector_norms",         # + F.when(valid_vec) value-lane mirror
-    "llm_embed_join_docs",      # + F.when(valid_vec) value-lane mirror
-    "llm_embedding_mean_pool",
-    "fn_array",
-    "llm_dedup_embedding",
-    # Spark-side-only consumers of the shared predicate/kernel:
-    "llm_hard_negatives",
-    "llm_simsearch_ivf",
-    "llm_vector_pq",
-    "llm_kmeans_cluster",
-    "llm_ann_brp_lsh",
-    "llm_simsearch_lsh",        # + zero-norm/validity exclusion (was a
-    #                             latent ANSI DIVIDE_BY_ZERO: zero probe
-    #                             sharing a bucket with any candidate)
-    # -- duplicate-key wave (R10_DUPKEYS_PLAN.md): deterministic
-    # per-key winner (tables.winner_document/winner_embedding/
-    # latest_event) applied inside each affected op + oracle mirror.
-    # Silent-wrong class 2 first (Jaccard 1.878 / containment 2.0):
-    "llm_dedup_ngram_jaccard",
-    "llm_dedup_containment",
-    "llm_ngram_novelty",
-    "llm_line_dedup_reconstruct",
-    "llm_fim_transform",
-    # class 1 (key-grained writers):
-    "src_text_wholetext",
-    "src_binary_files",
-    "mm_decode_features",
-    "mm_audio_windows",
-    # class 3 (arbitrary-winner drift; llm_knn_join already above):
-    "llm_filter_funnel",        # + count_if/nullif empty-relation fix
-    "llm_chat_template_apply",
-    "llm_sft_loss_mask",
-    # class 4 (asof per-key grain):
-    "join_asof",
-    # -- empty-table wave (R10_EMPTY_PLAN.md; llm_filter_funnel and
-    # llm_ann_brp_lsh already hold slots above):
-    "etl_backfill_partitions",  # explicit read-back schema (class 1)
-    "join_dpp_partitioned",
-    "src_partitioned_pruning",
-    "llm_training_shard_write",
-    "win_event_pattern",        # count_if match counters (class 2)
-    "fn_json_schema_infer",     # clean-sample scan + 0-row short-circuit
-    #                             + json_usable parse gate (badjson)
-    "ts_local_day_dst",         # DATE→TIMESTAMP relabel (class 4)
-    # -- malformed-JSON wave (R10_BADJSON_PLAN.md; fn_json_schema_infer
-    # above already holds its slot):
-    "fn_json",                  # oracle json_valid CASE guards
-    "fn_variant_json",          # try_parse_json ↔ json_usable mirror
-    "etl_quarantine_bad_rows",  # bad rows route INTO quarantine
-    # -- bigdoc wave (R10_BIGDOC_PLAN.md): bounded-prefix signature
-    # contract (oracle-text caps) + the linear k-gram rewrite
-    # (ngram_array — the index-lambda/array-copy quadratics were the
-    # true straggler mechanism).  jaccard/containment/novelty/
-    # line_dedup already hold slots above.
-    "llm_dedup_incremental",    # capped gram lane, both sides
-    "llm_dedup_cluster",        # capped edge grams, both sides
-    "llm_canonical_select",     # same edge builder + capped oracle
-    "llm_dedup_fuzzy_edit",     # 4 KB edit-distance cap, both sides
-    "llm_boilerplate_ngrams",   # capped + linear 8-gram build
-    "llm_contamination_check",  # linear 8-gram build (no oracle change)
-    "llm_dedup_substr",         # linear window build (no oracle change)
-    "llm_dedup_near_minhash",   # _shingled: capped + linear char grams
-    # -- full-registry --bigdoc sweep catches (fixed in-round): three
-    # oracles carried fixed-bound generate_series / lateral-slice lanes
-    # that silently truncated or crawled on big docs:
-    "llm_pmi_collocations",     # correlated LATERAL, no 200-token cap
-    "llm_span_corruption",      # correlated LATERAL, no 200-span cap
-    "llm_leakage_safe_split",   # capped-signature zip fp, both sides
-    # -- ctrlchars micro-wave (tools/probe_ctrlchars_r10.py):
-    "src_csv_multiline",        # oracle replays wrap+flatten transform
-    #                             (src_text_wholetext above also gained
-    #                             the wholetext-kwarg read fix)
-)
-
-# Round-10 window OVERFLOW (53 stamp-void edits, 50 slots): these three
-# rows-only, code-only rewrites are deferred to the TOP of the round-11
-# window — least risk of the 53 (no oracle text changed, semantics
-# locally verified across seven sweep corpora, each with its own pytest
-# invariant vs an exact baseline).  ROUND 11 MUST move them into
-# FORCE_REFRESH first.
-DEFERRED_REFRESH_R11 = (
+    # -- ROUND 11 LEAD: the 7 DEFERRED_REFRESH_R11 names from the round-10
+    # window overflow (56 stamp-void edits, 50 slots).  These carry VOID
+    # stamps at the r10 HEAD (edited after their last driver verification)
+    # and MUST re-stamp first — VERDICT r10 item 1.
     "llm_dedup_minhash_ml",     # linear trigram build (rows-only)
     "llm_doc_fingerprint",      # linear char-8-gram build (rows-only)
     "llm_neardup_cluster",      # dependency-only (_shingled) change
-    "src_text_lines",           # assert → typed ContractViolation raise
-    #                             (identical behavior on every corpus
-    #                             the driver can see)
-    "stream_watermark_late",    # rows-only valid_ts guard, bitwise-
-    #                             neutral on clean feeds by construction
-    "llm_simsearch_hnsw",       # rows-only; the shared valid_vec/
-    "llm_semdedup",             # _vec_matrix edits are driver-covered
-    #                             by the five siblings that DO re-stamp
-    #                             (cosine/knn/ivf/pq/brp + kmeans)
+    "src_text_lines",           # assert -> typed ContractViolation raise
+    "stream_watermark_late",    # rows-only valid_ts guard
+    "llm_simsearch_hnsw",       # shared valid_vec/_vec_matrix edits
+    "llm_semdedup",             # shared valid_vec/_vec_matrix edits
+    # -- round-11 edits append below as they land (risk-first order).
 )
+
+# Round-10's window overflow mechanism (kept for the procedure doc): when
+# stamp-void edits exceed the 50-slot window, the least-risk rows-only /
+# zero-semantic names are deferred here and MUST move to the TOP of the
+# next round's FORCE_REFRESH.  Round 11 consumed the r10 deferrals above;
+# currently empty.
+DEFERRED_REFRESH_R12 = ()
 
 
 def is_green(v: dict) -> bool:
