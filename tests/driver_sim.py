@@ -82,7 +82,7 @@ def main() -> int:
     # below — this line says why, instead of 38 mysterious reds.
     n_nonfinite = con.execute(
         "SELECT count(*) FROM events WHERE isnan(value) OR isinf(value) "
-        "OR abs(value) > 1e12"
+        "OR abs(value) > 9e15"
     ).fetchone()[0]
     if n_nonfinite:
         # Hard error (ADVICE r08): silently running a mirror whose oracle
@@ -92,7 +92,7 @@ def main() -> int:
         # path — it reconciles the oracle views with the contract.
         raise SystemExit(
             f"corpus has {n_nonfinite} non-finite or absurd-magnitude "
-            "(|value| > 1e12) events.value rows; the engine ingests them "
+            "(|value| > 9e15) events.value rows; the engine ingests them "
             "as NULL (tables.normalize_events_value) but this harness "
             "mirrors the grading driver's PLAIN oracle views, so every "
             "value-consuming op would mismatch by design.  Use "

@@ -37,15 +37,16 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
         if t == "events":
             # Mirror the engine's ingest contract (tables.py
             # normalize_events_value): non-finite OR absurd-magnitude
-            # (|value| > 1e12 — unit bug / mis-parsed id, see
-            # R10_MAGNITUDE_PLAN.md) measurements are missing.  Identity
-            # on sane finite data — the grading driver's plain views
-            # agree on every shipped corpus; this only matters for the
-            # non-finite / magnitude robustness sweeps.
+            # (|value| > 9e15 — beyond the exact-cents int64 domain, see
+            # R10_MAGNITUDE_PLAN.md; bound raised from 1e12 per ADVICE
+            # r10) measurements are missing.  Identity on sane finite
+            # data — the grading driver's plain views agree on every
+            # shipped corpus; this only matters for the non-finite /
+            # magnitude robustness sweeps.
             con.execute(
                 f"CREATE OR REPLACE VIEW {t} AS "
                 "SELECT * REPLACE (CASE WHEN isnan(value) OR isinf(value) "
-                "OR abs(value) > 1e12 THEN NULL ELSE value END AS value) "
+                "OR abs(value) > 9e15 THEN NULL ELSE value END AS value) "
                 f"FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
             continue

@@ -725,11 +725,14 @@ def test_jaccard_containment_stay_in_unit_range(spark, dupkeys_sf):
 
 
 def test_ingest_contract_magnitude_to_null(spark, tmp_path):
-    """Value-level pin of the round-10 contract extension: load_table
-    maps |value| > 1e12 to NULL while passing sane magnitudes through
-    bit-identically — including the boundary 1e12 itself (kept: the
-    rule is strictly-greater) and 1e-300 (tiny is harmless) — and the
-    oracle harness's events view applies the same rule."""
+    """Value-level pin of the magnitude ingest contract (round-10
+    extension, bound raised 1e12 → 9e15 in round 11 per ADVICE r10):
+    load_table maps |value| > 9e15 to NULL while passing sane and
+    legitimately-large magnitudes through bit-identically — including
+    the boundary 9e15 itself (kept: the rule is strictly-greater), a
+    1e15 that the old bound wrongly voided, and 1e-300 (tiny is
+    harmless) — and the oracle harness's events view applies the same
+    rule."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -746,7 +749,7 @@ def test_ingest_contract_magnitude_to_null(spark, tmp_path):
     tbl = pq.read_table(base / "events.parquet").slice(0, 6)
     idx = tbl.schema.get_field_index("value")
     arr = pa.array(
-        [1e15, -1e15, 1e18, 1e12, 1e-300, 123.45],
+        [9.5e15, -9.5e15, 1e18, 9e15, 1e-300, 1e15],
         type=tbl.schema.field("value").type,
     )
     tbl = tbl.set_column(idx, tbl.schema.field("value"), arr)
@@ -759,7 +762,7 @@ def test_ingest_contract_magnitude_to_null(spark, tmp_path):
         .select("value")
         .collect()
     ]
-    assert got == [None, None, None, 1e12, 1e-300, 123.45]
+    assert got == [None, None, None, 9e15, 1e-300, 1e15]
 
     con = duck_connect(str(d))
     duck = [
@@ -769,4 +772,62 @@ def test_ingest_contract_magnitude_to_null(spark, tmp_path):
         ).fetchall()
     ]
     con.close()
-    assert duck == [None, None, None, 1e12, 1e-300, 123.45]
+    assert duck == [None, None, None, 9e15, 1e-300, 1e15]
+
+
+def test_props_fixtures_are_flat():
+    """Tripwire for the documented json_usable_sql residual (ADVICE r10 /
+    VERDICT r10 item 2): the DuckDB mirror checks key uniqueness at the
+    TOP level only, while Spark's variant parser rejects duplicate keys
+    at ANY depth — the two stay equivalent ONLY while no fixture ships
+    nested-object props.  This test walks every parseable props payload
+    in the shipped testdata scales AND the badjson sweep stripe; the
+    moment one carries a nested object, it fails and json_usable_sql
+    needs its recursive dup-key walk."""
+    import json
+
+    import duckdb
+
+    def assert_flat(payloads, origin):
+        for s in payloads:
+            if s is None:
+                continue
+            try:
+                obj = json.loads(s)
+            except ValueError:
+                continue  # malformed is fine — both engines reject it
+            if isinstance(obj, dict):
+                nested = [
+                    k for k, v in obj.items() if isinstance(v, (dict, list))
+                ]
+                assert not nested, (
+                    f"{origin}: props payload {s[:80]!r} carries nested "
+                    f"container values {nested} — json_usable_sql's "
+                    "top-level-only dup-key check no longer mirrors "
+                    "Spark's variant parser; add the recursive walk "
+                    "(tables.py json_usable_sql docstring)"
+                )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = duckdb.sql(
+            f"SELECT props FROM read_parquet('/root/testdata/{sf}/events.parquet')"
+        ).fetchall()
+        assert_flat((r[0] for r in rows), f"testdata/{sf}")
+
+    import importlib.util as _ilu
+    from pathlib import Path
+
+    spec = _ilu.spec_from_file_location(
+        "sweep_degenerate", Path(__file__).parent.parent / "tools" / "sweep_degenerate.py"
+    )
+    sw = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(sw)
+    src = (Path(__file__).parent.parent / "tools" / "sweep_degenerate.py").read_text()
+    import re as _re
+
+    m = _re.search(r"bad = \[(.*?)\]", src, _re.S)
+    assert m, "badjson stripe list moved — update this tripwire"
+    stripe = [
+        _s for _s in _re.findall(r"'((?:[^'\\]|\\.)*)'", m.group(1))
+    ]
+    assert_flat(stripe, "sweep badjson stripe")

@@ -63,6 +63,22 @@ FORCE_REFRESH = (
     "llm_simsearch_hnsw",       # shared valid_vec/_vec_matrix edits
     "llm_semdedup",             # shared valid_vec/_vec_matrix edits
     # -- round-11 edits append below as they land (risk-first order).
+    # magnitude-v2 wave (ADVICE r10 medium: ingest bound 1e12 → 9e15;
+    # every Σvalue lane converted to exact-cents, second moments to
+    # 128-bit DECIMAL(38,0)/HUGEINT, ill-defined ROUND(x,4)-at-ulp>1e-4
+    # dropped from converted outputs).  Oracle TEXT changed on all:
+    "stream_custom_stateful",   # cents state + max_by(n) last-emission
+    "win_bollinger_bands",      # 128-bit moments + unrounded band edges
+    "udf_grouped_map",          # exact-moment z-score, both sides
+    "agg_ab_ttest",             # HUGEINT/decimal second moment
+    "stream_tumbling_window",   # cents_sum lane
+    "stream_stateful_running",  # cents_sum lane
+    "stream_static_join",       # cents_sum lane
+    "stream_kafka_source",      # cents_sum lane
+    "ts_calendar_rollup",       # cents_sum lane
+    "src_partitioned_pruning",  # cents_sum lane
+    "join_dpp_partitioned",     # cents_sum lane
+    "etl_backfill_partitions",  # cents_sum lane
 )
 
 # Round-10's window overflow mechanism (kept for the procedure doc): when

@@ -63,14 +63,17 @@ honest row behind one far-future event (stream_dedup lost 47/210).
 Full-registry fail=0 since the round-9 second wave.
 
 An eighth mode (--magnitude, promoted round 10 from
-tools/probe_magnitude_r10.py) stripes FINITE but absurd magnitudes
-(±1e15, 1e18, 1e-300) into ``events.value`` — the unit-bug /
-mis-parsed-id shape the --nonfinite contract does not catch.  44 ops
-crashed before the round-10 ingest-contract extension
-(``abs(value) > 1e12 → NULL``, R10_MAGNITUDE_PLAN.md): the exact-cents
-``CAST(round(value*100) AS BIGINT)`` lane overflows int64 at
-|value| > ~9.2e16.  1e-300 is deliberately kept by the contract (tiny
-rounds to 0 cents like 0.001 does) and rides along here to pin that.
+tools/probe_magnitude_r10.py; corpus rebuilt round 11 for the raised
+bound) stripes FINITE but absurd magnitudes into ``events.value`` —
+the unit-bug / mis-parsed-id shape the --nonfinite contract does not
+catch.  44 ops crashed before the round-10 ingest-contract extension;
+round 11 raised the void bound 1e12 → 9e15 (ADVICE r10: the old bound
+wholesale-mismatched any legitimately-large graded value) so the
+corpus now ALSO stripes surviving large values (±1e13, ±9e15 boundary
+rows) to pin the exact-cents / 128-bit-accumulator lanes that make
+them order-independent (tables.cents_sum / cents2_sum).  1e-300 is
+deliberately kept by the contract (tiny rounds to 0 cents like 0.001
+does) and rides along here to pin that.
 
 A fourteenth mode (--mixdim, promoted round 10 from
 tools/probe_mixdim_r10.py) mixes 32- and 72-dim vectors into the 64-dim
@@ -401,19 +404,25 @@ def build_nonfinite_dataset(d: str) -> None:
 
 def build_magnitude_dataset(d: str) -> None:
     """Absurd-magnitude corpus (--magnitude, promoted round 10 from
-    tools/probe_magnitude_r10.py after the scan-boundary contract
-    landed): events.value striped with FINITE but non-physical
-    magnitudes — 1e15, -1e15, 1e18 (int64-cents overflow territory) and
-    1e-300 (denormal-adjacent tiny, deliberately KEPT by the contract) —
-    with the ORIGINAL finite values between.  The shape of a unit bug or
-    a parser reading an id column as the measure.  Before the round-10
-    `abs(value) > 1e12 → NULL` ingest-contract extension, 44/351 ops
-    crashed on this corpus (R10_MAGNITUDE_PLAN.md): the exact-cents
-    ``CAST(round(value*100) AS BIGINT)`` lane overflows int64 at
-    |value| > ~9.2e16, and 1e15 silently absorbs every honest
-    contribution below the double ulp even where both engines agree.
-    (Pandas-write is fine here: every injected value is an ordinary
-    finite double that round-trips through pandas unchanged.)"""
+    tools/probe_magnitude_r10.py; rebuilt round 11 for the raised 9e15
+    ingest bound, ADVICE r10): events.value striped with FINITE but
+    non-physical magnitudes in BOTH contract regimes —
+
+    * VOIDED (|value| > 9e15 → NULL at ingest): 1e18 stripe plus
+      ±9.5e15 just past the bound;
+    * SURVIVING, legitimately-large (the advisor's scenario — a graded
+      corpus carrying values the old 1e12 bound wrongly voided): ±1e13
+      stripe in ordinary groups, plus ±9e15 boundary rows at the exact
+      kept maximum;
+    * 1e-300 (denormal-adjacent tiny, deliberately KEPT).
+
+    The surviving stripe is the hard part: ONE kept 9e15 makes a plain
+    double Σvalue round at integer granularity, so every accumulation
+    lane must be exact-cents with 128-bit accumulators
+    (tables.cents_sum / cents2_sum and their SQL mirrors) to stay
+    order-independent — this corpus exists to catch any lane that
+    isn't.  (Pandas-write is fine here: every injected value is an
+    ordinary finite double that round-trips through pandas unchanged.)"""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -423,8 +432,30 @@ def build_magnitude_dataset(d: str) -> None:
         shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
     ev = pd.read_parquet(f"{BASE}/events.parquet").copy()
     vals = list(ev["value"])
-    specials = {0: 1e15, 1: -1e15, 2: 1e18, 3: 1e-300}
-    ev["value"] = [specials.get(i % 13, v) for i, v in enumerate(vals)]
+    specials = {0: 1e13, 1: -1e13, 2: 1e18, 3: 1e-300}
+    new_vals = [specials.get(i % 13, v) for i, v in enumerate(vals)]
+    # Boundary rows (absolute positions, sparse by design: first-moment
+    # int64 lanes keep their documented ~10x headroom).  The two KEPT
+    # rows at the exact 9e15 maximum are isolated under their own
+    # event_type/user_id — the shape of real corruption (one bad source
+    # floods one key) AND the documented contract bound: a seven-deep
+    # window of near-max days would push the Bollinger-style exact
+    # breakout cross-product past even 128-bit range, which no sparse
+    # real feed does.  The two VOIDED rows (9.5e15, just past the
+    # bound) stay in their ordinary groups: post-ingest they are NULL
+    # measurements and exercise every lane's NULL path.
+    kept_boundary = ((4, 9e15), (17, -9e15))
+    for pos, v in kept_boundary:
+        if pos < len(new_vals):
+            new_vals[pos] = v
+    for pos, v in ((30, 9.5e15), (43, -9.5e15)):
+        if pos < len(new_vals):
+            new_vals[pos] = v
+    ev["value"] = new_vals
+    for pos, _ in kept_boundary:
+        if pos < len(ev):
+            ev.loc[ev.index[pos], "event_type"] = "magprobe"
+            ev.loc[ev.index[pos], "user_id"] = 99990000 + pos
     pq.write_table(
         pa.Table.from_pandas(
             ev, schema=pq.read_schema(f"{BASE}/events.parquet"), preserve_index=False
@@ -454,6 +485,14 @@ def build_badjson_dataset(d: str) -> None:
         "null",
         "[1,2,3]",
         '{"k": 1, "k": 2}',
+        # VALID JSON, int32-overflow k: from_json('k INT') NULLs the row
+        # on Spark while a bare oracle CAST(max(...) AS INT) would crash
+        # DuckDB (ADVICE r10 — fn_json max_k per-row range guard).
+        '{"k": 5000000000}',
+        # non-strict constant: Spark's variant parser rejects it but
+        # DuckDB's json_valid ACCEPTS it — pins json_usable_sql's
+        # string-stripped NaN/Infinity lexical rejection (round 11).
+        '{"k": NaN}',
     ]
     for t in (
         "region nation customer supplier part orders lineitem documents embeddings"

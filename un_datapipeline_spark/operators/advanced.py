@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.operators.dedup_extras import trigram_array
-from un_datapipeline_spark.tables import capped_text_sql, load_table
+from un_datapipeline_spark.tables import capped_text_sql, cents_sum, load_table
 
 # ---------------------------------------------------------------------------
 # SCD2 snapshot maintenance
@@ -276,7 +276,8 @@ def llm_simsearch_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _KAFKA_ORACLE = """
-SELECT event_type, count(*) AS n, ROUND(sum(value), 4) AS total
+SELECT event_type, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
 FROM events
 GROUP BY event_type
 """
@@ -332,7 +333,8 @@ def stream_kafka_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json(F.decode("value", "utf-8"), payload_schema).alias("e")
     ).select("e.*")
     agg = parsed.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+        F.count(F.lit(1)).alias("n"),
+        (cents_sum() / 100.0).cast("double").alias("total"),
     )
     return run_to_memory(agg)
 
@@ -1162,7 +1164,7 @@ SELECT quarter(ts)                              AS qtr,
        isodow(ts)                               AS iso_dow,
        CAST(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS INT) AS is_weekend,
        CAST(count(*) AS BIGINT)                 AS n,
-       ROUND(sum(value), 4)                     AS total_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events
 GROUP BY 1, 2, 3, 4
 ORDER BY 1, 2, 3
@@ -1192,7 +1194,7 @@ def ts_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qtr", "iso_week", "iso_dow", "is_weekend")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (cents_sum() / 100.0).cast("double").alias("total_value"),
         )
         .orderBy("qtr", "iso_week", "iso_dow")
     )

@@ -653,8 +653,8 @@ WITH m AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)  AS s,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)
-                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+             * CAST(round(value * 100) AS BIGINT)) AS ss
   FROM events
   WHERE event_type IN ('purchase', 'click')
   GROUP BY event_type
@@ -692,13 +692,18 @@ def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial sums and the t-math is constant-time."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
+    # cents**2 overflows int64 once any surviving |value| passes ~3e7, so
+    # the second moment rides DECIMAL(38,0) (oracle: HUGEINT) — exact to
+    # ~1e38, magnitude-v2 contract.  The first moment keeps the long lane
+    # (10x headroom at the 9e15 ingest bound).
+    cents_d = cents.cast("decimal(38,0)")
     m = (
         ev.filter(F.col("event_type").isin("purchase", "click"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(cents).alias("s"),
-            F.sum(cents * cents).alias("ss"),
+            F.sum(cents_d * cents_d).alias("ss"),
         )
     )
     w = (

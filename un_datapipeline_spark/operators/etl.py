@@ -17,7 +17,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import json_long_strict_sql, json_usable_sql, load_table
+from un_datapipeline_spark.tables import (
+    cents_sum,
+    json_long_strict_sql,
+    json_usable_sql,
+    load_table,
+)
 
 _LATEST_ORACLE = """
 SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
@@ -563,8 +568,9 @@ def etl_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BACKFILL_ORACLE = """
 SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
        CAST(count(*) AS BIGINT)               AS n,
-       ROUND(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
-                      THEN value * 2 ELSE value END), 4) AS total_value
+       sum(CAST(round((CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+                      THEN value * 2 ELSE value END) * 100) AS BIGINT)) / 100.0
+         AS total_value
 FROM events
 GROUP BY 1
 ORDER BY 1
@@ -610,7 +616,7 @@ def etl_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy(F.date_format("event_date", "yyyy-MM-dd").alias("event_date"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (cents_sum() / 100.0).cast("double").alias("total_value"),
         )
         .orderBy("event_date")
     )

@@ -282,7 +282,10 @@ SELECT event_type,
        count(*)                                         AS n,
        ROUND(avg({json_str_int_sql()}), 6)              AS avg_k,
        CAST(max(CASE WHEN {json_usable_sql()}
-           THEN {json_long_strict_sql()} END) AS INT)   AS max_k,
+           THEN (CASE WHEN {json_long_strict_sql()}
+                    BETWEEN -2147483648 AND 2147483647
+                 THEN {json_long_strict_sql()} END)
+           END) AS INT)                                 AS max_k,
        min({json_str_int_sql()})                        AS min_k
 FROM events
 GROUP BY event_type
@@ -925,17 +928,33 @@ def fn_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # bounded candidate list — driver cost is the literal, not data
 
     def _clean(s: str) -> bool:
-        def no_dups(pairs):
-            keys = [k for k, _ in pairs]
-            if len(keys) != len(set(keys)):
-                raise ValueError("duplicate keys")
+        # EXACT mirror of tables.json_usable_sql (ADVICE r10: the two
+        # "no inferable sample" gates must agree on every corpus):
+        # strict-token JSON — NaN/Infinity constants rejected, matching
+        # both the SQL predicate's lexical test and Spark's variant
+        # parser — plus TOP-LEVEL key uniqueness ONLY.  Spark rejects
+        # nested duplicate keys too, but the oracle's json_keys walk
+        # cannot, so this gate deliberately checks one level to stay in
+        # lockstep (fixture-tripwired residual, see json_usable_sql).
+        def reject_constant(_tok):
+            raise ValueError("non-strict constant")
+
+        top_keys: list[str] = []
+
+        def hook(pairs):
+            # fires per object, OUTERMOST last — ends as the top level
+            top_keys[:] = [k for k, _ in pairs]
             return dict(pairs)
 
         try:
-            json.loads(s, object_pairs_hook=no_dups)
-            return True
+            obj = json.loads(
+                s, object_pairs_hook=hook, parse_constant=reject_constant
+            )
         except ValueError:
             return False
+        if isinstance(obj, dict):
+            return len(top_keys) == len(set(top_keys))
+        return True
 
     sample = next((r[0] for r in cands if _clean(r[0])), None)
     if sample is None:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import (
+    cents_sum,
     latest_event,
     latest_event_sql,
     load_table,
@@ -475,7 +476,7 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DPP_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       ROUND(sum(value), 4)     AS total_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events
 WHERE isodow(ts) <= 2
 GROUP BY event_type
@@ -519,7 +520,7 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (cents_sum() / 100.0).cast("double").alias("total_value"),
         )
         .orderBy("event_type")
     )

@@ -19,6 +19,7 @@ from pyspark.sql import types as T
 
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import (
+    cents_sum,
     load_table,
     winner_document,
     winner_document_sql,
@@ -290,7 +291,7 @@ def sink_bucketed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRUNE_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       ROUND(sum(value), 4)    AS total_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
 GROUP BY event_type
@@ -324,7 +325,7 @@ def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (cents_sum() / 100.0).cast("double").alias("total_value"),
         )
         .orderBy("event_type")
     )

@@ -154,7 +154,7 @@ _TUMBLING_ORACLE = """
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
        event_type,
        count(*) AS n,
-       ROUND(sum(value), 4) AS total
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
 FROM events
 GROUP BY win_start, event_type
 """
@@ -164,11 +164,18 @@ GROUP BY win_start, event_type
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows × event_type: count + sum.  window()
     starts align with hour boundaries, so the batch oracle is a plain
-    date_trunc group."""
+    date_trunc group.  The sum rides the exact-cents lane
+    (tables.cents_sum — order-independent at any surviving magnitude,
+    magnitude-v2 contract)."""
+    from un_datapipeline_spark.tables import cents_sum
+
     s = read_events_stream(spark, sf_dir)
     agg = (
         s.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (cents_sum() / 100.0).cast("double").alias("total"),
+        )
         .select(F.col("window.start").alias("win_start"), "event_type", "n", "total")
     )
     return run_to_memory(agg)
@@ -291,7 +298,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RUNNING_ORACLE = """
-SELECT event_type, count(*) AS n, ROUND(sum(value), 4) AS total
+SELECT event_type, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
 FROM events
 GROUP BY event_type
 """
@@ -301,16 +309,19 @@ GROUP BY event_type
 def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running count+sum per event_type — unbounded keyed state updated
     every micro-batch; final state ≡ the batch aggregate."""
+    from un_datapipeline_spark.tables import cents_sum
+
     s = read_events_stream(spark, sf_dir)
     agg = s.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+        F.count(F.lit(1)).alias("n"),
+        (cents_sum() / 100.0).cast("double").alias("total"),
     )
     return run_to_memory(agg)
 
 
 _STREAM_STATIC_ORACLE = """
 SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-       ROUND(sum(e.value), 4) AS total
+       sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS total
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
 """
@@ -321,15 +332,19 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the events stream joins the static
     customer dim per micro-batch (dim broadcast, re-read each batch —
     the standard slowly-refreshing-dimension pattern), then aggregates
-    per segment.  Final state ≡ the batch join."""
-    from un_datapipeline_spark.tables import load_table
+    per segment.  Final state ≡ the batch join.  Exact-cents sum lane
+    (tables.cents_sum, magnitude-v2 contract)."""
+    from un_datapipeline_spark.tables import cents_sum, load_table
 
     s = read_events_stream(spark, sf_dir)
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     agg = (
         s.join(F.broadcast(c), s.user_id == c.c_custkey)
         .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (cents_sum() / 100.0).cast("double").alias("total"),
+        )
     )
     return run_to_memory(agg)
 
@@ -391,7 +406,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUSTOM_STATE_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       ROUND(sum(value), 4) AS total,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total,
        ROUND(max(value), 4) AS peak
 FROM events
 GROUP BY event_type
@@ -414,27 +429,44 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_events_stream(spark, sf_dir)
 
     def track(key, pdfs, state):
-        n, total, peak = state.get if state.exists else (0, 0.0, float("-inf"))
+        # State carries exact integer CENTS, not a float sum: one large
+        # surviving |value| makes a float accumulator round at integer
+        # granularity and the emission diverges from the exact batch
+        # oracle (magnitude-v2 contract).  astype(object).sum() is
+        # arbitrary-precision Python-int arithmetic — immune to silent
+        # int64 wrap no matter how adversarial the batch.
+        n, cents, peak = state.get if state.exists else (0, 0, float("-inf"))
         for pdf in pdfs:
+            vals = pdf["value"].dropna()
             n += len(pdf)
-            total += float(pdf["value"].sum())
-            peak = max(peak, float(pdf["value"].max()))
-        state.update((n, total, peak))
+            if len(vals):
+                cents += int((vals * 100).round().astype("int64").astype(object).sum())
+                peak = max(peak, float(vals.max()))
+        state.update((n, cents, peak))
         yield pd_.DataFrame(
-            {"event_type": [key[0]], "n": [n], "total": [total], "peak": [peak]}
+            {
+                "event_type": [key[0]],
+                "n": [n],
+                "total": [cents / 100.0],
+                "peak": [peak],
+            }
         )
 
     out = s.groupBy("event_type").applyInPandasWithState(
         track,
         outputStructType="event_type string, n long, total double, peak double",
-        stateStructType="n long, total double, peak double",
+        stateStructType="n long, cents long, peak double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     emissions = run_to_memory(out, mode="update")
+    # The FINAL emission per key is the batch answer.  n (count) is the
+    # one column that is monotone regardless of sign — the running total
+    # is NOT monotone once negative measurements appear — so max_by(n)
+    # selects the last emission; peak (a max) is monotone on its own.
     return emissions.groupBy("event_type").agg(
         F.max("n").alias("n"),
-        F.round(F.max("total"), 4).alias("total"),
+        F.max_by("total", "n").alias("total"),
         F.round(F.max("peak"), 4).alias("peak"),
     )
 

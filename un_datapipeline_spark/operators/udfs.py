@@ -92,22 +92,49 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GROUPED_MAP_ORACLE = """
-SELECT event_id, event_type,
-       ROUND((value - avg(value) OVER (PARTITION BY event_type))
-             / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
-FROM events
+WITH m AS (
+  SELECT event_type,
+         count(value) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s,
+         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+             * CAST(round(value * 100) AS BIGINT)) AS ss
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN m.n >= 2 THEN
+         ROUND((e.value - m.s / (100.0 * m.n))
+               / nullif(sqrt((CAST(m.ss AS DOUBLE)
+                              - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE) / m.n)
+                             / (m.n - 1)) / 100.0, 0), 6)
+       END AS z
+FROM events e JOIN m USING (event_type)
 """
 
 
 @register("udf_grouped_map", oracle=_GROUPED_MAP_ORACLE, tier="T3")
 def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score per event_type via applyInPandas (grouped-map): each group
-    arrives as one pandas DataFrame.  pandas .std() is sample-std
-    (ddof=1), matching the stddev_samp window oracle."""
+    arrives as one pandas DataFrame.  The moments come from EXACT integer
+    cents (Python-int arithmetic — arbitrary precision, no silent wrap)
+    so mean/std are the same doubles on both engines at ANY surviving
+    magnitude; a float .mean()/.std() would drift against the oracle
+    once one large measurement survives ingest (magnitude-v2 contract).
+    Both sides evaluate the literal same double expression
+    sqrt((ss - s*s/n)/(n-1))/100 over identical integer operands."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
-        pdf["z"] = ((v - v.mean()) / v.std()).round(6)
+        ok = v.notna()
+        n = int(ok.sum())
+        if n >= 2:
+            cents = (v[ok] * 100).round().astype("int64").astype(object)
+            s = int(cents.sum())
+            ss = int((cents * cents).sum())
+            mu = s / (100.0 * n)
+            sd = ((float(ss) - float(s) * float(s) / n) / (n - 1)) ** 0.5 / 100.0
+            pdf["z"] = ((v - mu) / sd).round(6) if sd else float("nan")
+        else:
+            pdf["z"] = float("nan")
         return pdf[["event_id", "event_type", "z"]]
 
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")

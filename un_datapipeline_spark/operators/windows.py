@@ -780,24 +780,26 @@ WITH daily AS (
   SELECT *,
          CAST(count(*) OVER w AS BIGINT) AS n,
          CAST(sum(cents) OVER w AS BIGINT) AS s1,
-         CAST(sum(cents * cents) OVER w AS BIGINT) AS s2
+         sum(CAST(cents AS HUGEINT) * cents) OVER w AS s2
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
-SELECT event_type, day, ROUND(cents / 100.0, 2) AS close,
-       ROUND(s1 / (n * 100.0), 4) AS mid,
+SELECT event_type, day, cents / 100.0 AS close,
+       s1 / (n * 100.0) AS mid,
        CASE WHEN n >= 2 THEN
-         ROUND(s1 / (n * 100.0)
-               + 2 * sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 100.0, 4)
+         s1 / (n * 100.0)
+               + 2 * sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                          / (n * (n - 1))) / 100.0
        END AS upper,
        CASE WHEN n >= 2 THEN
-         ROUND(s1 / (n * 100.0)
-               - 2 * sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 100.0, 4)
+         s1 / (n * 100.0)
+               - 2 * sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                          / (n * (n - 1))) / 100.0
        END AS lower,
        CASE WHEN n >= 2 THEN
-         CAST((n * cents - s1) * (n * cents - s1) * (n - 1)
-              > 4 * n * (n * s2 - s1 * s1) AS INT)
+         CAST(CAST(n * cents - s1 AS HUGEINT) * (n * cents - s1) * (n - 1)
+              > 4 * n * (n * s2 - CAST(s1 AS HUGEINT) * s1) AS INT)
        END AS breakout
 FROM mom
 """
@@ -811,11 +813,18 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     and finance stack keeps.
 
     Determinism lane: the band test |x − x̄| > 2σ is cross-multiplied
-    and SQUARED into the all-BIGINT inequality
+    and SQUARED into the all-integer inequality
     (n·x − s1)²·(n−1) > 4·n·(n·s2 − s1²), so the breakout SET is
     bit-identical across engines even though σ itself is a float (the
     displayed band edges are sqrt-of-identical-rationals — same double
-    on both sides).  First-row frames (n = 1) yield NULL bands and a
+    on both sides).  The squared terms ride 128-bit accumulators
+    (Spark DECIMAL(38,0) / DuckDB HUGEINT, magnitude-v2 contract):
+    cents² overflows int64 once any surviving daily total passes ~3e9
+    cents, and the cross-product overflows it far earlier.  Documented
+    bound: a seven-deep window of near-9e17-cent days would exceed even
+    128-bit range — the ingest clamp plus sparse-corruption contract
+    (at most a couple of near-bound rows per key) keeps every term
+    under ~1e37.  First-row frames (n = 1) yield NULL bands and a
     NULL flag rather than a zero-variance lie.
 
     Scale shape: one fact-sized daily rollup (grain = types × days),
@@ -830,26 +839,36 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-6, Window.currentRow)
     )
+    cents_d = F.col("cents").cast("decimal(38,0)")
     mom = daily.select(
         "event_type",
         "day",
         "cents",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("cents").over(w).alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+        F.sum(cents_d * cents_d).over(w).alias("s2"),
     )
-    n, s1, s2, x = F.col("n"), F.col("s1"), F.col("s2"), F.col("cents")
-    sigma = F.sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1)))
+    n, x = F.col("n"), F.col("cents")
+    # 128-bit exact moment math: every squared/cross term is DECIMAL(38,0)
+    # (the oracle mirrors with HUGEINT) — int64 overflows on any
+    # surviving large daily total, and a silent float detour would make
+    # the breakout set order-dependent.
+    s1 = F.col("s1").cast("decimal(38,0)")
+    s2 = F.col("s2")
+    n_d = n.cast("decimal(38,0)")
+    sigma = F.sqrt((n_d * s2 - s1 * s1).cast("double") / (n * (n - 1)))
     has_var = n >= 2
+    dev = n_d * x.cast("decimal(38,0)") - s1
     return mom.select(
         "event_type",
         "day",
-        F.round(x / 100.0, 2).alias("close"),
-        F.round(s1 / (n * 100.0), 4).alias("mid"),
-        F.when(has_var, F.round(s1 / (n * 100.0) + 2 * sigma / 100.0, 4)).alias("upper"),
-        F.when(has_var, F.round(s1 / (n * 100.0) - 2 * sigma / 100.0, 4)).alias("lower"),
+        (x / 100.0).alias("close"),
+        (F.col("s1") / (n * 100.0)).alias("mid"),
+        F.when(has_var, F.col("s1") / (n * 100.0) + 2 * sigma / 100.0).alias("upper"),
+        F.when(has_var, F.col("s1") / (n * 100.0) - 2 * sigma / 100.0).alias("lower"),
         F.when(
             has_var,
-            ((n * x - s1) * (n * x - s1) * (n - 1) > 4 * n * (n * s2 - s1 * s1)).cast("int"),
+            (dev * dev * (n - 1).cast("decimal(38,0)")
+             > 4 * n_d * (n_d * s2 - s1 * s1)).cast("int"),
         ).alias("breakout"),
     )
