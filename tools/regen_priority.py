@@ -79,6 +79,41 @@ FORCE_REFRESH = (
     "src_partitioned_pruning",  # cents_sum lane
     "join_dpp_partitioned",     # cents_sum lane
     "etl_backfill_partitions",  # cents_sum lane
+    # magnitude-v2 second wave (the full-registry sweep catch: 16 ops):
+    # 128-bit second moments / cross-products, NULLIF zero-total guards,
+    # ill-defined-ROUND drops, and the DuckDB promotion doctrine
+    # (hugeint CAST truncates; int*1.0 goes exact-DECIMAL — see
+    # tables.exact_double_sql).  Oracle TEXT changed on all:
+    "ts_anomaly_zscore",
+    "win_rolling_corr",
+    "ts_autocorrelation",
+    "agg_linear_regression",
+    "ts_cross_correlation_lagged",
+    "ts_hampel_outliers",
+    "ts_interpolate_linear",
+    "win_share_of_total",
+    "ts_max_drawdown",
+    "win_rolling_regression",
+    "ts_backtest_snaive",
+    "agg_trimmed_winsorized",
+    "ts_day_over_day",
+    "ts_peak_detect",
+    "ts_seasonal_decompose",
+    # json_usable_sql NaN/Infinity lexical rejection (ADVICE r10 +
+    # probed divergence) — every oracle embedding the predicate:
+    "fn_json",                  # + per-row int32 range guard on max_k
+    "fn_json_schema_infer",     # + _clean exact-mirror rewrite
+    "fn_variant_json",
+    "etl_quarantine_bad_rows",
+    # winner_embedding NULL-element-free tiebreak (ADVICE r10):
+    "llm_knn_join",
+    # ngram_zip_sql consolidation (VERDICT r10 item 3 — pure refactor,
+    # rendered SQL differs only in slice spacing) + raw-string fixes:
+    "llm_contamination_check",
+    "llm_boilerplate_ngrams",
+    "llm_dedup_substr",
+    "llm_leakage_safe_split",
+    "src_csv_multiline",        # oracle string now raw (\\S escapes)
 )
 
 # Round-10's window overflow mechanism (kept for the procedure doc): when

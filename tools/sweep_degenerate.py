@@ -434,28 +434,30 @@ def build_magnitude_dataset(d: str) -> None:
     vals = list(ev["value"])
     specials = {0: 1e13, 1: -1e13, 2: 1e18, 3: 1e-300}
     new_vals = [specials.get(i % 13, v) for i, v in enumerate(vals)]
-    # Boundary rows (absolute positions, sparse by design: first-moment
-    # int64 lanes keep their documented ~10x headroom).  The two KEPT
-    # rows at the exact 9e15 maximum are isolated under their own
-    # event_type/user_id — the shape of real corruption (one bad source
-    # floods one key) AND the documented contract bound: a seven-deep
-    # window of near-max days would push the Bollinger-style exact
-    # breakout cross-product past even 128-bit range, which no sparse
-    # real feed does.  The two VOIDED rows (9.5e15, just past the
-    # bound) stay in their ordinary groups: post-ingest they are NULL
-    # measurements and exercise every lane's NULL path.
-    kept_boundary = ((4, 9e15), (17, -9e15))
-    for pos, v in kept_boundary:
-        if pos < len(new_vals):
-            new_vals[pos] = v
+    # Boundary rows (sparse by design: first-moment int64 lanes keep
+    # their documented ~10x headroom).  The two KEPT rows at the exact
+    # 9e15 maximum are isolated under their own event_type/user_id —
+    # the shape of real corruption (one bad source floods one key) AND
+    # the documented contract bound: a seven-deep window of near-max
+    # days would push the Bollinger-style exact breakout cross-product
+    # past even 128-bit range, which no sparse real feed does.  Both
+    # kept rows come from the SAME donor type (the most frequent one)
+    # so the per-type counts stay pairwise distinct — a manufactured
+    # count tie flips agg_approx_topk's sketch-internal tie order,
+    # which is not contractual.  The two VOIDED rows (9.5e15, just
+    # past the bound) stay in their ordinary groups: post-ingest they
+    # are NULL measurements and exercise every lane's NULL path.
+    donor = ev["event_type"].value_counts().idxmax()
+    donor_pos = [i for i, t in enumerate(ev["event_type"]) if t == donor][:2]
+    for pos, v in zip(donor_pos, (9e15, -9e15)):
+        new_vals[pos] = v
     for pos, v in ((30, 9.5e15), (43, -9.5e15)):
-        if pos < len(new_vals):
+        if pos < len(new_vals) and pos not in donor_pos:
             new_vals[pos] = v
     ev["value"] = new_vals
-    for pos, _ in kept_boundary:
-        if pos < len(ev):
-            ev.loc[ev.index[pos], "event_type"] = "magprobe"
-            ev.loc[ev.index[pos], "user_id"] = 99990000 + pos
+    for pos in donor_pos:
+        ev.loc[ev.index[pos], "event_type"] = "magprobe"
+        ev.loc[ev.index[pos], "user_id"] = 99990000 + pos
     pq.write_table(
         pa.Table.from_pandas(
             ev, schema=pq.read_schema(f"{BASE}/events.parquet"), preserve_index=False

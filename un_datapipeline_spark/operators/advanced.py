@@ -277,7 +277,7 @@ def llm_simsearch_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KAFKA_ORACLE = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
 FROM events
 GROUP BY event_type
 """
@@ -1164,7 +1164,7 @@ SELECT quarter(ts)                              AS qtr,
        isodow(ts)                               AS iso_dow,
        CAST(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS INT) AS is_weekend,
        CAST(count(*) AS BIGINT)                 AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
 FROM events
 GROUP BY 1, 2, 3, 4
 ORDER BY 1, 2, 3
@@ -1330,21 +1330,35 @@ WITH daily AS (
   FROM events
   GROUP BY event_type, CAST(ts AS DATE)
 ), trended AS (
+  -- exact-rational lane: the centered window mean has denominator
+  -- n IN 4..7, so the detrended series is kept as the EXACT integer
+  -- (n*total_c - s) * (420/n)  (420 = lcm(4..7)), 128-bit; every
+  -- output is then ONE double division of exact integers — a float
+  -- avg() of detrended values would be accumulation-order-dependent
+  -- (magnitude-v2 contract)
   SELECT event_type, d, total_c,
-         sum(total_c) OVER w * 1.0 / count(*) OVER w AS trend_c,
-         total_c - sum(total_c) OVER w * 1.0 / count(*) OVER w AS detr_c
+         CAST(sum(total_c) OVER w AS BIGINT) AS s,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         (CAST(count(*) OVER w AS HUGEINT) * total_c
+          - CAST(sum(total_c) OVER w AS HUGEINT))
+           * (420 // count(*) OVER w) AS detr420
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY d
                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
 ), seasonal AS (
-  SELECT *, avg(detr_c) OVER (PARTITION BY event_type, isodow(d)) AS seas_c
+  SELECT *,
+         sum(detr420) OVER ws AS seas_num,
+         CAST(count(*) OVER ws AS BIGINT) AS seas_cnt
   FROM trended
+  WINDOW ws AS (PARTITION BY event_type, isodow(d))
 )
 SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
-       ROUND(total_c / 100.0, 4)            AS observed,
-       ROUND(trend_c / 100.0, 6)            AS trend,
-       ROUND(seas_c / 100.0, 6)             AS seasonal,
-       ROUND((detr_c - seas_c) / 100.0, 6)  AS residual
+       total_c / 100.0                       AS observed,
+       CAST(s AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS trend,
+       CAST(CAST(seas_num AS VARCHAR) AS DOUBLE)
+         / CAST(seas_cnt * 42000 AS DOUBLE)  AS seasonal,
+       CAST(CAST(detr420 * seas_cnt - seas_num AS VARCHAR) AS DOUBLE)
+         / CAST(seas_cnt * 42000 AS DOUBLE)  AS residual
 FROM seasonal
 ORDER BY event_type, day
 """
@@ -1376,24 +1390,50 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .rowsBetween(-3, 3)
     )
-    trend_c = F.sum("total_c").over(w) * 1.0 / F.count(F.lit(1)).over(w)
+    # exact-rational lane (mirrors the oracle comment): detrended values
+    # are EXACT integers scaled by 420 = lcm(4..7) in DECIMAL(38,0)
+    # (oracle: HUGEINT); each output is one double division of exact
+    # integers, so both engines emit identical doubles at ANY surviving
+    # magnitude.  A float avg() over the detrended series would be
+    # accumulation-order-dependent (magnitude-v2 contract).
+    n_w = F.count(F.lit(1)).over(w)
+    s_w = F.sum("total_c").over(w)
+    detr420 = (
+        n_w.cast("decimal(38,0)") * F.col("total_c")
+        - s_w.cast("decimal(38,0)")
+    ) * F.expr("420 DIV count(1) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)")
     trended = daily.select(
         "event_type",
         "d",
         "total_c",
-        trend_c.alias("trend_c"),
-        (F.col("total_c") - trend_c).alias("detr_c"),
+        s_w.alias("s"),
+        n_w.cast("long").alias("n"),
+        detr420.alias("detr420"),
     )
     iso_dow = (F.dayofweek("d") + 5) % 7 + 1
     w_seas = Window.partitionBy("event_type", iso_dow)
-    seasonal = trended.withColumn("seas_c", F.avg("detr_c").over(w_seas))
+    seasonal = trended.withColumn(
+        "seas_num", F.sum("detr420").over(w_seas)
+    ).withColumn("seas_cnt", F.count(F.lit(1)).over(w_seas).cast("long"))
     return seasonal.select(
         "event_type",
         F.date_format("d", "yyyy-MM-dd").alias("day"),
-        F.round(F.col("total_c") / 100.0, 4).alias("observed"),
-        F.round(F.col("trend_c") / 100.0, 6).alias("trend"),
-        F.round(F.col("seas_c") / 100.0, 6).alias("seasonal"),
-        F.round((F.col("detr_c") - F.col("seas_c")) / 100.0, 6).alias("residual"),
+        (F.col("total_c") / 100.0).alias("observed"),
+        (
+            F.col("s").cast("double")
+            / (F.col("n") * 100).cast("double")
+        ).alias("trend"),
+        (
+            F.col("seas_num").cast("double")
+            / (F.col("seas_cnt") * 42000).cast("double")
+        ).alias("seasonal"),
+        (
+            (
+                F.col("detr420") * F.col("seas_cnt").cast("decimal(38,0)")
+                - F.col("seas_num")
+            ).cast("double")
+            / (F.col("seas_cnt") * 42000).cast("double")
+        ).alias("residual"),
     ).orderBy("event_type", "day")
 
 
@@ -1412,9 +1452,9 @@ WITH daily AS (
          count(*)   OVER w AS n,
          sum(x)     OVER w AS sx,
          sum(y)     OVER w AS sy,
-         sum(x * x) OVER w AS sxx,
+         sum(CAST(x AS HUGEINT) * x) OVER w AS sxx,
          sum(y * y) OVER w AS syy,
-         sum(x * y) OVER w AS sxy
+         sum(CAST(x AS HUGEINT) * y) OVER w AS sxy
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY d
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -1448,15 +1488,19 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).alias("x"), F.count(F.lit(1)).alias("y")
     )
     w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    # x² and x·y ride DECIMAL(38,0) (oracle: HUGEINT): one surviving
+    # near-bound daily total overflows int64 per-element
+    # (magnitude-v2 contract); y² stays long (counts are small).
+    x_d = F.col("x").cast("decimal(38,0)")
     mo = daily.select(
         "event_type",
         "d",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("x").over(w).alias("sx"),
         F.sum("y").over(w).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(x_d * x_d).over(w).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(x_d * F.col("y")).over(w).alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")
     den = F.sqrt(
@@ -1488,9 +1532,10 @@ WITH daily AS (
   FROM events GROUP BY event_type, CAST(ts AS DATE)
 )
 SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
-       ROUND(c / 100.0, 4) AS revenue,
-       ROUND((c - lag(c) OVER w) / 100.0, 4) AS delta,
-       ROUND((c - lag(c) OVER w) * 1.0 / NULLIF(lag(c) OVER w, 0), 6) AS pct_change
+       c / 100.0 AS revenue,
+       (c - lag(c) OVER w) / 100.0 AS delta,
+       CAST(c - lag(c) OVER w AS DOUBLE)
+         / NULLIF(lag(c) OVER w, 0) AS pct_change
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY d)
 ORDER BY event_type, day
@@ -1518,14 +1563,17 @@ def ts_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("event_type").orderBy("d")
     prev = F.lag("c").over(w)
+    # unrounded single divisions of exact integers: ROUND at corrupt
+    # magnitudes is ill-defined — the engines pick different nearest
+    # doubles (magnitude-v2 contract)
     return daily.select(
         "event_type",
         F.date_format("d", "yyyy-MM-dd").alias("day"),
-        F.round(F.col("c") / 100.0, 4).alias("revenue"),
-        F.round((F.col("c") - prev) / 100.0, 4).alias("delta"),
-        F.round((F.col("c") - prev) * 1.0 / F.nullif(prev, F.lit(0)), 6).alias(
-            "pct_change"
-        ),
+        (F.col("c") / 100.0).alias("revenue"),
+        ((F.col("c") - prev) / 100.0).alias("delta"),
+        (
+            (F.col("c") - prev).cast("double") / F.nullif(prev, F.lit(0))
+        ).alias("pct_change"),
     ).orderBy("event_type", "day")
 
 
@@ -1536,11 +1584,16 @@ WITH daily AS (
   FROM events GROUP BY event_type, CAST(ts AS DATE)
 )
 SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
-       ROUND(c * 1.0 / sum(c) OVER (PARTITION BY d), 6)           AS share_of_day,
-       ROUND(c * 1.0 / sum(c) OVER (PARTITION BY event_type), 6)  AS share_of_type,
-       ROUND(sum(c) OVER (PARTITION BY event_type ORDER BY d
-                          ROWS UNBOUNDED PRECEDING)
-             * 1.0 / sum(c) OVER (PARTITION BY event_type), 6)    AS cum_share
+       CAST(c AS DOUBLE)
+         / NULLIF(CAST(sum(c) OVER (PARTITION BY d) AS BIGINT), 0)
+         AS share_of_day,
+       CAST(c AS DOUBLE)
+         / NULLIF(CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT), 0)
+         AS share_of_type,
+       CAST(CAST(sum(c) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+         / NULLIF(CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT), 0)
+         AS cum_share
 FROM daily
 ORDER BY event_type, day
 """
@@ -1568,13 +1621,24 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # NULLIF: a type/day whose measurements cancel to exactly 0 cents
+    # (the --magnitude corpus) has an undefined share — ANSI Spark
+    # would crash where DuckDB NULLs.  Unrounded single divisions of
+    # exact integers (magnitude-v2 contract).
     return daily.select(
         "event_type",
         F.date_format("d", "yyyy-MM-dd").alias("day"),
-        F.round(F.col("c") * 1.0 / F.sum("c").over(w_day), 6).alias("share_of_day"),
-        F.round(F.col("c") * 1.0 / F.sum("c").over(w_type), 6).alias("share_of_type"),
-        F.round(
-            F.sum("c").over(w_cum) * 1.0 / F.sum("c").over(w_type), 6
+        (
+            F.col("c").cast("double")
+            / F.nullif(F.sum("c").over(w_day), F.lit(0))
+        ).alias("share_of_day"),
+        (
+            F.col("c").cast("double")
+            / F.nullif(F.sum("c").over(w_type), F.lit(0))
+        ).alias("share_of_type"),
+        (
+            F.sum("c").over(w_cum).cast("double")
+            / F.nullif(F.sum("c").over(w_type), F.lit(0))
         ).alias("cum_share"),
     ).orderBy("event_type", "day")
 

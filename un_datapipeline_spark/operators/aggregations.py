@@ -670,11 +670,15 @@ WITH m AS (
 SELECT n1, n2,
        ROUND(s1 / (100.0 * n1), 6) AS mean_a,
        ROUND(s2 / (100.0 * n2), 6) AS mean_b,
-       ROUND((ss1 - s1 * 1.0 * s1 / n1) / ((n1 - 1) * 10000.0), 6) AS var_a,
-       ROUND((ss2 - s2 * 1.0 * s2 / n2) / ((n2 - 1) * 10000.0), 6) AS var_b,
+       ROUND((CAST(CAST(ss1 AS VARCHAR) AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+             / ((n1 - 1) * 10000.0), 6) AS var_a,
+       ROUND((CAST(CAST(ss2 AS VARCHAR) AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+             / ((n2 - 1) * 10000.0), 6) AS var_b,
        ROUND((s1 / (100.0 * n1) - s2 / (100.0 * n2))
-             / sqrt((ss1 - s1 * 1.0 * s1 / n1) / ((n1 - 1) * 10000.0) / n1
-                  + (ss2 - s2 * 1.0 * s2 / n2) / ((n2 - 1) * 10000.0) / n2), 6)
+             / sqrt((CAST(CAST(ss1 AS VARCHAR) AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                      / ((n1 - 1) * 10000.0) / n1
+                  + (CAST(CAST(ss2 AS VARCHAR) AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                      / ((n2 - 1) * 10000.0) / n2), 6)
          AS t_welch
 FROM w
 """

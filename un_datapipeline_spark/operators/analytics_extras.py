@@ -124,9 +124,12 @@ WITH hourly AS (
 )
 SELECT event_type, CAST(hour AS TIMESTAMP) AS hour,
        CAST(c IS NULL AS INT) AS interpolated,
-       ROUND(CASE WHEN c IS NOT NULL THEN c / 100.0
-                  ELSE (pc * (ni - i) + nc * (i - pi)) / ((ni - pi) * 100.0)
-             END, 6) AS val
+       CASE WHEN c IS NOT NULL THEN c / 100.0
+            ELSE CAST(CAST(CAST(pc AS HUGEINT) * (ni - i)
+                           + CAST(nc AS HUGEINT) * (i - pi)
+                      AS VARCHAR) AS DOUBLE)
+                 / ((ni - pi) * 100.0)
+       END AS val
 FROM nb
 """
 
@@ -187,17 +190,21 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(obs_i, ignorenulls=True).over(wn).alias("ni"),
         F.first("c", ignorenulls=True).over(wn).alias("nc"),
     )
+    # the neighbor-weighted numerator rides DECIMAL(38,0) (oracle:
+    # HUGEINT) — one surviving near-bound hour times a gap width
+    # overflows int64 — and the output is unrounded: one double
+    # division of exact integers per lane (magnitude-v2 contract)
     interp = (
-        F.col("pc") * (F.col("ni") - F.col("i"))
-        + F.col("nc") * (F.col("i") - F.col("pi"))
-    ) / ((F.col("ni") - F.col("pi")) * 100.0)
+        F.col("pc").cast("decimal(38,0)") * (F.col("ni") - F.col("i"))
+        + F.col("nc").cast("decimal(38,0)") * (F.col("i") - F.col("pi"))
+    ).cast("double") / ((F.col("ni") - F.col("pi")) * 100.0)
     return nb.select(
         "event_type",
         "hour",
         F.col("c").isNull().cast("int").alias("interpolated"),
-        F.round(
-            F.when(F.col("c").isNotNull(), F.col("c") / 100.0).otherwise(interp), 6
-        ).alias("val"),
+        F.when(F.col("c").isNotNull(), F.col("c") / 100.0)
+        .otherwise(interp)
+        .alias("val"),
     )
 
 
@@ -492,7 +499,7 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # detection): each engine's canonical float repr is its own formatter
 # ('1.0E300' vs '1e300', 2.0 → '2' vs '2.0'), so the lane declares the
 # shape uncanonicalizable instead of pinning one engine's repr.
-_VARIANT_ORACLE = f"""
+_VARIANT_ORACLE = rf"""
 WITH flags AS (
   SELECT event_id, props, {json_usable_sql()} AS usable
   FROM events
@@ -721,14 +728,15 @@ WITH daily AS (
          CAST(count(*) OVER w AS BIGINT) AS n,
          CAST(sum(x) OVER w AS BIGINT) AS sx,
          CAST(sum(y) OVER w AS BIGINT) AS sy,
-         CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+         sum(CAST(x AS HUGEINT) * y) OVER w AS sxy,
          CAST(sum(x * x) OVER w AS BIGINT) AS sxx
   FROM idx
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
 SELECT event_type, CAST(day AS TIMESTAMP) AS day,
-       ROUND((n * sxy - sx * sy) * 1.0 / ((n * sxx - sx * sx) * 100.0), 6)
+       CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+         / ((n * sxx - sx * sx) * 100.0)
          AS beta_per_day
 FROM win WHERE n = 7
 """
@@ -755,23 +763,28 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wo).cast("long").alias("x"),
     )
     w = wo.rowsBetween(-6, 0)
+    # x·y and the slope numerator ride DECIMAL(38,0) (oracle: HUGEINT):
+    # one surviving near-bound day overflows int64 (magnitude-v2).  The
+    # slope is one unrounded double division of exact integers —
+    # ROUND(x,6) at corrupt-magnitude betas is itself ill-defined.
     win = idx.select(
         "event_type",
         "day",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("x").over(w).alias("sx"),
         F.sum("y").over(w).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).over(w).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
     )
     return win.filter(F.col("n") == 7).select(
         "event_type",
         "day",
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            * 1.0
-            / ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * 100.0),
-            6,
+        (
+            (
+                F.col("n") * F.col("sxy")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+            ).cast("double")
+            / ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * 100.0)
         ).alias("beta_per_day"),
     )
 

@@ -26,6 +26,7 @@ from un_datapipeline_spark.tables import (
     load_table,
     winner_document,
     winner_document_sql,
+    ngram_zip_sql,
 )
 
 # ---------------------------------------------------------------------------
@@ -127,18 +128,14 @@ def llm_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BOILERPLATE_ORACLE = f"""
 WITH toked AS (
-  -- zip-of-shifted-slices (see llm_contamination_check's oracle): the
-  -- LATERAL slice form copies an O(len) list per row — quadratic
+  -- linear 8-gram build: tables.ngram_zip_sql (the LATERAL slice form
+  -- copies an O(len) list per row — quadratic)
   SELECT doc_id, string_split({capped_text_sql()}, ' ') AS toks,
          len(string_split({capped_text_sql()}, ' ')) AS n
   FROM documents
 ), grams AS (
   SELECT DISTINCT doc_id, md5(g) AS g FROM (
-    SELECT doc_id, unnest(list_transform(
-      list_zip(toks[1:n-7], toks[2:n-6], toks[3:n-5], toks[4:n-4],
-               toks[5:n-3], toks[6:n-2], toks[7:n-1], toks[8:n]),
-      t -> t[1] || ' ' || t[2] || ' ' || t[3] || ' ' || t[4] || ' ' ||
-           t[5] || ' ' || t[6] || ' ' || t[7] || ' ' || t[8])) AS g
+    SELECT doc_id, unnest({ngram_zip_sql("toks", "n")}) AS g
     FROM toked WHERE n >= 8
   )
 ), bp AS (

@@ -21,6 +21,7 @@ from un_datapipeline_spark.tables import (
     load_table,
     winner_document,
     winner_document_sql,
+    ngram_zip_sql,
 )
 
 # --------------------------------------------------------------------------
@@ -409,16 +410,12 @@ SUBSTR_WINDOW = 8
 
 _SUBSTR_ORACLE = f"""
 WITH t AS (
-  -- zip-of-shifted-slices (see llm_contamination_check's oracle): the
-  -- LATERAL slice form copies an O(len) list per row — quadratic
+  -- linear 8-gram build: tables.ngram_zip_sql (the LATERAL slice form
+  -- copies an O(len) list per row — quadratic)
   SELECT doc_id, string_split(text, ' ') AS t,
          len(string_split(text, ' ')) AS n FROM documents
 ), w AS (
-  SELECT doc_id, unnest(list_transform(
-    list_zip(t[1:n-7], t[2:n-6], t[3:n-5], t[4:n-4],
-             t[5:n-3], t[6:n-2], t[7:n-1], t[8:n]),
-    x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4] || ' ' ||
-         x[5] || ' ' || x[6] || ' ' || x[7] || ' ' || x[8])) AS g
+  SELECT doc_id, unnest({ngram_zip_sql("t", "n")}) AS g
   FROM t WHERE n >= {SUBSTR_WINDOW}
 ), dupg AS (
   SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2

@@ -568,9 +568,9 @@ def etl_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BACKFILL_ORACLE = """
 SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
        CAST(count(*) AS BIGINT)               AS n,
-       sum(CAST(round((CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
-                      THEN value * 2 ELSE value END) * 100) AS BIGINT)) / 100.0
-         AS total_value
+       CAST(sum(CAST(round((CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+                      THEN value * 2 ELSE value END) * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS total_value
 FROM events
 GROUP BY 1
 ORDER BY 1

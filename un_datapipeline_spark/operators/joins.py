@@ -476,7 +476,7 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DPP_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
 FROM events
 WHERE isodow(ts) <= 2
 GROUP BY event_type

@@ -166,10 +166,10 @@ WITH daily AS (
   FROM d
 ), agg AS (
   SELECT event_type,
-         CAST(sum(d * d) AS BIGINT) AS den,
-         CAST(sum(CASE WHEN d1 IS NOT NULL THEN d * d1 END) AS BIGINT) AS n1,
-         CAST(sum(CASE WHEN d2 IS NOT NULL THEN d * d2 END) AS BIGINT) AS n2,
-         CAST(sum(CASE WHEN d3 IS NOT NULL THEN d * d3 END) AS BIGINT) AS n3
+         sum(CAST(d AS HUGEINT) * d) AS den,
+         sum(CASE WHEN d1 IS NOT NULL THEN CAST(d AS HUGEINT) * d1 END) AS n1,
+         sum(CASE WHEN d2 IS NOT NULL THEN CAST(d AS HUGEINT) * d2 END) AS n2,
+         sum(CASE WHEN d3 IS NOT NULL THEN CAST(d AS HUGEINT) * d3 END) AS n3
   FROM led GROUP BY event_type
 )
 SELECT event_type, lag, ROUND(num * 1.0 / nullif(den, 0), 6) AS acf
@@ -209,11 +209,15 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("d", 2).over(w.orderBy("day")).alias("d2"),
         F.lead("d", 3).over(w.orderBy("day")).alias("d3"),
     )
+    # deviation products ride DECIMAL(38,0) (oracle: HUGEINT) — one
+    # surviving near-bound day overflows int64 per-element
+    # (magnitude-v2 contract)
+    d_dec = F.col("d").cast("decimal(38,0)")
     agg = led.groupBy("event_type").agg(
-        F.sum(F.col("d") * F.col("d")).alias("den"),
-        F.sum(F.when(F.col("d1").isNotNull(), F.col("d") * F.col("d1"))).alias("n1"),
-        F.sum(F.when(F.col("d2").isNotNull(), F.col("d") * F.col("d2"))).alias("n2"),
-        F.sum(F.when(F.col("d3").isNotNull(), F.col("d") * F.col("d3"))).alias("n3"),
+        F.sum(d_dec * F.col("d")).alias("den"),
+        F.sum(F.when(F.col("d1").isNotNull(), d_dec * F.col("d1"))).alias("n1"),
+        F.sum(F.when(F.col("d2").isNotNull(), d_dec * F.col("d2"))).alias("n2"),
+        F.sum(F.when(F.col("d3").isNotNull(), d_dec * F.col("d3"))).alias("n3"),
     )
     out = None
     for k in (1, 2, 3):
@@ -881,20 +885,22 @@ WITH daily AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
          CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(y * y) AS BIGINT) AS syy
+         sum(CAST(y AS HUGEINT) * y) AS syy
   FROM idx GROUP BY event_type
 )
 SELECT event_type, n,
-       ROUND((n * sxy - sx * sy) * 1.0
-             / nullif((n * sxx - sx * sx) * 100.0, 0), 6)
+       CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+             / nullif((n * sxx - sx * sx) * 100.0, 0)
          AS slope,
-       ROUND((sy * sxx - sx * sxy) * 1.0
-             / nullif((n * sxx - sx * sx) * 100.0, 0), 6)
+       CAST(CAST(CAST(sy AS HUGEINT) * sxx - sx * sxy AS VARCHAR) AS DOUBLE)
+             / nullif((n * sxx - sx * sx) * 100.0, 0)
          AS intercept,
-       ROUND((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy)
-             / nullif((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy), 0), 6)
+       ROUND(CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+             / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
+               * (n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(sy AS DOUBLE) * sy), 0), 6)
          AS r2
 FROM m
 """
@@ -920,32 +926,49 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.select(
         "event_type", "y", F.row_number().over(w).cast("long").alias("x")
     )
+    # y-bearing products ride DECIMAL(38,0) (oracle: HUGEINT) — one
+    # surviving near-bound day overflows int64 in x·y, y², sx·sy and the
+    # intercept cross-terms; the r2 denominator's n·Σy² − (Σy)² exceeds
+    # even 128-bit range, so that one factor is evaluated in DOUBLE on
+    # both sides (exact integer operands, same op tree, same double).
+    y_dec = F.col("y").cast("decimal(38,0)")
     m = idx.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * y_dec).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(y_dec * y_dec).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    sx_dec = sx.cast("decimal(38,0)")
+    sy_d = sy.cast("double")
     den = n * sxx - sx * sx
-    num = n * sxy - sx * sy
+    num = n * sxy - sx_dec * sy
     # nullif: a 1-day series (or constant y) makes the fit undefined —
     # NULL on both engines (round-6 tiny-tables sweep)
     return m.select(
         "event_type",
         "n",
-        F.round(num * 1.0 / F.nullif(den * 100.0, F.lit(0.0)), 6).alias(
+        # slope/intercept are unrounded: every operand is an exact
+        # integer converted once, so both engines emit the same double —
+        # and at corrupt-magnitude slopes ROUND(x,6) itself is
+        # ill-defined (ulp > 1e-6; the engines pick different nearest
+        # doubles).  r2 is O(1), where 6dp rounding is well-defined.
+        (num.cast("double") / F.nullif(den * 100.0, F.lit(0.0))).alias(
             "slope"
         ),
-        F.round(
-            (sy * sxx - sx * sxy) * 1.0 / F.nullif(den * 100.0, F.lit(0.0)), 6
+        (
+            (sy.cast("decimal(38,0)") * sxx - sx_dec * sxy).cast("double")
+            / F.nullif(den * 100.0, F.lit(0.0))
         ).alias("intercept"),
         F.round(
-            num * 1.0 * num
-            / F.nullif(den * 1.0 * (n * syy - sy * sy), F.lit(0.0)),
+            num.cast("double") * num.cast("double")
+            / F.nullif(
+                den * 1.0 * (n * syy.cast("double") - sy_d * sy),
+                F.lit(0.0),
+            ),
             6,
         ).alias("r2"),
     )
@@ -982,8 +1005,10 @@ WITH c AS (
   SELECT event_type, dev2,
          dr[CAST(floor((len(dr) + 1) / 2) AS INT)]
            + dr[CAST(ceil((len(dr) + 1) / 2) AS INT)] AS mad4,
-         CAST(2 * dev2 > 3 * (dr[CAST(floor((len(dr) + 1) / 2) AS INT)]
-           + dr[CAST(ceil((len(dr) + 1) / 2) AS INT)]) AS INT) AS is_out
+         CAST(2 * CAST(dev2 AS HUGEINT)
+           > 3 * CAST(dr[CAST(floor((len(dr) + 1) / 2) AS INT)]
+           + dr[CAST(ceil((len(dr) + 1) / 2) AS INT)] AS HUGEINT) AS INT)
+           AS is_out
   FROM fr2
 )
 SELECT event_type,
@@ -1050,9 +1075,15 @@ def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.withColumn(
         "mad4", middle_sum(F.sort_array(F.collect_list("dev2").over(w)))
     )
+    # the cross-multiplied Hampel test rides DECIMAL(38,0) (oracle:
+    # HUGEINT): 3·mad4 overflows int64 once a surviving near-bound
+    # measurement enters the frame (magnitude-v2 contract)
     flagged = mad.withColumn(
         "is_out",
-        (F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad4")).cast("int"),
+        (
+            F.lit(2) * F.col("dev2").cast("decimal(38,0)")
+            > F.lit(3) * F.col("mad4").cast("decimal(38,0)")
+        ).cast("int"),
     )
     return flagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -1090,13 +1121,13 @@ WITH c AS (
 SELECT kd.event_type,
        CAST(max(kd.n) AS BIGINT) AS n,
        CAST(max(kd.k) AS BIGINT) AS k,
-       ROUND(CAST(sum(kd.cents) AS BIGINT)
-             / (max(kd.n) * 100.0), 6) AS mean_raw,
-       ROUND(CAST(sum(CASE WHEN kd.rn > kd.k AND kd.rn <= kd.n - kd.k
-                           THEN kd.cents ELSE 0 END) AS BIGINT)
-             / ((max(kd.n) - 2 * max(kd.k)) * 100.0), 6) AS mean_trimmed,
-       ROUND(CAST(sum(least(greatest(kd.cents, cuts.lo), cuts.hi)) AS BIGINT)
-             / (max(kd.n) * 100.0), 6) AS mean_winsorized
+       CAST(sum(kd.cents) AS BIGINT)
+             / (max(kd.n) * 100.0) AS mean_raw,
+       CAST(sum(CASE WHEN kd.rn > kd.k AND kd.rn <= kd.n - kd.k
+                     THEN kd.cents ELSE 0 END) AS BIGINT)
+             / ((max(kd.n) - 2 * max(kd.k)) * 100.0) AS mean_trimmed,
+       CAST(sum(least(greatest(kd.cents, cuts.lo), cuts.hi)) AS BIGINT)
+             / (max(kd.n) * 100.0) AS mean_winsorized
 FROM kd JOIN cuts USING (event_type)
 GROUP BY kd.event_type
 """
@@ -1149,14 +1180,16 @@ def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n").cast("long").alias("n"),
             F.max("k").cast("long").alias("k"),
-            F.round(F.sum("cents") / (F.max("n") * 100.0), 6).alias("mean_raw"),
-            F.round(
+            # unrounded: each mean is ONE division of exact integers —
+            # identical doubles on both engines — while ROUND(x,6) at a
+            # corrupt-magnitude mean (ulp > 1e-6) is itself ill-defined
+            # and the engines pick different nearest doubles
+            # (magnitude-v2 contract)
+            (F.sum("cents") / (F.max("n") * 100.0)).alias("mean_raw"),
+            (
                 F.sum(F.when(mid, F.col("cents")).otherwise(F.lit(0)))
-                / ((F.max("n") - 2 * F.max("k")) * 100.0),
-                6,
+                / ((F.max("n") - 2 * F.max("k")) * 100.0)
             ).alias("mean_trimmed"),
-            F.round(F.sum(clamped) / (F.max("n") * 100.0), 6).alias(
-                "mean_winsorized"
-            ),
+            (F.sum(clamped) / (F.max("n") * 100.0)).alias("mean_winsorized"),
         )
     )

@@ -291,7 +291,7 @@ def sink_bucketed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRUNE_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
 FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
 GROUP BY event_type
@@ -783,7 +783,7 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two regex steps (RE2 'g' flag ↔ Spark's global-by-default
 # regexp_replace) keeps the digest meaningful: it still certifies the
 # CSV round trip byte-exactly, just over the canonical wrapped form.
-_CSV_MULTILINE_ORACLE = """
+_CSV_MULTILINE_ORACLE = r"""
 SELECT doc_id,
        CAST(len(string_split(wrapped, chr(10))) AS BIGINT) AS n_lines,
        md5(doc_id || ':' || replace(wrapped, chr(10), ' ')) AS digest

@@ -154,7 +154,7 @@ _TUMBLING_ORACLE = """
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
        event_type,
        count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
 FROM events
 GROUP BY win_start, event_type
 """
@@ -299,7 +299,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNNING_ORACLE = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
 FROM events
 GROUP BY event_type
 """
@@ -321,7 +321,7 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_STATIC_ORACLE = """
 SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-       sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS total
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
 """
@@ -406,7 +406,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUSTOM_STATE_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total,
        ROUND(max(value), 4) AS peak
 FROM events
 GROUP BY event_type

@@ -277,7 +277,7 @@ WITH daily AS (
 )
 SELECT event_type, CAST(day AS TIMESTAMP) AS trough_day,
        dd_cents / 100.0 AS max_drawdown,
-       ROUND(dd_cents * 1.0 / peak, 6) AS drawdown_frac
+       CAST(dd_cents AS DOUBLE) / NULLIF(peak, 0) AS drawdown_frac
 FROM worst WHERE rn = 1
 """
 
@@ -323,7 +323,14 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("day").alias("trough_day"),
         (F.col("dd_cents") / 100.0).alias("max_drawdown"),
-        F.round(F.col("dd_cents") * 1.0 / F.col("peak"), 6).alias("drawdown_frac"),
+        # NULLIF: an equity curve whose running peak sits exactly at 0
+        # (cancelling corrupt measurements — the --magnitude sweep)
+        # makes the fraction undefined; ANSI Spark would crash where
+        # DuckDB NULLs
+        (
+            F.col("dd_cents").cast("double")
+            / F.nullif(F.col("peak"), F.lit(0))
+        ).alias("drawdown_frac"),
     )
 
 
@@ -339,8 +346,8 @@ WITH daily AS (
   FROM daily
 )
 SELECT event_type, CAST(day AS TIMESTAMP) AS peak_day, c / 100.0 AS peak_val,
-       ROUND((c - prev) * 1.0 / NULLIF(prev, 0), 6) AS rise_frac,
-       ROUND((c - next) * 1.0 / NULLIF(next, 0), 6) AS fall_frac
+       CAST(c - prev AS DOUBLE) / NULLIF(prev, 0) AS rise_frac,
+       CAST(c - next AS DOUBLE) / NULLIF(next, 0) AS fall_frac
 FROM nb
 WHERE prev IS NOT NULL AND next IS NOT NULL AND c > prev AND c > next
 """
@@ -379,11 +386,16 @@ def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("day").alias("peak_day"),
         (F.col("c") / 100.0).alias("peak_val"),
-        F.round(
-            (F.col("c") - F.col("prev")) * 1.0 / F.nullif("prev", F.lit(0)), 6
+        # unrounded single divisions of exact integers: ROUND(x,6) at a
+        # corrupt-magnitude fraction (ulp > 1e-6) is ill-defined — the
+        # engines pick different nearest doubles (magnitude-v2)
+        (
+            (F.col("c") - F.col("prev")).cast("double")
+            / F.nullif("prev", F.lit(0))
         ).alias("rise_frac"),
-        F.round(
-            (F.col("c") - F.col("next")) * 1.0 / F.nullif("next", F.lit(0)), 6
+        (
+            (F.col("c") - F.col("next")).cast("double")
+            / F.nullif("next", F.lit(0))
         ).alias("fall_frac"),
     )
 
@@ -458,8 +470,10 @@ SELECT event_type,
        count(*)                                   AS n_origins,
        CAST(sum(abs(cents - snaive)) AS BIGINT)   AS ae_snaive_cents,
        CAST(sum(abs(cents - naive)) AS BIGINT)    AS ae_naive_cents,
-       ROUND(sum(abs(cents - snaive)) / (100.0 * count(*)), 6) AS mae_snaive,
-       ROUND(sum(abs(cents - naive))  / (100.0 * count(*)), 6) AS mae_naive,
+       CAST(sum(abs(cents - snaive)) AS BIGINT)
+         / (100.0 * count(*)) AS mae_snaive,
+       CAST(sum(abs(cents - naive)) AS BIGINT)
+         / (100.0 * count(*)) AS mae_naive,
        CAST(CASE WHEN sum(abs(cents - snaive)) < sum(abs(cents - naive))
             THEN 1 ELSE 0 END AS INT)             AS snaive_wins
 FROM lagged
@@ -504,8 +518,10 @@ def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_origins"),
             ae_s.alias("ae_snaive_cents"),
             ae_n.alias("ae_naive_cents"),
-            F.round(ae_s / (100.0 * F.count(F.lit(1))), 6).alias("mae_snaive"),
-            F.round(ae_n / (100.0 * F.count(F.lit(1))), 6).alias("mae_naive"),
+            # unrounded single divisions of exact integers (ROUND at
+            # corrupt magnitudes is ill-defined — magnitude-v2)
+            (ae_s / (100.0 * F.count(F.lit(1)))).alias("mae_snaive"),
+            (ae_n / (100.0 * F.count(F.lit(1)))).alias("mae_naive"),
             F.when(ae_s < ae_n, 1).otherwise(0).cast("int").alias("snaive_wins"),
         )
         .orderBy("event_type")
@@ -796,15 +812,16 @@ joined AS (
 ), mom AS (
   SELECT lag, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(av) AS BIGINT) AS sa, CAST(sum(bv) AS BIGINT) AS sb,
-         CAST(sum(av * av) AS BIGINT) AS saa,
-         CAST(sum(bv * bv) AS BIGINT) AS sbb,
-         CAST(sum(av * bv) AS BIGINT) AS sab
+         sum(CAST(av AS HUGEINT) * av) AS saa,
+         sum(CAST(bv AS HUGEINT) * bv) AS sbb,
+         sum(CAST(av AS HUGEINT) * bv) AS sab
   FROM joined GROUP BY lag
 )
 SELECT lag, n,
-       ROUND((n * sab - sa * sb)
-             / NULLIF(sqrt(CAST(n * saa - sa * sa AS DOUBLE)
-                    * CAST(n * sbb - sb * sb AS DOUBLE)), 0), 6) AS r
+       ROUND(CAST(CAST(n * sab - CAST(sa AS HUGEINT) * sb AS VARCHAR) AS DOUBLE)
+             / NULLIF(sqrt(CAST(CAST(n * saa - CAST(sa AS HUGEINT) * sa AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(n * sbb - CAST(sb AS HUGEINT) * sb AS VARCHAR) AS DOUBLE)), 0), 6)
+         AS r
 FROM mom ORDER BY lag
 """
 
@@ -841,18 +858,28 @@ def ts_cross_correlation_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = lags.join(a).join(
         b, F.col("bd") == F.date_add(F.col("ad"), F.col("lag").cast("int"))
     )
+    # products of daily cents ride DECIMAL(38,0) (oracle: HUGEINT) —
+    # one surviving large day overflows int64 per-element, and the
+    # sa·sb cross-terms overflow it even on clean large series
+    # (magnitude-v2 contract)
+    av_d = F.col("av").cast("decimal(38,0)")
+    bv_d = F.col("bv").cast("decimal(38,0)")
     mom = joined.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("av").cast("long").alias("sa"),
         F.sum("bv").cast("long").alias("sb"),
-        F.sum(F.col("av") * F.col("av")).cast("long").alias("saa"),
-        F.sum(F.col("bv") * F.col("bv")).cast("long").alias("sbb"),
-        F.sum(F.col("av") * F.col("bv")).cast("long").alias("sab"),
+        F.sum(av_d * F.col("av")).alias("saa"),
+        F.sum(bv_d * F.col("bv")).alias("sbb"),
+        F.sum(av_d * F.col("bv")).alias("sab"),
     )
-    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    sa_dec = F.col("sa").cast("decimal(38,0)")
+    num = (F.col("n") * F.col("sab") - sa_dec * F.col("sb")).cast("double")
     den = F.sqrt(
-        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
-        * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+        (F.col("n") * F.col("saa") - sa_dec * F.col("sa")).cast("double")
+        * (
+            F.col("n") * F.col("sbb")
+            - F.col("sb").cast("decimal(38,0)") * F.col("sb")
+        ).cast("double")
     )
     # nullif: a constant series (zero variance — e.g. both series have
     # one day of data at some lag) has UNDEFINED r; ANSI Spark throws

@@ -21,29 +21,24 @@ from un_datapipeline_spark.tables import (
     load_table,
     winner_document,
     winner_document_sql,
+    ngram_zip_sql,
 )
 
 # ---------------------------------------------------------------------------
 # Benchmark-contamination check
 # ---------------------------------------------------------------------------
 
-_CONTAM_ORACLE = """
+_CONTAM_ORACLE = f"""
 WITH toked AS (
-  -- zip-of-shifted-slices 8-grams: the LATERAL array_to_string(
-  -- toks[i:i+7]) form copies an O(len) list slice per generated row —
-  -- quadratic per doc, 167 s for ONE 520 KB document (round-10 bigdoc
-  -- probe); the zip builds each gram from bound slices in one linear
-  -- pass (0.1 s, identical output)
+  -- linear 8-gram build: tables.ngram_zip_sql (the LATERAL slice form
+  -- is quadratic per doc — 167 s for ONE 520 KB document, round-10
+  -- bigdoc probe)
   SELECT doc_id, string_split(text, ' ') AS toks,
          len(string_split(text, ' ')) AS n
   FROM documents
 ), grams AS (
   SELECT DISTINCT doc_id, md5(g) AS g FROM (
-    SELECT doc_id, unnest(list_transform(
-      list_zip(toks[1:n-7], toks[2:n-6], toks[3:n-5], toks[4:n-4],
-               toks[5:n-3], toks[6:n-2], toks[7:n-1], toks[8:n]),
-      t -> t[1] || ' ' || t[2] || ' ' || t[3] || ' ' || t[4] || ' ' ||
-           t[5] || ' ' || t[6] || ' ' || t[7] || ' ' || t[8])) AS g
+    SELECT doc_id, unnest({ngram_zip_sql("toks", "n")}) AS g
     FROM toked WHERE n >= 8
   )
 ), eval_grams AS (
@@ -209,13 +204,15 @@ WITH cents AS (
   SELECT event_type,
          count(*) AS n,
          CAST(sum(c) AS BIGINT) AS s,
-         CAST(sum(c * c) AS BIGINT) AS ss
+         sum(CAST(c AS HUGEINT) * c) AS ss
   FROM cents GROUP BY event_type
 )
 SELECT event_id, e.event_type, value,
-       ROUND((c - s / n) / nullif(sqrt((ss - s * s / n) / n), 0), 6) AS z
+       ROUND((c - s / n) / nullif(sqrt((CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n), 0), 6) AS z
 FROM cents e JOIN mo USING (event_type)
-ORDER BY abs((c - s / n) / nullif(sqrt((ss - s * s / n) / n), 0))
+ORDER BY abs((c - s / n) / nullif(sqrt((CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n), 0))
          DESC NULLS LAST, event_id
 LIMIT 50
 """
@@ -239,18 +236,25 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(F.col("value") * 100, 0).cast("long").alias("c"),
     )
+    c_d = F.col("c").cast("decimal(38,0)")
     mo = cents.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        # cents² rides DECIMAL(38,0) (oracle: HUGEINT) — int64 overflows
+        # per-element once a surviving |value| passes ~3e7
+        # (magnitude-v2 contract)
+        F.sum(c_d * c_d).alias("ss"),
     )
     j = cents.join(F.broadcast(mo), "event_type")
     # nullif: a single-event type has zero variance — z undefined, NULL
     # on both engines, explicitly ranked last (round-6 tiny-tables
-    # sweep; DuckDB's and Spark's default DESC null order differ)
+    # sweep; DuckDB's and Spark's default DESC null order differ).
+    # The s² cross-term is evaluated in DOUBLE on both sides — exact
+    # integer operands, one conversion, no 128-bit overflow exposure.
+    s_d = F.col("s").cast("double")
     z = (F.col("c") - F.col("s") / F.col("n")) / F.nullif(
         F.sqrt(
-            (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+            (F.col("ss").cast("double") - s_d * s_d / F.col("n")) / F.col("n")
         ),
         F.lit(0.0),
     )
@@ -1319,10 +1323,7 @@ WITH toked AS (
 ), fp AS (
   SELECT doc_id, min(md5(g)) AS cluster_id
   FROM (
-    SELECT doc_id, unnest(list_transform(
-      list_zip(ws[1:n-4], ws[2:n-3], ws[3:n-2], ws[4:n-1], ws[5:n]),
-      t -> t[1] || ' ' || t[2] || ' ' || t[3] || ' ' || t[4] || ' ' || t[5]))
-      AS g
+    SELECT doc_id, unnest({ngram_zip_sql("ws", "n", 5)}) AS g
     FROM toked WHERE n >= 5
   )
   GROUP BY doc_id

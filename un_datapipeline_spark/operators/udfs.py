@@ -102,9 +102,10 @@ WITH m AS (
 )
 SELECT e.event_id, e.event_type,
        CASE WHEN m.n >= 2 THEN
-         ROUND((e.value - m.s / (100.0 * m.n))
-               / nullif(sqrt((CAST(m.ss AS DOUBLE)
-                              - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE) / m.n)
+         ROUND((e.value - CAST(m.s AS BIGINT) / (100.0 * m.n))
+               / nullif(sqrt((CAST(CAST(m.ss AS VARCHAR) AS DOUBLE)
+                              - CAST(CAST(m.s AS BIGINT) AS DOUBLE)
+                                * CAST(CAST(m.s AS BIGINT) AS DOUBLE) / m.n)
                              / (m.n - 1)) / 100.0, 0), 6)
        END AS z
 FROM events e JOIN m USING (event_type)

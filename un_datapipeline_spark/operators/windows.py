@@ -789,12 +789,14 @@ SELECT event_type, day, cents / 100.0 AS close,
        s1 / (n * 100.0) AS mid,
        CASE WHEN n >= 2 THEN
          s1 / (n * 100.0)
-               + 2 * sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               + 2 * sqrt(CAST(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1
+                                    AS VARCHAR) AS DOUBLE)
                           / (n * (n - 1))) / 100.0
        END AS upper,
        CASE WHEN n >= 2 THEN
          s1 / (n * 100.0)
-               - 2 * sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               - 2 * sqrt(CAST(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1
+                                    AS VARCHAR) AS DOUBLE)
                           / (n * (n - 1))) / 100.0
        END AS lower,
        CASE WHEN n >= 2 THEN

@@ -182,6 +182,45 @@ def cents2_sum_sql(col: str = "value") -> str:
     return f"sum(CAST({c} AS HUGEINT) * CAST({c} AS HUGEINT))"
 
 
+def ngram_zip_sql(arr: str, n: str, k: int = 8, var: str = "t") -> str:
+    """Linear k-gram build for DuckDB oracles: zip of k shifted slices.
+
+    The LATERAL ``array_to_string(arr[i:i+k-1])`` form copies an O(len)
+    list slice per generated row — quadratic per document, 167 s for ONE
+    520 KB document (round-10 bigdoc probe).  Zipping k bound slices
+    builds every gram in one linear pass with identical output.  ``arr``
+    is the token-array column, ``n`` its length column; renders a
+    ``list_transform(list_zip(...), ...)`` whose elements are the
+    space-joined k-grams.  Callers guard with ``WHERE n >= k``.
+    Consolidated round 11 from three hand-duplicated copies
+    (VERDICT r10 item 3 — cosmetic drift had already crept in)."""
+    slices = ", ".join(f"{arr}[{i}:{n} - {k - i}]" for i in range(1, k))
+    slices += f", {arr}[{k}:{n}]"
+    body = " || ' ' || ".join(f"{var}[{i}]" for i in range(1, k + 1))
+    return f"list_transform(\n      list_zip({slices}),\n      {var} -> {body})"
+
+
+def exact_double_sql(expr: str) -> str:
+    """Correctly-rounded exact-integer → DOUBLE conversion for oracles.
+
+    Two DuckDB promotion traps make naive float math in an oracle
+    diverge from Spark (both probed, round 11):
+
+    * ``CAST(hugeint AS DOUBLE)`` TRUNCATES toward zero instead of
+      rounding to nearest (``CAST(bigint AS DOUBLE)`` rounds correctly)
+      — and every ``sum(BIGINT)`` is HUGEINT, so any Σcents feeding a
+      division silently takes the truncating path once it passes 2^53.
+    * ``int_expr * 1.0`` promotes to DECIMAL and the whole expression
+      evaluates EXACTLY, then rounds once at the end — a more accurate
+      answer than Spark's convert-early double math, i.e. a mismatch.
+
+    The VARCHAR round-trip is correctly rounded for any 128-bit value
+    (strtod semantics), matching Spark's BigDecimal→double exactly.
+    Use this on every HUGEINT/DECIMAL term entering float math; plain
+    BIGINT may use ``CAST(x AS DOUBLE)`` directly."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 # Timestamp validity window (per-OPERATOR contract — deliberately NOT an
 # ingest rewrite).  One decades-out timestamp per few hundred rows is
 # exactly what a real 100 TB feed carries (tools/probe_timewarp_r10.py),
