@@ -75,6 +75,13 @@ them order-independent (tables.cents_sum / cents2_sum).  1e-300 is
 deliberately kept by the contract (tiny rounds to 0 cents like 0.001
 does) and rides along here to pin that.
 
+A fifteenth mode (--skew, round 11 — VERDICT r10 item 2) manufactures
+the three canonical hot keys of a 100 TB feed: one user owning 50% of
+events, one lang owning 90% of documents, and a 30% near-duplicate /
+exact-duplicate document+embedding cluster (one hot LSH bucket).
+Parity gate here; the per-op WALL-TIME straggler catalog is
+tools/probe_skew_r11.py (subprocess-per-op, the bigdoc pattern).
+
 A fourteenth mode (--mixdim, promoted round 10 from
 tools/probe_mixdim_r10.py) mixes 32- and 72-dim vectors into the 64-dim
 embeddings table — the model-version-mix shape; the EMBED_DIM dimension
@@ -132,6 +139,7 @@ Usage:
     python tools/sweep_degenerate.py --dupkeys [ops...]  # replayed keys
     python tools/sweep_degenerate.py --empty [ops...]    # zero-row tables
     python tools/sweep_degenerate.py --badjson [ops...]  # malformed props
+    python tools/sweep_degenerate.py --skew [ops...]      # hot-key corpus
     python tools/sweep_degenerate.py --bigdoc [ops...]   # 130/520 KB docs
     python tools/sweep_degenerate.py --ctrlchars [ops...] # control chars
     python tools/sweep_degenerate.py --mixdim [ops...]   # 32/72-dim vectors
@@ -463,6 +471,85 @@ def build_magnitude_dataset(d: str) -> None:
             ev, schema=pq.read_schema(f"{BASE}/events.parquet"), preserve_index=False
         ),
         f"{d}/events.parquet",
+    )
+
+
+def build_skew_dataset(d: str) -> None:
+    """Hot-key corpus (--skew, round 11 — VERDICT r10 item 2: the last
+    untested corpus class a 100 TB feed is guaranteed to contain).
+    Three orthogonal hot keys, each the canonical real-world shape:
+
+    * ONE user owns 50% of events (a bot / monitoring account): every
+      second event is reassigned to the existing modal user_id, so
+      per-user windows, sessionization, and funnels see one partition
+      carrying half the table;
+    * ONE lang owns 90% of documents (an English-dominated crawl);
+    * 30% of documents are NEAR-DUPLICATES of one boilerplate template
+      (spam/mirror pages) — every shingle of the template lands the
+      same MinHash/LSH buckets, so banded candidate generation gets one
+      hot (band, bucket) with a quadratic pair set;
+    * the SAME 30% of embeddings are EXACT duplicates of one vector —
+      the hot cosine/LSH bucket, plus maximal similarity ties.
+
+    Values/timestamps stay sane (this corpus tests skew, not
+    magnitude).  n_chars mirrors len(text) — the generator invariant.
+    Correctness on this corpus is the parity gate; the WALL-TIME
+    catalog (stragglers from hot keys) is tools/probe_skew_r11.py's
+    subprocess-per-op run, same split as the round-10 bigdoc pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in (
+        "region nation customer supplier part orders lineitem"
+    ).split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+
+    ev = pd.read_parquet(f"{BASE}/events.parquet").copy()
+    hot_uid = ev["user_id"].value_counts().idxmax()
+    uids = list(ev["user_id"])
+    ev["user_id"] = [hot_uid if i % 2 == 0 else u for i, u in enumerate(uids)]
+    pq.write_table(
+        pa.Table.from_pandas(
+            ev, schema=pq.read_schema(f"{BASE}/events.parquet"), preserve_index=False
+        ),
+        f"{d}/events.parquet",
+    )
+
+    docs = pd.read_parquet(f"{BASE}/documents.parquet").copy()
+    hot_lang = docs["lang"].value_counts().idxmax()
+    langs = list(docs["lang"])
+    docs["lang"] = [hot_lang if i % 10 != 0 else l for i, l in enumerate(langs)]
+    boiler = " ".join(f"boiler{w % 23}" for w in range(160))
+    texts = list(docs["text"])
+    ids = list(docs["doc_id"])
+    new_texts = [
+        (boiler + f" tail{ids[i]}") if i % 10 in (3, 4, 5) else t
+        for i, t in enumerate(texts)
+    ]
+    docs["text"] = new_texts
+    docs["n_chars"] = [len(t) if t is not None else None for t in new_texts]
+    pq.write_table(
+        pa.Table.from_pandas(
+            docs,
+            schema=pq.read_schema(f"{BASE}/documents.parquet"),
+            preserve_index=False,
+        ),
+        f"{d}/documents.parquet",
+    )
+
+    em = pd.read_parquet(f"{BASE}/embeddings.parquet").copy()
+    vecs = list(em["embedding"])
+    hot_vec = vecs[0]
+    em["embedding"] = [
+        hot_vec if i % 10 in (3, 4, 5) else v for i, v in enumerate(vecs)
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(
+            em,
+            schema=pq.read_schema(f"{BASE}/embeddings.parquet"),
+            preserve_index=False,
+        ),
+        f"{d}/embeddings.parquet",
     )
 
 
@@ -977,6 +1064,7 @@ def main() -> int:
         "--bigdoc",
         "--ctrlchars",
         "--mixdim",
+        "--skew",
     )
     bad = [a for a in args if a.startswith("--") and a not in flags]
     if bad:
@@ -1003,6 +1091,7 @@ def main() -> int:
     bigdoc_mode = "--bigdoc" in args
     ctrlchars_mode = "--ctrlchars" in args
     mixdim_mode = "--mixdim" in args
+    skew_mode = "--skew" in args
     only = set(a for a in args if a not in flags)
     d = tempfile.mkdtemp(prefix="degen_")
     if tiny:
@@ -1031,6 +1120,8 @@ def main() -> int:
         build_ctrlchars_dataset(d)
     elif mixdim_mode:
         build_mixdim_dataset(d)
+    elif skew_mode:
+        build_skew_dataset(d)
     else:
         build_dataset(d)
     _, _, fails = run_registry(d, only)

@@ -795,6 +795,13 @@ def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_W = 4      # words per pseudo-line (flat word-soup corpus has no \n)
 _LINE_DF_CAP = 3  # a line present in more than this many docs is boilerplate
 
+# KNOWN-COST LANE (VERDICT r10 item 7, measured round 10): the oracle's
+# `lines` CTE is the one remaining LATERAL slice pattern in any oracle —
+# 5.3 s on the 520 KB-doc bigdoc corpus, tolerated because the slice is
+# a FIXED 4-element window and the row count is the capped line grid.
+# If the bigdoc timing ever grows past ~10 s, rewrite as a zip of
+# _LINE_W shifted slices (tables.ngram_zip_sql pattern, ' ' join).
+
 _LINE_DEDUP_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, source, string_split({capped_text_sql()}, ' ') AS ws,

@@ -790,7 +790,7 @@ SELECT doc_id,
 FROM (
   SELECT doc_id,
          regexp_replace(text, '((?:\S+\s+){9}\S+)\s+',
-                        '\\1' || chr(10), 'g') AS wrapped
+                        '\1' || chr(10), 'g') AS wrapped
   FROM documents
   WHERE doc_id < 50 AND text IS NOT NULL
 )
