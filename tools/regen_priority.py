@@ -113,7 +113,14 @@ FORCE_REFRESH = (
     "llm_boilerplate_ngrams",
     "llm_dedup_substr",
     "llm_leakage_safe_split",
-    "src_csv_multiline",        # oracle string now raw (\\S escapes)
+    "src_csv_multiline",        # raw-string fix + the backreference the
+    #                             conversion itself broke (skew sweep
+    #                             catch) — re-verified on 2 corpora
+    # skew wave (tools/probe_skew_r11.py catalog: ONE straggler):
+    "llm_dedup_fuzzy_edit",     # sorted-neighborhood W=8 window-explode
+    #                             (hot near-dup block was >300 s; the
+    #                             join form also let Catalyst push the
+    #                             levenshtein filter into the join cond)
 )
 
 # Round-10's window overflow mechanism (kept for the procedure doc): when

@@ -120,10 +120,27 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sides cap, so parity is exact above it.
 FUZZY_EDIT_CAP = 4096
 
+# Sorted-neighborhood window inside a block (round-11 skew probe): a
+# HOT (lang, prefix) block — 30% of a corpus being near-duplicates of
+# one template, the spam/mirror shape — makes the full within-block
+# cross quadratic: 150 docs → 11k Levenshtein pairs → the op was the
+# one >120 s straggler in tools/probe_skew_r11.py's catalog.  The
+# standard production answer (Hernandez & Stolfo's sorted-neighborhood
+# method) compares each doc only with its W nearest block neighbors in
+# doc_id order, bounding per-block cost at size×W while a duplicate
+# CHAIN still connects every member transitively.  W=8 covers the
+# largest honest block any corpus ships (ctrlchars: 8), so the pair
+# set is bit-identical everywhere except a genuinely hot block — and
+# mirrored exactly in the oracle.
+FUZZY_NEIGHBORHOOD = 8
+
 _FUZZY_ORACLE = f"""
 WITH blocked AS (
   SELECT doc_id, substr(text, 1, {FUZZY_EDIT_CAP}) AS captext, lang,
-         substr(text, 1, 32) AS pfx FROM documents
+         substr(text, 1, 32) AS pfx,
+         row_number() OVER (PARTITION BY lang, substr(text, 1, 32)
+                            ORDER BY doc_id) AS rnk
+  FROM documents
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          levenshtein(a.captext, b.captext) AS edit_dist,
@@ -132,7 +149,8 @@ WITH blocked AS (
          -- text (review catch)
          greatest(length(a.captext), length(b.captext), 1) AS max_len
   FROM blocked a JOIN blocked b
-    ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+    ON a.lang = b.lang AND a.pfx = b.pfx
+   AND b.rnk - a.rnk BETWEEN 1 AND {FUZZY_NEIGHBORHOOD}
 )
 SELECT doc_a, doc_b, CAST(edit_dist AS BIGINT) AS edit_dist,
        ROUND(1.0 - edit_dist / max_len, 6) AS sim
@@ -149,31 +167,51 @@ def llm_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and SimHash (bit sketch) with true character-level edit similarity.
 
     Scale shape: the self-join is keyed by the (lang, prefix) BLOCK — a
-    vocabulary-style shuffle whose per-bucket cost is quadratic only in
-    bucket size (prefix blocks are near-unique outside true near-dup
-    clusters).  The levenshtein kernel runs only on surviving candidate
-    pairs and only over each text's first FUZZY_EDIT_CAP chars (see the
-    oracle note — O(len²) makes one 520 KB outlier a >90 s straggler
-    even under the engine-wide 64 KB signature prefix).  At 100 TB,
-    widen blocking with several rotated prefix offsets rather than
-    loosening one block."""
+    vocabulary-style shuffle — and within a block only SORTED-
+    NEIGHBORHOOD pairs (rank distance <= FUZZY_NEIGHBORHOOD in doc_id
+    order) are compared, so per-block cost is size×W, not size² (see
+    the FUZZY_NEIGHBORHOOD note: a hot near-dup block was the one
+    >120 s straggler in the round-11 skew probe).  The levenshtein
+    kernel runs only on surviving candidate pairs and only over each
+    text's first FUZZY_EDIT_CAP chars (see the oracle note — O(len²)
+    makes one 520 KB outlier a >90 s straggler even under the
+    engine-wide 64 KB signature prefix).  At 100 TB, widen blocking
+    with several rotated prefix offsets rather than loosening one
+    block."""
+    from pyspark.sql import Window
+
+    # Window-collect + explode instead of a self-join (round-11 skew
+    # probe): with a join, Catalyst pushes the sim>=0.8 filter's
+    # LEVENSHTEIN into the join condition, where it runs for every
+    # (lang,pfx) equality match BEFORE the cheap neighborhood test —
+    # the hot block paid 22.5k full edit distances instead of 1.2k
+    # (>300 s vs ~20 s, measured).  Collecting each doc's W preceding
+    # block neighbors over the already-sorted window and exploding
+    # yields exactly the sorted-neighborhood pairs with no join
+    # condition to push into — and reuses the one (lang,pfx) shuffle.
+    wprev = (
+        Window.partitionBy("lang", "pfx")
+        .orderBy("doc_id")
+        .rowsBetween(-FUZZY_NEIGHBORHOOD, -1)
+    )
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.substring("text", 1, FUZZY_EDIT_CAP).alias("captext"),
         "lang",
         F.substring("text", 1, 32).alias("pfx"),
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.pfx") == F.col("b.pfx"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    nb = d.withColumn(
+        "prevs",
+        F.collect_list(F.struct("doc_id", "captext")).over(wprev),
+    )
+    pairs = nb.select(
+        F.explode("prevs").alias("a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("captext").alias("captext_b"),
     ).select(
         F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.levenshtein(F.col("a.captext"), F.col("b.captext"))
+        "doc_b",
+        F.levenshtein(F.col("a.captext"), F.col("captext_b"))
         .cast("long")
         .alias("edit_dist"),
         # the extra 1 arm: a pair of EMPTY documents has max_len 0 and
@@ -182,7 +220,7 @@ def llm_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair scores sim 1.0 on both engines, i.e. a duplicate, which
         # is the right answer for two empty texts.
         F.greatest(
-            F.length("a.captext"), F.length("b.captext"), F.lit(1)
+            F.length("a.captext"), F.length("captext_b"), F.lit(1)
         ).alias("max_len"),
     )
     sim = F.lit(1.0) - F.col("edit_dist") / F.col("max_len")
