@@ -108,7 +108,11 @@ SELECT e.event_id, e.event_type,
                                 * CAST(CAST(m.s AS BIGINT) AS DOUBLE) / m.n)
                              / (m.n - 1)) / 100.0, 0), 6)
        END AS z
-FROM events e JOIN m USING (event_type)
+-- IS NOT DISTINCT FROM: a NULL event_type is a real group (the --nulls
+-- corpus) — plain equality would drop its rows where Spark's groupBy
+-- keeps NULL keys (the old window form partitioned them correctly;
+-- the join mirror must too)
+FROM events e JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type
 """
 
 
