@@ -435,12 +435,21 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle (magnitude-v2 contract).  astype(object).sum() is
         # arbitrary-precision Python-int arithmetic — immune to silent
         # int64 wrap no matter how adversarial the batch.
+        import numpy as np
+
         n, cents, peak = state.get if state.exists else (0, 0, float("-inf"))
         for pdf in pdfs:
             vals = pdf["value"].dropna()
             n += len(pdf)
             if len(vals):
-                cents += int((vals * 100).round().astype("int64").astype(object).sum())
+                # half-away-from-zero, mirroring both engines' round()
+                # (pandas .round() is half-even — 12.5 cents would
+                # diverge); object dtype = Python-int exact sum
+                v100 = (vals * 100).to_numpy()
+                c = pd_.Series(
+                    np.floor(np.abs(v100) + 0.5) * np.sign(v100)
+                ).astype("int64").astype(object)
+                cents += int(c.sum())
                 peak = max(peak, float(vals.max()))
         state.update((n, cents, peak))
         yield pd_.DataFrame(

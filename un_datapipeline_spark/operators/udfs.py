@@ -128,15 +128,28 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt((ss - s*s/n)/(n-1))/100 over identical integer operands."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         v = pdf["value"]
         ok = v.notna()
         n = int(ok.sum())
         if n >= 2:
-            cents = (v[ok] * 100).round().astype("int64").astype(object)
+            # HALF-AWAY-FROM-ZERO, not pandas' half-even .round():
+            # both engines' round() is half-away (probed: 12.5 -> 13),
+            # and an exactly-representable .5 cent boundary (0.125)
+            # would diverge under banker's rounding.
+            v100 = (v[ok] * 100).to_numpy()
+            cents = pd.Series(
+                np.floor(np.abs(v100) + 0.5) * np.sign(v100)
+            ).astype("int64").astype(object)
             s = int(cents.sum())
             ss = int((cents * cents).sum())
             mu = s / (100.0 * n)
-            sd = ((float(ss) - float(s) * float(s) / n) / (n - 1)) ** 0.5 / 100.0
+            # max(0): for >2^53 moments the float conversions can leave
+            # a tiny NEGATIVE variance on a constant series — Python
+            # (-x)**0.5 silently returns a COMPLEX number.
+            var = max(0.0, (float(ss) - float(s) * float(s) / n) / (n - 1))
+            sd = var**0.5 / 100.0
             pdf["z"] = ((v - mu) / sd).round(6) if sd else float("nan")
         else:
             pdf["z"] = float("nan")
