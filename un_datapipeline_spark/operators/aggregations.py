@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import cents2_sum_sql, cents_sum_sql, load_table
 
 # Exact-arithmetic formulation (SURVEY.md §5.3.1 extended): prices,
 # discounts, and taxes are exact 2-decimal values (verified), so every
@@ -648,13 +648,12 @@ def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TTEST_ORACLE = """
+_TTEST_ORACLE = f"""
 WITH m AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)  AS s,
-         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
-             * CAST(round(value * 100) AS BIGINT)) AS ss
+         CAST({cents_sum_sql()} AS BIGINT)  AS s,
+         {cents2_sum_sql()} AS ss
   FROM events
   WHERE event_type IN ('purchase', 'click')
   GROUP BY event_type

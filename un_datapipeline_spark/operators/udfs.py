@@ -19,7 +19,7 @@ from pyspark.sql.functions import pandas_udf, udtf
 from pyspark.sql.types import StringType
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import cents2_sum_sql, cents_sum_sql, load_table
 
 # The explicit IS NULL branch (round 9, class 4): without it a NULL
 # price would fall through every WHEN into ELSE 'XL' — an unpriced order
@@ -91,13 +91,12 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GROUPED_MAP_ORACLE = """
+_GROUPED_MAP_ORACLE = f"""
 WITH m AS (
   SELECT event_type,
          count(value) AS n,
-         sum(CAST(round(value * 100) AS BIGINT)) AS s,
-         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
-             * CAST(round(value * 100) AS BIGINT)) AS ss
+         {cents_sum_sql()} AS s,
+         {cents2_sum_sql()} AS ss
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type,
