@@ -65,3 +65,54 @@ def test_salted_left_join_preserves_unmatched(spark, sf_smoke):
     plain = c.join(o, c.c_custkey == o.o_custkey, "left").count()
     salted = salted_join(c, o, "c_custkey", "o_custkey", n_salts=4, how="left").count()
     assert plain == salted
+
+
+def test_salted_join_spreads_hot_key(spark, tmp_path):
+    """Data-driven skew proof (round 11 — the skew corpus finally gives
+    the salt path DATA instead of plan assertions): on a feed where ONE
+    user owns 50% of events, the salted join must (a) return exactly
+    the plain join's rows and (b) actually SPREAD the hot key — the
+    largest (key, salt) reducer group must shrink toward hot/n_salts,
+    which is the entire point of salting at 100 TB (one reducer no
+    longer owns half the table)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "sweep_degenerate",
+        Path(__file__).parent.parent / "tools" / "sweep_degenerate.py",
+    )
+    sw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sw)
+    d = tmp_path / "skewsf"
+    d.mkdir()
+    sw.build_skew_dataset(str(d))
+
+    ev = load_table(spark, str(d), "events").select("event_id", "user_id", "value")
+    cust = load_table(spark, str(d), "customer").select("c_custkey", "c_mktsegment")
+
+    n_salts = 8
+    plain = ev.join(cust, ev.user_id == cust.c_custkey)
+    salted = salted_join(ev, cust, "user_id", "c_custkey", n_salts=n_salts)
+    a = sorted(map(tuple, plain.select("event_id", "c_mktsegment").collect()))
+    b = sorted(map(tuple, salted.select("event_id", "c_mktsegment").collect()))
+    assert a == b
+
+    # the hot key's rows really do split across salts: re-derive the
+    # salted left side and measure the largest (user_id, salt) group
+    hot_uid, hot_n = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    )
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    groups = (
+        ev.withColumn("_salt", salt.cast("int"))
+        .filter(F.col("user_id") == hot_uid)
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    sizes = {r["_salt"]: r["count"] for r in groups}
+    assert len(sizes) == n_salts, f"hot key landed on only {len(sizes)} salts"
+    # xxhash64 over row ids is near-uniform; 2x the fair share is a
+    # loose bound that still fails decisively if salting ever breaks
+    assert max(sizes.values()) <= 2 * hot_n / n_salts, sizes
