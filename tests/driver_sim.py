@@ -80,9 +80,11 @@ def main() -> int:
     # 0 non-finite values) the two agree bitwise; if a future testdata
     # generation ships NaN/Inf, every value-consuming op will mismatch
     # below — this line says why, instead of 38 mysterious reds.
+    from un_datapipeline_spark.tables import VALUE_MAGNITUDE_SQL
+
     n_nonfinite = con.execute(
         "SELECT count(*) FROM events WHERE isnan(value) OR isinf(value) "
-        "OR abs(value) > 9e15"
+        f"OR abs(value) > {VALUE_MAGNITUDE_SQL}"
     ).fetchone()[0]
     if n_nonfinite:
         # Hard error (ADVICE r08): silently running a mirror whose oracle

@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 import duckdb
 
 from un_datapipeline_spark.registry import Operator
+from un_datapipeline_spark.tables import VALUE_MAGNITUDE_SQL
 
 TABLE_NAMES = (
     "region",
@@ -46,7 +47,8 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
             con.execute(
                 f"CREATE OR REPLACE VIEW {t} AS "
                 "SELECT * REPLACE (CASE WHEN isnan(value) OR isinf(value) "
-                "OR abs(value) > 9e15 THEN NULL ELSE value END AS value) "
+                f"OR abs(value) > {VALUE_MAGNITUDE_SQL} "
+                "THEN NULL ELSE value END AS value) "
                 f"FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
             continue

@@ -222,3 +222,57 @@ def test_force_refresh_fits_driver_window():
         f"driver window and would ship unverified: {missing} — either "
         "the regen was skipped or forced entries exceed the window"
     )
+
+
+def test_oracle_edits_force_refresh():
+    """Oracle-text tripwire (VERDICT r11 item 5): the src_csv_multiline
+    raw-string incident proved a "zero-semantic" string-prefix edit to an
+    oracle can change answers — so any op whose CURRENT oracle text
+    differs from the committed manifest (tests/oracle_manifest.json, the
+    text its latest driver stamp verified) MUST be in FORCE_REFRESH, or
+    the edit would ship a full round under a stale-green stamp.  Newly
+    registered ops must enter the manifest when they register (they are
+    driver-window group 2 regardless).  Regenerate the manifest with
+    tools/regen_oracle_manifest.py — mid-round together with the
+    FORCE_REFRESH entry, and at the round boundary when stamps land."""
+    import importlib.util as _ilu
+    import json
+
+    spec = _ilu.spec_from_file_location(
+        "regen_priority", REPO / "tools" / "regen_priority.py"
+    )
+    rp = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+    forced = set(rp.FORCE_REFRESH)
+
+    spec = _ilu.spec_from_file_location(
+        "regen_oracle_manifest", REPO / "tools" / "regen_oracle_manifest.py"
+    )
+    rm = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(rm)
+
+    manifest = json.loads((REPO / "tests" / "oracle_manifest.json").read_text())
+    ops = all_operators()
+
+    stale = sorted(set(manifest) - set(ops))
+    assert not stale, (
+        f"manifest lists unregistered ops {stale} — regenerate "
+        "tests/oracle_manifest.json (tools/regen_oracle_manifest.py)"
+    )
+    missing = sorted(set(ops) - set(manifest))
+    assert not missing, (
+        f"ops missing from the oracle manifest: {missing} — regenerate "
+        "tests/oracle_manifest.json when registering an operator"
+    )
+    drifted = sorted(
+        name
+        for name, op in ops.items()
+        if rm.oracle_hash(op.oracle) != manifest[name] and name not in forced
+    )
+    assert not drifted, (
+        f"oracle text changed WITHOUT a FORCE_REFRESH entry for {drifted} "
+        "— the edit would ship under a stale driver stamp; add the op(s) "
+        "to tools/regen_priority.py::FORCE_REFRESH, regenerate "
+        "priority.py AND tests/oracle_manifest.json, and re-sweep "
+        "(raw-string doctrine, ROUND_NOTES r11 item 7)"
+    )

@@ -108,3 +108,47 @@ def test_semi_plus_anti_partition(thr):
     semi = c.join(o, cond, "left_semi").count()
     anti = c.join(o, cond, "left_anti").count()
     assert semi + anti == c.count()
+
+
+def test_cents_np_is_true_half_away():
+    """The shared pandas cents kernel (tables.cents_np, ADVICE r11) must
+    round exactly like Spark's F.round (BigDecimal HALF_UP on the
+    double's shortest repr) and DuckDB's round(): half-away-from-zero,
+    WITHOUT the floor(abs+0.5) carry bug — for the double just below
+    half a cent (value*100 = 0.49999999999999994) the +0.5 addition
+    rounds up to exactly 1.0 and the folk kernel yields 1 cent where
+    both engines yield 0.  Checked against DuckDB's round() live, and
+    against hypothesis-style adversarial literals."""
+    import duckdb
+    import pandas as pd
+
+    from un_datapipeline_spark.tables import cents_np
+
+    values = [
+        0.0049999999999999994,   # v*100 = the double just below 0.5 -> 0
+        -0.0049999999999999994,  # -> 0 (not -1)
+        0.125,                   # v*100 = 12.5 exactly -> 13 (half-away)
+        -0.125,                  # -> -13 (pandas half-even would give -12)
+        0.005,                   # v*100 = 0.5000000000000001 -> 1
+        0.0,
+        1e-300,                  # kept-tiny contract: 0 cents
+        9e15,                    # surviving maximum -> 9e17 cents exactly
+        -9e15,
+        2.675,                   # classic float-repr trap (267.49999...)
+        1.005,
+        -1.015,
+    ]
+    got = [int(c) for c in cents_np(pd.Series(values))]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT CAST(round(CAST(? AS DOUBLE) * 100) AS BIGINT)", [v]
+        ).fetchone()[0]
+        for v in values
+    ]
+    con.close()
+    assert got == want, list(zip(values, got, want))
+    # the named regression: folk kernel says 1, both engines say 0
+    assert got[0] == 0 and got[1] == 0
+    # exact .5 boundary goes AWAY from zero on both engines
+    assert got[2] == 13 and got[3] == -13

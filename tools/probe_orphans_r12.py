@@ -46,51 +46,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASE = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
 
 
-def build_orphans_dataset(d: str) -> None:
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    for t in ("region nation customer supplier part documents embeddings").split():
-        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
-
-    ev = pd.read_parquet(f"{BASE}/events.parquet").copy()
-    uids = list(ev["user_id"])
-    ev["user_id"] = [
-        90000000 + i if i % 10 in (0, 1, 2) else u for i, u in enumerate(uids)
-    ]
-    pq.write_table(
-        pa.Table.from_pandas(
-            ev, schema=pq.read_schema(f"{BASE}/events.parquet"), preserve_index=False
-        ),
-        f"{d}/events.parquet",
-    )
-
-    li = pd.read_parquet(f"{BASE}/lineitem.parquet").copy()
-    oks = list(li["l_orderkey"])
-    li["l_orderkey"] = [
-        900000000 + i if i % 7 == 0 else k for i, k in enumerate(oks)
-    ]
-    pq.write_table(
-        pa.Table.from_pandas(
-            li, schema=pq.read_schema(f"{BASE}/lineitem.parquet"), preserve_index=False
-        ),
-        f"{d}/lineitem.parquet",
-    )
-
-    od = pd.read_parquet(f"{BASE}/orders.parquet").copy()
-    cks = list(od["o_custkey"])
-    od["o_custkey"] = [
-        90000000 + i if i % 9 == 0 else k for i, k in enumerate(cks)
-    ]
-    pq.write_table(
-        pa.Table.from_pandas(
-            od, schema=pq.read_schema(f"{BASE}/orders.parquet"), preserve_index=False
-        ),
-        f"{d}/orders.parquet",
-    )
-
-
 def main() -> int:
     import importlib.util
 
@@ -103,7 +58,11 @@ def main() -> int:
 
     only = set(sys.argv[1:])
     d = tempfile.mkdtemp(prefix="probe_orphans_")
-    build_orphans_dataset(d)
+    # one corpus definition (round-8 one-harness rule): the builder was
+    # promoted into sweep_degenerate.py when --orphans became the 16th
+    # permanent mode (round 12); this probe remains as the catalog
+    # entry point for subset runs.
+    sw.build_orphans_dataset(d)
     try:
         _, _, fails = sw.run_registry(d, only, app_name="probe-orphans-r12")
     finally:

@@ -50,77 +50,29 @@ REFRESH_COUNT = 5
 # ADVICE r07: order entries by RISK — oracle/kernel semantic changes
 # first, pure refactors last.  (Forced entries are never truncated —
 # see main() — so ordering is about review priority, not survival.)
-FORCE_REFRESH = (
-    # -- ROUND 11 LEAD: the 7 DEFERRED_REFRESH_R11 names from the round-10
-    # window overflow (56 stamp-void edits, 50 slots).  These carry VOID
-    # stamps at the r10 HEAD (edited after their last driver verification)
-    # and MUST re-stamp first — VERDICT r10 item 1.
-    "llm_dedup_minhash_ml",     # linear trigram build (rows-only)
-    "llm_doc_fingerprint",      # linear char-8-gram build (rows-only)
-    "llm_neardup_cluster",      # dependency-only (_shingled) change
-    "src_text_lines",           # assert -> typed ContractViolation raise
-    "stream_watermark_late",    # rows-only valid_ts guard
-    "llm_simsearch_hnsw",       # shared valid_vec/_vec_matrix edits
-    "llm_semdedup",             # shared valid_vec/_vec_matrix edits
-    # -- round-11 edits append below as they land (risk-first order).
-    # magnitude-v2 wave (ADVICE r10 medium: ingest bound 1e12 → 9e15;
-    # every Σvalue lane converted to exact-cents, second moments to
-    # 128-bit DECIMAL(38,0)/HUGEINT, ill-defined ROUND(x,4)-at-ulp>1e-4
-    # dropped from converted outputs).  Oracle TEXT changed on all:
-    "stream_custom_stateful",   # cents state + max_by(n) last-emission
-    "win_bollinger_bands",      # 128-bit moments + unrounded band edges
-    "udf_grouped_map",          # exact-moment z-score, both sides
-    "agg_ab_ttest",             # HUGEINT/decimal second moment
-    "stream_tumbling_window",   # cents_sum lane
-    "stream_stateful_running",  # cents_sum lane
-    "stream_static_join",       # cents_sum lane
-    "stream_kafka_source",      # cents_sum lane
-    "ts_calendar_rollup",       # cents_sum lane
-    "src_partitioned_pruning",  # cents_sum lane
-    "join_dpp_partitioned",     # cents_sum lane
-    "etl_backfill_partitions",  # cents_sum lane
-    # magnitude-v2 second wave (the full-registry sweep catch: 16 ops):
-    # 128-bit second moments / cross-products, NULLIF zero-total guards,
-    # ill-defined-ROUND drops, and the DuckDB promotion doctrine
-    # (hugeint CAST truncates; int*1.0 goes exact-DECIMAL — see
-    # tables.exact_double_sql).  Oracle TEXT changed on all:
-    "ts_anomaly_zscore",
-    "win_rolling_corr",
-    "ts_autocorrelation",
-    "agg_linear_regression",
-    "ts_cross_correlation_lagged",
-    "ts_hampel_outliers",
-    "ts_interpolate_linear",
-    "win_share_of_total",
-    "ts_max_drawdown",
-    "win_rolling_regression",
-    "ts_backtest_snaive",
-    "agg_trimmed_winsorized",
-    "ts_day_over_day",
-    "ts_peak_detect",
-    "ts_seasonal_decompose",
-    # json_usable_sql NaN/Infinity lexical rejection (ADVICE r10 +
-    # probed divergence) — every oracle embedding the predicate:
-    "fn_json",                  # + per-row int32 range guard on max_k
-    "fn_json_schema_infer",     # + _clean exact-mirror rewrite
-    "fn_variant_json",
-    "etl_quarantine_bad_rows",
-    # winner_embedding NULL-element-free tiebreak (ADVICE r10):
-    "llm_knn_join",
-    # ngram_zip_sql consolidation (VERDICT r10 item 3 — pure refactor,
-    # rendered SQL differs only in slice spacing) + raw-string fixes:
-    "llm_contamination_check",
-    "llm_boilerplate_ngrams",
-    "llm_dedup_substr",
-    "llm_leakage_safe_split",
-    "src_csv_multiline",        # raw-string fix + the backreference the
-    #                             conversion itself broke (skew sweep
-    #                             catch) — re-verified on 2 corpora
-    # skew wave (tools/probe_skew_r11.py catalog: ONE straggler):
-    "llm_dedup_fuzzy_edit",     # sorted-neighborhood W=8 window-explode
-    #                             (hot near-dup block was >300 s; the
-    #                             join form also let Catalyst push the
-    #                             levenshtein filter into the join cond)
+FORCE_REFRESH: tuple[str, ...] = (
+    # -- ROUND 12: empty at round start — CORRECTNESS_r11 re-stamped all 45
+    # r11 forced names green (verified programmatically at the r12 round
+    # boundary: every FORCE_REFRESH name present in the r11 window, zero
+    # non-green verdicts).  Round-12 edits append below as they land,
+    # risk-first (oracle/kernel semantic changes before pure refactors).
+    # ADVICE r11 wave (all four are oracle/kernel semantic edits):
+    "llm_dedup_fuzzy_edit",      # NULL blocking keys filtered pre-window
+    #                              (window lumped NULL-lang docs into one
+    #                              block the oracle's equality join drops)
+    "win_rolling_corr",          # exact-DECIMAL moments + VARCHAR
+    #                              round-trip oracle (the *1.0 HUGEINT
+    #                              promotion trap, both lanes rewritten)
+    "udf_grouped_map",           # shared cents_np kernel + oracle
+    #                              greatest(0.0) variance clamp mirror
+    "stream_custom_stateful",    # shared cents_np kernel (true half-away
+    #                              rounding at the .5-ulp boundary)
+    # caught by the re-swept --magnitude corpus with its new .5-ulp
+    # stripes (the two divergences the stripes exist to surface):
+    "ts_cusum_changepoint",      # ill-defined ROUND(,6) at ulp>1e-6
+    #                              dropped from both lanes
+    "udf_map_arrow",             # pc.round default HALF_TO_EVEN !=
+    #                              both engines' half-away on -12.5
 )
 
 # Round-10's window overflow mechanism (kept for the procedure doc): when

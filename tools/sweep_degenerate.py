@@ -137,6 +137,7 @@ Usage:
     python tools/sweep_degenerate.py --timewarp [ops...] # decades-out ts
     python tools/sweep_degenerate.py --magnitude [ops...] # absurd |value|
     python tools/sweep_degenerate.py --dupkeys [ops...]  # replayed keys
+    python tools/sweep_degenerate.py --orphans [ops...]  # dangling FKs
     python tools/sweep_degenerate.py --empty [ops...]    # zero-row tables
     python tools/sweep_degenerate.py --badjson [ops...]  # malformed props
     python tools/sweep_degenerate.py --skew [ops...]      # hot-key corpus
@@ -440,7 +441,20 @@ def build_magnitude_dataset(d: str) -> None:
         shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
     ev = pd.read_parquet(f"{BASE}/events.parquet").copy()
     vals = list(ev["value"])
-    specials = {0: 1e13, 1: -1e13, 2: 1e18, 3: 1e-300}
+    # i%13==4/5: .5-ulp rounding boundaries (ADVICE r11) —
+    # 0.0049999999999999994 is the double just below half a cent
+    # (v*100 = 0.49999999999999994 → 0 cents on BOTH engines; the folk
+    # floor(abs+0.5) kernel mis-rounds it to 1), and 0.125 is an
+    # exactly-representable 12.5 cents (→ 13 half-away on both engines;
+    # pandas' half-even .round() would give 12).
+    specials = {
+        0: 1e13,
+        1: -1e13,
+        2: 1e18,
+        3: 1e-300,
+        4: 0.0049999999999999994,
+        5: -0.125,
+    }
     new_vals = [specials.get(i % 13, v) for i, v in enumerate(vals)]
     # Boundary rows (sparse by design: first-moment int64 lanes keep
     # their documented ~10x headroom).  The two KEPT rows at the exact
@@ -466,6 +480,27 @@ def build_magnitude_dataset(d: str) -> None:
     for pos in donor_pos:
         ev.loc[ev.index[pos], "event_type"] = "magprobe"
         ev.loc[ev.index[pos], "user_id"] = 99990000 + pos
+    # UNLUCKY NEGATIVE pair (round 12): DuckDB's HUGEINT/DECIMAL →
+    # DOUBLE conversion mis-rounds NEGATIVE values needing rounding
+    # (positives are correctly rounded — probed: 64/4000 random wide
+    # ints fire, e.g. -39454012720366565 casts to ...560 where IEEE
+    # nearest is ...568), and that includes the `Σcents / 100.0` output
+    # shape the r11 doctrine called safe (validated on positives only).
+    # Each single round(v*100) cents value past 2^53 is exactly
+    # representable BY CONSTRUCTION (it is the integer value of an
+    # integer-valued double), so only a GROUP SUM can need rounding:
+    # this pair's Σcents = -1136430746256926656, which DuckDB's naked
+    # cast renders 2 ulp from IEEE-nearest.  Isolated in their own
+    # event_type/user_id AND moved to one shared timestamp so both
+    # global and daily-grain lanes see the unlucky sum; any oracle that
+    # converts a possibly-negative wide Σ to double without the VARCHAR
+    # round-trip (tables.exact_double_sql) diverges on this corpus.
+    neg_donor = [i for i, t in enumerate(ev["event_type"]) if t == donor][:2]
+    for pos, v in zip(neg_donor, (-9e15, -2364307462569266.5)):
+        ev.loc[ev.index[pos], "value"] = v
+        ev.loc[ev.index[pos], "event_type"] = "magneg"
+        ev.loc[ev.index[pos], "user_id"] = 99980000 + pos
+    ev.loc[ev.index[neg_donor[1]], "ts"] = ev.loc[ev.index[neg_donor[0]], "ts"]
     pq.write_table(
         pa.Table.from_pandas(
             ev, schema=pq.read_schema(f"{BASE}/events.parquet"), preserve_index=False
@@ -837,6 +872,22 @@ def build_nulls_dataset(d: str) -> None:
     docs.loc[docs.index % 5 == 0, "text"] = None
     docs.loc[docs.index % 7 == 0, "lang"] = None
     docs.loc[docs.index % 9 == 0, "source"] = None
+    # NULL-lang NEAR-DUP stripe (ADVICE r11 high): three docs sharing a
+    # 32-char prefix, pairwise >=0.8 edit-similar, but lang=NULL — a
+    # NULL blocking key must yield ZERO fuzzy-dedup pairs on BOTH
+    # engines (Spark's window would otherwise group the NULL-lang
+    # block and emit 3 pairs where the oracle's equality join emits 0).
+    base_txt = "shared thirty-two char prefix xx " + "near duplicate body " * 8
+    nd = pd.DataFrame(
+        {
+            "doc_id": [9901, 9902, 9903],
+            "text": [base_txt, base_txt + "tail a", base_txt + "tail bb"],
+            "lang": [None, None, None],
+            "source": ["nullnd", "nullnd", "nullnd"],
+            "n_chars": [len(base_txt), len(base_txt) + 6, len(base_txt) + 7],
+        }
+    )
+    docs = pd.concat([docs, nd], ignore_index=True)
     write("documents", docs)
 
     em = pd.read_parquet(f"{BASE}/embeddings.parquet").copy()
@@ -862,6 +913,67 @@ def build_nulls_dataset(d: str) -> None:
             em[["vec_id", "embedding", "label"]], schema=schema, preserve_index=False
         ),
         f"{d}/embeddings.parquet",
+    )
+
+
+def build_orphans_dataset(d: str) -> None:
+    """Referential-violation corpus (--orphans, promoted round 12 from
+    tools/probe_orphans_r12.py): dangling foreign keys striped into the
+    three fact->dim edges — the single most common real-feed corruption
+    after NULLs (deleted accounts, GDPR erasure, partial ingestion,
+    cross-system id spaces):
+
+    * 30% of ``events.user_id`` point at customers that do not exist;
+    * 1/7 of ``lineitem.l_orderkey`` reference missing orders;
+    * 1/9 of ``orders.o_custkey`` reference missing customers.
+
+    Every shipped corpus is referentially intact (verified round 11: 0
+    orphans at sf0.001/sf0.01), so before round 12 no driver stamp
+    covered the class.  The risk classes it exercises: INNER joins must
+    drop orphans identically; LEFT joins must carry NULL dim columns
+    into digest/concat/winner lanes under the round-9 NULL contracts;
+    DQ/quarantine counts must move identically; and percent-of-dim /
+    spine denominators must not silently assume the key domain."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in ("region nation customer supplier part documents embeddings").split():
+        shutil.copy(f"{BASE}/{t}.parquet", f"{d}/{t}.parquet")
+
+    ev = pd.read_parquet(f"{BASE}/events.parquet").copy()
+    uids = list(ev["user_id"])
+    ev["user_id"] = [
+        90000000 + i if i % 10 in (0, 1, 2) else u for i, u in enumerate(uids)
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(
+            ev, schema=pq.read_schema(f"{BASE}/events.parquet"), preserve_index=False
+        ),
+        f"{d}/events.parquet",
+    )
+
+    li = pd.read_parquet(f"{BASE}/lineitem.parquet").copy()
+    oks = list(li["l_orderkey"])
+    li["l_orderkey"] = [
+        900000000 + i if i % 7 == 0 else k for i, k in enumerate(oks)
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(
+            li, schema=pq.read_schema(f"{BASE}/lineitem.parquet"), preserve_index=False
+        ),
+        f"{d}/lineitem.parquet",
+    )
+
+    od = pd.read_parquet(f"{BASE}/orders.parquet").copy()
+    cks = list(od["o_custkey"])
+    od["o_custkey"] = [
+        90000000 + i if i % 9 == 0 else k for i, k in enumerate(cks)
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(
+            od, schema=pq.read_schema(f"{BASE}/orders.parquet"), preserve_index=False
+        ),
+        f"{d}/orders.parquet",
     )
 
 
@@ -1065,6 +1177,7 @@ def main() -> int:
         "--ctrlchars",
         "--mixdim",
         "--skew",
+        "--orphans",
     )
     bad = [a for a in args if a.startswith("--") and a not in flags]
     if bad:
@@ -1092,6 +1205,7 @@ def main() -> int:
     ctrlchars_mode = "--ctrlchars" in args
     mixdim_mode = "--mixdim" in args
     skew_mode = "--skew" in args
+    orphans_mode = "--orphans" in args
     only = set(a for a in args if a not in flags)
     d = tempfile.mkdtemp(prefix="degen_")
     if tiny:
@@ -1122,6 +1236,8 @@ def main() -> int:
         build_mixdim_dataset(d)
     elif skew_mode:
         build_skew_dataset(d)
+    elif orphans_mode:
+        build_orphans_dataset(d)
     else:
         build_dataset(d)
     _, _, fails = run_registry(d, only)

@@ -1461,9 +1461,14 @@ WITH daily AS (
 )
 SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
        CAST(n AS BIGINT) AS n,
-       ROUND((n * sxy - sx * 1.0 * sy)
-             / nullif(sqrt((n * sxx - sx * 1.0 * sx)
-                           * (n * syy - sy * 1.0 * sy)), 0), 6)
+       -- VARCHAR round-trip per term (tables.exact_double_sql): the
+       -- window sums are HUGEINT, so `* 1.0` would promote the whole
+       -- expression to exact DECIMAL (more accurate than Spark's
+       -- convert-at-term doubles) and CAST(HUGEINT AS DOUBLE) would
+       -- truncate — same conversion as ts_cross_correlation_lagged
+       ROUND(CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+             / nullif(sqrt(CAST(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)), 0), 6)
          AS roll_corr
 FROM mo
 WHERE n >= 3
@@ -1502,10 +1507,18 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
         F.sum(x_d * F.col("y")).over(w).alias("sxy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")
+    # each moment term evaluates EXACTLY in DECIMAL(38,0) and converts
+    # to double ONCE (BigDecimal→double is correctly rounded), mirrored
+    # in the oracle by the per-term VARCHAR round-trip — the earlier
+    # `sx * 1.0` double math diverged from the oracle's exact-DECIMAL
+    # promotion once the raised 9e15 ingest bound pushed the moments
+    # past 2^53 (ADVICE r11; same shape as ts_cross_correlation_lagged)
+    sx_dec = F.col("sx").cast("decimal(38,0)")
+    sy_dec = F.col("sy").cast("decimal(38,0)")
+    num = (F.col("n") * F.col("sxy") - sx_dec * F.col("sy")).cast("double")
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * 1.0 * F.col("sy"))
+        (F.col("n") * F.col("sxx") - sx_dec * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - sy_dec * F.col("sy")).cast("double")
     )
     return (
         mo.filter(F.col("n") >= 3)

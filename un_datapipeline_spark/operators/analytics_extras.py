@@ -606,7 +606,14 @@ WITH daily AS (
   FROM cum c JOIN tot t USING (event_type)
 )
 SELECT event_type, CAST(day AS TIMESTAMP) AS cp_day, n AS n_days,
-       ROUND(s_abs / (n * 100.0), 6) AS cusum_score
+       -- NO ROUND: one surviving near-bound day pushes the score past
+       -- 2^33 where ulp > 1e-6 and ROUND(x,6) is ILL-DEFINED
+       -- cross-engine (each engine picks a different nearest double —
+       -- the magnitude doctrine, tables.exact_double_sql docstring;
+       -- r12 sweep catch at 5e13).  The raw division IS deterministic:
+       -- BIGINT→double casts round correctly on both engines and the
+       -- single division is correctly rounded over identical operands.
+       s_abs / (n * 100.0) AS cusum_score
 FROM s WHERE rn = 1
 """
 
@@ -656,7 +663,9 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("day").alias("cp_day"),
         F.col("n").alias("n_days"),
-        F.round(F.col("s_abs") / (F.col("n") * 100.0), 6).alias("cusum_score"),
+        # unrounded: see the oracle note — ROUND(,6) is ill-defined
+        # once the score's ulp exceeds 1e-6 (magnitude doctrine)
+        (F.col("s_abs") / (F.col("n") * 100.0)).alias("cusum_score"),
     )
 
 

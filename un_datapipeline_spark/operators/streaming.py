@@ -426,30 +426,26 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd_
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from un_datapipeline_spark.tables import cents_np
+
     s = read_events_stream(spark, sf_dir)
 
     def track(key, pdfs, state):
         # State carries exact integer CENTS, not a float sum: one large
         # surviving |value| makes a float accumulator round at integer
         # granularity and the emission diverges from the exact batch
-        # oracle (magnitude-v2 contract).  astype(object).sum() is
-        # arbitrary-precision Python-int arithmetic — immune to silent
-        # int64 wrap no matter how adversarial the batch.
-        import numpy as np
-
+        # oracle (magnitude-v2 contract).  cents_np's object-dtype sum
+        # is arbitrary-precision Python-int arithmetic — immune to
+        # silent int64 wrap no matter how adversarial the batch.
         n, cents, peak = state.get if state.exists else (0, 0, float("-inf"))
         for pdf in pdfs:
             vals = pdf["value"].dropna()
             n += len(pdf)
             if len(vals):
-                # half-away-from-zero, mirroring both engines' round()
-                # (pandas .round() is half-even — 12.5 cents would
-                # diverge); object dtype = Python-int exact sum
-                v100 = (vals * 100).to_numpy()
-                c = pd_.Series(
-                    np.floor(np.abs(v100) + 0.5) * np.sign(v100)
-                ).astype("int64").astype(object)
-                cents += int(c.sum())
+                # shared correctly-rounded half-away cents kernel
+                # (tables.cents_np): pandas .round() is half-even and
+                # floor(abs+0.5) mis-rounds the double just below .5
+                cents += int(cents_np(vals).sum())
                 peak = max(peak, float(vals.max()))
         state.update((n, cents, peak))
         yield pd_.DataFrame(

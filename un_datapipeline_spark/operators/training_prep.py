@@ -200,6 +200,15 @@ def llm_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.substring("text", 1, 32).alias("pfx"),
     )
+    # NULL blocking keys are NOT a block: the window would lump every
+    # NULL-lang (or NULL-text) doc into one partition and emit pairs
+    # for them, while the oracle's equality join (a.lang = b.lang AND
+    # a.pfx = b.pfx) drops NULL keys — the join-based Spark code did
+    # too, so this filter restores the original contract (a doc whose
+    # language or text is unknown cannot be confidently blocked; at
+    # 100 TB, route such docs through lang-id backfill, not dedup).
+    # Pinned by the --nulls corpus's NULL-lang near-dup stripe.
+    d = d.filter(F.col("lang").isNotNull() & F.col("pfx").isNotNull())
     nb = d.withColumn(
         "prevs",
         F.collect_list(F.struct("doc_id", "captext")).over(wprev),

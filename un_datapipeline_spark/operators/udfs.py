@@ -101,11 +101,17 @@ WITH m AS (
 )
 SELECT e.event_id, e.event_type,
        CASE WHEN m.n >= 2 THEN
+         -- greatest(0.0, ...): mirror of the Python kernel's max(0.0,
+         -- ...) variance clamp — a constant series whose moments pass
+         -- 2^53 can leave this float expression slightly NEGATIVE,
+         -- where sqrt(negative) is NaN/error here but NULL-via-clamp
+         -- on the Spark side (ADVICE r11)
          ROUND((e.value - CAST(m.s AS BIGINT) / (100.0 * m.n))
-               / nullif(sqrt((CAST(CAST(m.ss AS VARCHAR) AS DOUBLE)
+               / nullif(sqrt(greatest(0.0,
+                             (CAST(CAST(m.ss AS VARCHAR) AS DOUBLE)
                               - CAST(CAST(m.s AS BIGINT) AS DOUBLE)
                                 * CAST(CAST(m.s AS BIGINT) AS DOUBLE) / m.n)
-                             / (m.n - 1)) / 100.0, 0), 6)
+                             / (m.n - 1))) / 100.0, 0), 6)
        END AS z
 -- IS NOT DISTINCT FROM: a NULL event_type is a real group (the --nulls
 -- corpus) — plain equality would drop its rows where Spark's groupBy
@@ -126,21 +132,18 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both sides evaluate the literal same double expression
     sqrt((ss - s*s/n)/(n-1))/100 over identical integer operands."""
 
-    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    from un_datapipeline_spark.tables import cents_np
 
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
         ok = v.notna()
         n = int(ok.sum())
         if n >= 2:
-            # HALF-AWAY-FROM-ZERO, not pandas' half-even .round():
-            # both engines' round() is half-away (probed: 12.5 -> 13),
-            # and an exactly-representable .5 cent boundary (0.125)
-            # would diverge under banker's rounding.
-            v100 = (v[ok] * 100).to_numpy()
-            cents = pd.Series(
-                np.floor(np.abs(v100) + 0.5) * np.sign(v100)
-            ).astype("int64").astype(object)
+            # shared correctly-rounded HALF-AWAY cents kernel
+            # (tables.cents_np; ADVICE r11): pandas .round() is
+            # half-even (12.5 cents would diverge) and floor(abs+0.5)
+            # mis-rounds the double just below .5.
+            cents = cents_np(v[ok])
             s = int(cents.sum())
             ss = int((cents * cents).sum())
             mu = s / (100.0 * n)
@@ -423,7 +426,17 @@ def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def kernel(batches):
         for b in batches:
-            cents = pc.round(pc.multiply(b.column("value"), 100.0))
+            # round_mode: pyarrow's default is HALF_TO_EVEN, which
+            # diverges from Spark F.round / DuckDB round() (both
+            # half-away-from-zero) on exact .5 boundaries — the
+            # magnitude corpus's -0.125 stripe (= -12.5 cents) was a
+            # 16-cent silent group-sum divergence (r12 sweep catch);
+            # half_towards_infinity is arrow's half-away mode and is
+            # correctly rounded on the actual double (no +0.5 carry).
+            cents = pc.round(
+                pc.multiply(b.column("value"), 100.0),
+                round_mode="half_towards_infinity",
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     b.column("event_type"),

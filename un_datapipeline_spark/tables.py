@@ -118,9 +118,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # rather than each engine's overflow quirks.
 VALUE_MAGNITUDE_BOUND = 9e15
 
+# SQL rendering of the bound, pinned to the float constant by the
+# import-time assert (ADVICE r11: the bound was hardcoded independently
+# here and in the two harness mirrors, so a future bound change could
+# silently de-synchronize the ingest contract from the oracle views —
+# now every site interpolates VALUE_MAGNITUDE_SQL and the assert makes
+# literal/constant drift an immediate ImportError, while the rendered
+# SQL text stays byte-identical to the stamped r11 expressions).
+VALUE_MAGNITUDE_SQL = "9e15"
+assert float(VALUE_MAGNITUDE_SQL) == VALUE_MAGNITUDE_BOUND
+
 _FINITE_VALUE = (
     "CASE WHEN isnan(value) OR abs(value) = double('Infinity') "
-    "OR abs(value) > 9e15 THEN NULL ELSE value END"
+    f"OR abs(value) > {VALUE_MAGNITUDE_SQL} THEN NULL ELSE value END"
 )
 
 
@@ -163,6 +173,35 @@ def cents2_sum(col: str = "value"):
     overflows int64 per-element at surviving |value| > ~3e7."""
     c = cents_col(col).cast("decimal(38,0)")
     return F.sum(c * c)
+
+
+def cents_np(values):
+    """Exact cents for a NaN-free pandas Series of doubles — the numpy
+    mirror of :func:`cents_col` for Arrow-batched pandas kernels
+    (applyInPandas / applyInPandasWithState lanes).
+
+    Returns an OBJECT-dtype Series of Python ints so downstream
+    ``.sum()`` / products are arbitrary-precision (immune to silent
+    int64 wrap on adversarial batches).
+
+    Rounding is CORRECTLY half-away-from-zero: the folk kernel
+    ``floor(abs(x) + 0.5)`` is wrong on the double just below .5 —
+    ``0.49999999999999994 + 0.5`` rounds UP to exactly ``1.0``, so it
+    yields 1 cent where Spark's ``F.round`` (BigDecimal HALF_UP on the
+    double's exact decimal value) and DuckDB's ``round()`` both yield 0
+    (ADVICE r11).  ``ceil(abs(x) - 0.5)`` has no such carry (the
+    subtraction is exact for every finite x by Sterbenz), but rounds
+    exact halves TOWARD zero — the explicit ``frac == 0.5`` branch sends
+    them away, completing half-away for every double."""
+    import numpy as np
+
+    v100 = (values * 100.0).to_numpy(dtype="float64")
+    a = np.abs(v100)
+    r = np.ceil(a - 0.5)
+    r = np.where(a - r == 0.5, r + 1.0, r)
+    import pandas as pd
+
+    return pd.Series(np.copysign(r, v100)).astype("int64").astype(object)
 
 
 def cents_sql(col: str = "value") -> str:
