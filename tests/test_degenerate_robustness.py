@@ -831,3 +831,43 @@ def test_props_fixtures_are_flat():
         _s for _s in _re.findall(r"'((?:[^'\\]|\\.)*)'", m.group(1))
     ]
     assert_flat(stripe, "sweep badjson stripe")
+
+
+@pytest.fixture(scope="module")
+def orphans_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("orphanssf")
+    _tool().build_orphans_dataset(str(d))
+    return str(d)
+
+
+# one representative per orphan-FK risk class the round-12 probe named
+# (tools/probe_orphans_r12.py; full-registry catalog on the corpus was
+# 329 ok + 22 rows-only, fail=0 — the class was already covered by the
+# round-9 NULL contracts, this pins it in the suite)
+ORPHAN_OPS = [
+    "join_inner_equi",        # inner joins must DROP dangling keys
+    #                           identically on both engines
+    "join_left_outer",        # LEFT joins carry NULL dim columns into
+    #                           downstream expressions (the round-9 NULL
+    #                           classes arriving through a join, not the
+    #                           scan)
+    "etl_dq_validate",        # DQ counts must move identically when a
+    #                           third of the fact table is dangling
+    "agg_cohort_retention",   # percent-of-dim shape: denominators must
+    #                           not silently assume the key domain
+    "join_dpp_partitioned",   # partition-pruning join: a dangling key
+    #                           must prune to nothing, not crash
+]
+
+
+@pytest.mark.parametrize("name", ORPHAN_OPS)
+def test_orphans_corpus_class(spark, orphans_sf, name):
+    """Round-12 hazard class: dangling foreign keys (30% of
+    events.user_id, 1/7 of lineitem.l_orderkey, 1/9 of orders.o_custkey
+    point at rows that do not exist) — deleted accounts, GDPR erasure,
+    partial ingestion.  Both engines read the same parquet, so joins
+    drop or NULL-extend orphans identically; what this pins is that no
+    operator ASSUMES referential integrity (broadcast spines built from
+    the dim side, percent-of-dim denominators, digest lanes fed by
+    LEFT-join NULLs)."""
+    _both(spark, orphans_sf, name)

@@ -73,6 +73,16 @@ FORCE_REFRESH: tuple[str, ...] = (
     #                              dropped from both lanes
     "udf_map_arrow",             # pc.round default HALF_TO_EVEN !=
     #                              both engines' half-away on -12.5
+    # caught by the magneg (unlucky-negative-pair) stripe — DuckDB
+    # mis-rounds negative HUGEINT/DECIMAL→DOUBLE conversions needing
+    # rounding, INCLUDING the Σ/100.0 output shape (r11 doctrine said
+    # division was safe; that was positives-only).  All five converted
+    # to VARCHAR round-trips; ill-defined output ROUNDs dropped:
+    "win_sliding_range",
+    "ts_multires_rollup",
+    "ts_ohlc_bars",
+    "ts_resample_ffill",
+    "agg_ab_ttest",
 )
 
 # Round-10's window overflow mechanism (kept for the procedure doc): when

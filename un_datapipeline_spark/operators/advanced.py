@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.operators.dedup_extras import trigram_array
-from un_datapipeline_spark.tables import capped_text_sql, cents_sum, load_table
+from un_datapipeline_spark.tables import (
+    capped_text_sql,
+    cents_sum,
+    exact_double_sql,
+    load_table,
+)
 
 # ---------------------------------------------------------------------------
 # SCD2 snapshot maintenance
@@ -343,7 +348,10 @@ def stream_kafka_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hypertable-style multi-resolution rollup
 # ---------------------------------------------------------------------------
 
-_ROLLUP_ORACLE = """
+# VARCHAR round-trip + NO output ROUND (r12 magneg catalog): sum(cents)
+# is HUGEINT — its naked →DOUBLE conversion MIS-ROUNDS negatives past
+# 2^53 — and ROUND(x,2) is ill-defined once |total| ulp > 1e-2.
+_ROLLUP_ORACLE = f"""
 WITH base AS (
   SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
          CAST(round(value * 100) AS BIGINT) AS cents
@@ -353,15 +361,15 @@ SELECT '15min' AS grain,
        date_trunc('hour', ts) + INTERVAL 15 MINUTE
          * CAST(floor(minute(ts) / 15) AS INT) AS bucket,
        event_type, count(*) AS n,
-       ROUND(sum(cents) / 100.0, 2) AS total
+       {exact_double_sql("sum(cents)")} / 100.0 AS total
 FROM base GROUP BY bucket, event_type
 UNION ALL
 SELECT '1hour', date_trunc('hour', ts), event_type, count(*),
-       ROUND(sum(cents) / 100.0, 2)
+       {exact_double_sql("sum(cents)")} / 100.0
 FROM base GROUP BY 2, 3
 UNION ALL
 SELECT '1day', date_trunc('day', ts), event_type, count(*),
-       ROUND(sum(cents) / 100.0, 2)
+       {exact_double_sql("sum(cents)")} / 100.0
 FROM base GROUP BY 2, 3
 """
 
@@ -405,7 +413,10 @@ def ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "event_type",
             "n",
-            F.round(F.col("cents") / 100.0, 2).alias("total"),
+            # unrounded (see oracle note): ill-defined ROUND at wide
+            # magnitudes; the single division matches the oracle's
+            # VARCHAR-converted sum bit-for-bit
+            (F.col("cents") / 100.0).alias("total"),
         )
 
     return (

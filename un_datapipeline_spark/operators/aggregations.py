@@ -667,8 +667,13 @@ WITH m AS (
     (SELECT ss FROM m WHERE event_type = 'click')    AS ss2
 )
 SELECT n1, n2,
-       ROUND(s1 / (100.0 * n1), 6) AS mean_a,
-       ROUND(s2 / (100.0 * n2), 6) AS mean_b,
+       -- unrounded means (r12 magneg catalog): ROUND(x,6) is
+       -- ill-defined once |mean| ulp > 1e-6 (a striped 1e13 value
+       -- moves a group mean to ~3e11 where the two engines picked
+       -- different nearest doubles); the raw division of the exact
+       -- BIGINT moment is bit-identical on both engines
+       s1 / (100.0 * n1) AS mean_a,
+       s2 / (100.0 * n2) AS mean_b,
        ROUND((CAST(CAST(ss1 AS VARCHAR) AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
              / ((n1 - 1) * 10000.0), 6) AS var_a,
        ROUND((CAST(CAST(ss2 AS VARCHAR) AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
@@ -733,8 +738,9 @@ def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "n1",
         "n2",
-        F.round(mean_a, 6).alias("mean_a"),
-        F.round(mean_b, 6).alias("mean_b"),
+        # unrounded (see oracle note): ill-defined ROUND at wide means
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
         F.round(var_a, 6).alias("var_a"),
         F.round(var_b, 6).alias("var_b"),
         F.round(

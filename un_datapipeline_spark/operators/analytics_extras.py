@@ -369,7 +369,11 @@ SELECT event_type, CAST(hour AS TIMESTAMP) AS hour,
        max(cents) / 100.0 AS high,
        min(cents) / 100.0 AS low,
        max(CASE WHEN rd = 1 THEN cents END) / 100.0 AS close,
-       sum(cents) / 100.0 AS volume,
+       -- VARCHAR round-trip (r12 magneg catalog): sum(cents) is HUGEINT
+       -- and the naked →DOUBLE conversion mis-rounds negatives past
+       -- 2^53; open/high/low/close are single cents values — exactly
+       -- representable by construction, plain division is safe
+       CAST(CAST(sum(cents) AS VARCHAR) AS DOUBLE) / 100.0 AS volume,
        CAST(count(*) AS BIGINT) AS n_events
 FROM base GROUP BY 1, 2
 """

@@ -14,7 +14,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table, valid_ts, valid_ts_sql
+from un_datapipeline_spark.tables import (
+    exact_double_sql,
+    load_table,
+    valid_ts,
+    valid_ts_sql,
+)
 
 _RESAMPLE_ORACLE = f"""
 WITH ev AS (SELECT * FROM events WHERE {valid_ts_sql()}),
@@ -26,16 +31,20 @@ spine AS (
 ), types AS (SELECT DISTINCT event_type FROM ev),
 grid AS (SELECT hour, event_type FROM spine CROSS JOIN types),
 hourly AS (
+  -- VARCHAR round-trip (r12 magneg catalog): the hourly Σcents is
+  -- HUGEINT and its naked →DOUBLE conversion mis-rounds negatives
+  -- past 2^53; no output ROUND — ill-defined once |avg| ulp > 1e-6
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
-         sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)) AS avg_val
+         {exact_double_sql("sum(CAST(round(value * 100) AS BIGINT))")}
+           / (100.0 * count(*)) AS avg_val
   FROM ev GROUP BY hour, event_type
 )
 SELECT g.event_type, g.hour,
        CAST(h.avg_val IS NULL AS INT) AS gap_filled,
-       ROUND(coalesce(h.avg_val,
+       coalesce(h.avg_val,
              last_value(h.avg_val IGNORE NULLS) OVER (
                PARTITION BY g.event_type ORDER BY g.hour
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 6) AS val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS val
 FROM grid g LEFT JOIN hourly h ON g.hour = h.hour AND g.event_type = h.event_type
 """
 
@@ -80,8 +89,11 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour",
         F.col("avg_val").isNull().cast("int").alias("gap_filled"),
-        F.round(
-            F.coalesce("avg_val", F.last("avg_val", ignorenulls=True).over(w)), 6
+        # unrounded (see oracle note): ill-defined ROUND at wide
+        # magnitudes; both engines divide the identically-converted
+        # exact hourly sum once
+        F.coalesce(
+            "avg_val", F.last("avg_val", ignorenulls=True).over(w)
         ).alias("val"),
     )
 

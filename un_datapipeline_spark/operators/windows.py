@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from un_datapipeline_spark.registry import register
-from un_datapipeline_spark.tables import load_table
+from un_datapipeline_spark.tables import exact_double_sql, load_table
 
 _RANK_ORACLE = """
 SELECT o_custkey, o_orderkey, o_totalprice,
@@ -146,10 +146,15 @@ def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SLIDING_ORACLE = """
+# VARCHAR round-trip + NO output ROUND (r12 magneg catalog): the window
+# sum is HUGEINT whose naked →DOUBLE conversion MIS-ROUNDS negative
+# values past 2^53, and ROUND(x,6) is ill-defined once |avg| ulp > 1e-6
+# (tables.exact_double_sql doctrine).  The unrounded division of the
+# identically-converted sum is bit-identical on both engines.
+_SLIDING_ORACLE = f"""
 SELECT event_id, user_id,
-       ROUND(sum(CAST(round(value * 100) AS BIGINT)) OVER w
-             / (100.0 * count(*) OVER w), 6) AS mov_avg
+       {exact_double_sql("sum(CAST(round(value * 100) AS BIGINT)) OVER w")}
+             / (100.0 * count(*) OVER w) AS mov_avg
 FROM events
 WINDOW w AS (PARTITION BY user_id
              ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
@@ -178,8 +183,11 @@ def win_sliding_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.round(
-            F.sum(cents).over(w) / (100.0 * F.count(F.lit(1)).over(w)), 6
+        # unrounded (see oracle note): exact long window-sum → double
+        # once, then one division — identical on both engines at any
+        # surviving magnitude
+        (
+            F.sum(cents).over(w) / (100.0 * F.count(F.lit(1)).over(w))
         ).alias("mov_avg"),
     )
 
