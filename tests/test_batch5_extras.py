@@ -36,9 +36,12 @@ def test_bucketed_join_is_shuffle_free(spark, sf_smoke):
     # run the op (writes the bucketed tables and proves result parity via
     # its oracle elsewhere); at smoke scale Catalyst picks broadcast, so
     # force the merge path to exercise the bucketed-layout guarantee
+    from un_datapipeline_spark.operators.sources import bucketed_table_names
+
     sink_bucketed_write(spark, sf_smoke).collect()
-    cb = spark.table("bk_customer").hint("merge")
-    ob = spark.table("bk_orders")
+    bk_customer, bk_orders = bucketed_table_names()
+    cb = spark.table(bk_customer).hint("merge")
+    ob = spark.table(bk_orders)
     j = cb.join(ob, cb.c_custkey == ob.o_custkey)
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan

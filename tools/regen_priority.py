@@ -83,6 +83,13 @@ FORCE_REFRESH: tuple[str, ...] = (
     "ts_ohlc_bars",
     "ts_resample_ffill",
     "agg_ab_ttest",
+    # harness-robustness edit (code-only, oracle unchanged): bucketed
+    # tables renamed per-process so concurrent harness runs cannot
+    # collide in the shared spark-warehouse (the r12 sweep flake):
+    "sink_bucketed_write",
+    "ts_similarity_corr",        # same hourly-avg CTE as the fired
+    #                              ts_resample_ffill — input lane
+    #                              converted to the VARCHAR round-trip
 )
 
 # Round-10's window overflow mechanism (kept for the procedure doc): when

@@ -238,6 +238,23 @@ GROUP BY c.c_mktsegment
 """
 
 
+def bucketed_table_names() -> tuple[str, str]:
+    """Process-unique names for the bucketed tables.
+
+    Two harness processes running sink_bucketed_write concurrently (a
+    sweep and pytest, or two sweeps) share the repo-level
+    spark-warehouse dir: with fixed names the loser dies with
+    TASK_WRITE_FAILED mid-overwrite (round-12 flake, --nulls sweep vs
+    --magnitude sweep).  A pid suffix gives every process its own
+    catalog entries and warehouse dirs; stale dirs from dead processes
+    are tiny (test-scale tables), git-ignored, and never collide again
+    — deliberately NOT cleaned opportunistically, which would just
+    reintroduce the race against a live process."""
+    import os
+
+    return f"bk_customer_{os.getpid()}", f"bk_orders_{os.getpid()}"
+
+
 @register("sink_bucketed_write", oracle=_BUCKETED_ORACLE, tier="T1")
 def sink_bucketed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-table layout: customer and orders both written
@@ -252,31 +269,34 @@ def sink_bucketed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     query and never shuffling it again."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    spark.sql("DROP TABLE IF EXISTS bk_customer")
-    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    bk_customer, bk_orders = bucketed_table_names()
+    spark.sql(f"DROP TABLE IF EXISTS {bk_customer}")
+    spark.sql(f"DROP TABLE IF EXISTS {bk_orders}")
     # a fresh session's in-memory catalog doesn't know tables written by a
     # previous process, so DROP alone leaves their warehouse dirs behind —
     # saveAsTable then fails with LOCATION_ALREADY_EXISTS.  Clear them.
+    # (pid reuse across reboots can still alias a stale dir to a new
+    # process, so the own-name rmtree stays.)
     import shutil
     from urllib.parse import urlparse
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for t in ("bk_customer", "bk_orders"):
+    for t in (bk_customer, bk_orders):
         shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     (
         c.write.mode("overwrite")
         .bucketBy(8, "c_custkey")
         .sortBy("c_custkey")
-        .saveAsTable("bk_customer")
+        .saveAsTable(bk_customer)
     )
     (
         o.write.mode("overwrite")
         .bucketBy(8, "o_custkey")
         .sortBy("o_custkey")
-        .saveAsTable("bk_orders")
+        .saveAsTable(bk_orders)
     )
-    cb = spark.table("bk_customer")
-    ob = spark.table("bk_orders")
+    cb = spark.table(bk_customer)
+    ob = spark.table(bk_orders)
     price_c = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         cb.join(ob, cb.c_custkey == ob.o_custkey)

@@ -98,10 +98,16 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CORR_ORACLE = """
+# hourly v rides the VARCHAR round-trip (r12): identical CTE shape to
+# ts_resample_ffill, which FIRED on the magneg corpus — here the 2-ulp
+# input shift was only absorbed by the final ROUND(corr, 5), i.e. one
+# unlucky boundary away from a mismatch, so the input lane is converted
+# rather than left to luck.
+_CORR_ORACLE = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
-         sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)) AS v
+         {exact_double_sql("sum(CAST(round(value * 100) AS BIGINT))")}
+           / (100.0 * count(*)) AS v
   FROM events GROUP BY hour, event_type
 )
 SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -163,8 +163,14 @@ def cents_col(col: str = "value"):
 
 
 def cents_sum(col: str = "value"):
-    """Order-independent exact Σcents as DECIMAL(38,0) — divide by 100.0
-    at the output edge (``/ 100.0`` → double on both engines)."""
+    """Order-independent exact Σcents as DECIMAL(38,0).
+
+    Output edge: on the DuckDB side a possibly-NEGATIVE sum that can
+    pass 2^53 must go through :func:`exact_double_sql` BEFORE any float
+    math INCLUDING ``/ 100.0`` — the naked HUGEINT/DECIMAL→DOUBLE
+    conversion mis-rounds negatives (round-12 magneg catalog; the r11
+    "division is safe" note was validated on positives only).  Bounded
+    or sign-safe sums may divide directly."""
     return F.sum(cents_col(col).cast("decimal(38,0)"))
 
 
@@ -245,10 +251,17 @@ def exact_double_sql(expr: str) -> str:
     Two DuckDB promotion traps make naive float math in an oracle
     diverge from Spark (both probed, round 11):
 
-    * ``CAST(hugeint AS DOUBLE)`` TRUNCATES toward zero instead of
-      rounding to nearest (``CAST(bigint AS DOUBLE)`` rounds correctly)
-      — and every ``sum(BIGINT)`` is HUGEINT, so any Σcents feeding a
-      division silently takes the truncating path once it passes 2^53.
+    * ``CAST(hugeint_or_wide_decimal AS DOUBLE)`` MIS-ROUNDS NEGATIVE
+      values that need rounding (positives convert correctly — refined
+      by the round-12 magneg probe: ~1.6% of random negative wide ints
+      land on the wrong neighbor, e.g. -39454012720366565 → …560 where
+      IEEE-nearest is …568).  Every ``sum(BIGINT)`` is HUGEINT, so ANY
+      possibly-negative Σcents feeding float math — including the
+      ``/ 100.0`` output division, which converts first — takes the
+      mis-rounding path once |Σ| passes 2^53.  (A single
+      ``round(v*100)`` cents value is exactly representable BY
+      CONSTRUCTION even past 2^53 — it is the integer value of an
+      integer-valued double — so only group SUMS/products expose this.)
     * ``int_expr * 1.0`` promotes to DECIMAL and the whole expression
       evaluates EXACTLY, then rounds once at the end — a more accurate
       answer than Spark's convert-early double math, i.e. a mismatch.
