@@ -512,6 +512,16 @@ MAGNITUDE_OPS = [
     "win_match_recognize",      # ARITHMETIC_OVERFLOW variant of the same
     "stream_stateful_running",  # the streaming value path rides the same
     #                             normalize_events_value helper
+    # round-12 magneg class (the unlucky-negative pair whose Σcents
+    # mis-rounds under DuckDB's naked HUGEINT/DECIMAL→DOUBLE conversion;
+    # each fired on the corpus before its VARCHAR round-trip landed):
+    "ts_multires_rollup",       # Σ/100.0 output shape
+    "win_sliding_range",        # windowed Σ / (100·n) + ill-defined
+    #                             ROUND(,6) dropped
+    "agg_ab_ttest",             # mean lane's ill-defined ROUND dropped
+    # round-12 .5-ulp stripes (0.0049999999999999994 / -0.125):
+    "udf_map_arrow",            # pyarrow pc.round half_to_even default
+    "udf_grouped_map",          # shared cents_np half-away kernel
 ]
 
 
