@@ -90,6 +90,12 @@ FORCE_REFRESH: tuple[str, ...] = (
     "ts_similarity_corr",        # same hourly-avg CTE as the fired
     #                              ts_resample_ffill — input lane
     #                              converted to the VARCHAR round-trip
+    # post-seal straggler fix (code-only, oracle unchanged): the bigdoc
+    # per-op timing catalog caught the outer-expression-in-HOF-lambda
+    # trap (split re-evaluated per element, O(len²)/doc) — bigrams now
+    # come from the linear ngram_array build; semantics unchanged but
+    # the bigram expression is new code, so the old stamp is void:
+    "llm_repetition_flags",
 )
 
 # Round-10's window overflow mechanism (kept for the procedure doc): when

@@ -77,21 +77,30 @@ def llm_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds the Gopher rules use for removal.
 
     Scale shape: the bigram stats are pure per-row array expressions
-    (transform/array_distinct — whole-stage codegen, zero shuffle); the
-    top-word count is one explode keyed by doc_id, partial-aggregated.
-    No corpus-wide state anywhere, so the pass is embarrassingly
-    parallel at any scale."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    bgs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    (shifted-slice zip_with via ngram_array — whole-stage codegen, zero
+    shuffle); the top-word count is one explode keyed by doc_id,
+    partial-aggregated.  No corpus-wide state anywhere, so the pass is
+    embarrassingly parallel at any scale.
+
+    Round-12 straggler fix: the original bigram build was
+    ``transform(sequence(1, size-1), i -> concat_ws(element_at(toks, i),
+    element_at(toks, i+1)))`` with ``toks = split(text)`` — the exact
+    outer-expression-in-HOF-lambda trap ngram_array's docstring
+    documents: the split re-evaluates PER ELEMENT, O(len²) per document
+    (measured: ONE 80k-word doc held the --bigdoc sweep for >10 min;
+    this op was in the round-10 catalog's never-ran tail).  Tokens are
+    now materialized once and the bigrams come from the linear
+    ngram_array build; text stays UNCAPPED deliberately — Gopher flags
+    are whole-document semantics."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    # NULL text → NULL toks: keep the empty-array contract (both engines
+    # report 0 bigrams for a NULL document, r9 nulls class)
+    bgs = F.when(F.size(toks) >= 2, ngram_array(toks, 2)).otherwise(
+        F.array().cast("array<string>")
+    )
     bstats = d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
