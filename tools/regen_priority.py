@@ -96,6 +96,11 @@ FORCE_REFRESH: tuple[str, ...] = (
     # come from the linear ngram_array build; semantics unchanged but
     # the bigram expression is new code, so the old stamp is void:
     "llm_repetition_flags",
+    # same trap-class audit, code-only, oracles unchanged: the measured
+    # explode-then-slice quadratic (16 s on the bigdoc catalog) and the
+    # latent per-WORD index-lambda variant:
+    "llm_doc_chunking",
+    "llm_bpe_pair_counts",
 )
 
 # Round-10's window overflow mechanism (kept for the procedure doc): when

@@ -499,7 +499,12 @@ def build_magnitude_dataset(d: str) -> None:
     for pos, v in zip(neg_donor, (-9e15, -2364307462569266.5)):
         ev.loc[ev.index[pos], "value"] = v
         ev.loc[ev.index[pos], "event_type"] = "magneg"
-        ev.loc[ev.index[pos], "user_id"] = 99980000 + pos
+        # SHARED user_id (round-12 grain extension): with one fictional
+        # user owning exactly the pair, per-user Σcents IS the unlucky
+        # sum, so user-grain lanes exercise the negative-cast doctrine
+        # too (they previously saw only single exactly-representable
+        # values — the r12 stripe was (type, day, hour)-grain only).
+        ev.loc[ev.index[pos], "user_id"] = 99980000
     ev.loc[ev.index[neg_donor[1]], "ts"] = ev.loc[ev.index[neg_donor[0]], "ts"]
     pq.write_table(
         pa.Table.from_pandas(

@@ -893,19 +893,36 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (doc_id, chunk_id) with an md5 fingerprint of the chunk text.
     Pure Column math (sequence + posexplode-free slice per start), so
     chunking 100 TB is a single stateless scan with ~len/stride output
-    amplification and zero shuffles."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    amplification and zero shuffles.
+
+    Round-12 linearization: the previous shape exploded the start
+    indices FIRST and sliced the array column after — every exploded
+    row materializes its own copy of the full token array (the
+    documented explode-then-slice trap, ngram_array docstring), so one
+    80k-token doc paid len/40 × len element copies (measured 16 s on
+    the bigdoc catalog).  The chunk structs are now built INSIDE a
+    transform over the starts — `toks` in the lambda body is a bound
+    row reference (O(1) to read, never re-evaluated) and each slice
+    copies only its 50 elements, so the per-doc cost is ~2.5× len."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(40))
-    chunk = F.slice(F.col("toks"), F.col("start"), 50)
-    return (
-        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("start"))
-        .select(
-            "doc_id",
-            ((F.col("start") - 1) / 40).cast("long").alias("chunk_id"),
-            F.size(chunk).cast("long").alias("n_tokens"),
-            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
-        )
+
+    def chunk(s):
+        return F.slice(toks, s, 50)
+
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / 40).cast("long").alias("chunk_id"),
+            F.size(chunk(s)).cast("long").alias("n_tokens"),
+            F.md5(F.array_join(chunk(s), " ")).alias("chunk_md5"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_md5"
     )
 
 

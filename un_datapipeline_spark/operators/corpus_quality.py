@@ -475,14 +475,16 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(F.explode(F.split("text", " ")).alias("w"))
-    cs = F.split("w", "")
+    # Linear shifted-slice pair build (round-12 trap-class audit): the
+    # previous transform(sequence(1, length-1), i -> concat(element_at(
+    # cs, i), ...)) referenced the outer split expression INSIDE the
+    # lambda, re-evaluating it per element — O(len²) per WORD.  Harmless
+    # on prose (words are short) but a single unbroken 64 KB "word"
+    # would quadratically stall exactly like the llm_repetition_flags
+    # straggler this round's catalog caught.  ngram_array slices the
+    # split result as ordinary once-per-row arguments instead.
     pairs = words.filter(F.length("w") >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("w") - 1),
-                lambda i: F.concat(F.element_at(cs, i), F.element_at(cs, i + 1)),
-            )
-        ).alias("pair")
+        F.explode(ngram_array(F.split("w", ""), 2, sep="")).alias("pair")
     )
     return (
         pairs.groupBy("pair")
