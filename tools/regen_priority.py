@@ -101,6 +101,12 @@ FORCE_REFRESH: tuple[str, ...] = (
     # latent per-WORD index-lambda variant:
     "llm_doc_chunking",
     "llm_bpe_pair_counts",
+    # BOTH lanes rewritten (highest risk of this wave — oracle text
+    # changed): pair build was a position-band self-join on doc_id
+    # (quadratic per doc on both engines — >10 min Spark / 460 s DuckDB
+    # for one 80k-token doc); now shifted-slice zips Spark-side and
+    # parallel-unnest bound slices oracle-side:
+    "llm_pmi_collocations",
 )
 
 # Round-10's window overflow mechanism (kept for the procedure doc): when

@@ -434,22 +434,34 @@ _PMI_MIN_PAIR = 5
 _PMI_TOPK = 25
 
 _PMI_ORACLE = f"""
-WITH toks AS (
-  -- correlated LATERAL, not a fixed-bound JOIN series (round-10 bigdoc
-  -- full-registry sweep: a 200-token cap silently truncated big docs
-  -- on the oracle side only).  Element ACCESS words[i] is linear in
-  -- DuckDB; only list SLICES copy per row.
-  SELECT doc_id, g.i AS pos, words[g.i + 1] AS w
-  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words,
-               len(string_split(lower(text), ' ')) AS n
-        FROM documents) d,
-  LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g
+WITH docs AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(words) AS w FROM docs
 ), pairs AS (
-  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c_ab
-  FROM toks a JOIN toks b
-    ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
-  WHERE a.w < b.w
-  GROUP BY a.w, b.w HAVING count(*) >= {_PMI_MIN_PAIR}
+  -- Parallel unnest of two BOUND shifted slices per offset k — the
+  -- zip-of-shifted-slices doctrine (tables.ngram_zip_sql), linear per
+  -- document.  NOT a positional self-join on doc_id (the equality key
+  -- makes DuckDB hash-join on doc_id and band-FILTER token² pairs per
+  -- document: 460 s for ONE 80k-token doc on the round-12 bigdoc
+  -- catalog; IEJoin only applies to pure-inequality conditions), and
+  -- NOT a correlated LATERAL index enumeration either (the lateral row
+  -- carries a COPY of the list column per generated row — the same
+  -- catalog measured the plain toks LATERAL at 163 s; element access
+  -- is cheap but the carried list is not).  WHERE n > k keeps slice
+  -- bounds positive: a non-positive end index would wrap to DuckDB's
+  -- from-the-end indexing and emit spurious unpaired tokens.
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM (
+    SELECT unnest(words[1 : n - kk.k]) AS w1,
+           unnest(words[1 + kk.k : n]) AS w2
+    FROM docs CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) kk
+    WHERE n > kk.k
+  )
+  WHERE w1 < w2
+  GROUP BY w1, w2 HAVING count(*) >= {_PMI_MIN_PAIR}
 ), uni AS (
   SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
 ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
@@ -477,27 +489,40 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding an ORDER BY are where 1 ulp changes membership, so no float
     is allowed anywhere near the sort).
 
-    Scale shape: tokens explode ×window (bounded ×3 pairs per token via
-    the position-band self-join keyed on doc_id), pair counting is one
-    hash agg, unigram joins hit small aggregated sides, and the top-k is
+    Scale shape: co-occurrence pairs are built PER ROW as three
+    shifted-slice zip_withs (offsets 1..3) over the materialized token
+    array — O(3·len) per document — then one hash agg on the
+    vocabulary-bounded (w1, w2) key.  NOT a position-band self-join on
+    doc_id: that shape hash-partitions on doc_id and evaluates the band
+    condition for every token², so ONE 80k-token document is a 6.4e9-
+    comparison straggler task (measured on the round-12 bigdoc catalog;
+    the same hot-key mechanism as llm_dedup_fuzzy_edit's r11 rewrite).
+    Unigram joins hit small aggregated sides and the top-k is
     TakeOrdered.  The min-count floor ({_PMI_MIN_PAIR}) bounds the pair
     table exactly like llm_dedup_ngram_jaccard's df-cap bounds
     shingles."""
-    d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.col("text")), " ")
-    toks = d.select(
-        "doc_id", F.posexplode(words).alias("pos", "w")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
     )
-    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("w").alias("w1"))
-    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("w").alias("w2"))
-    pairs = (
-        a.join(
-            b,
-            (a.doc_id == b.doc_id)
-            & (F.col("pb") > F.col("pa"))
-            & (F.col("pb") <= F.col("pa") + 3)
-            & (F.col("w1") < F.col("w2")),
+    tarr = F.col("toks")
+    toks = d.select("doc_id", F.posexplode(tarr).alias("pos", "w"))
+
+    def offset_pairs(k: int):
+        ln = F.greatest(F.size(tarr) - k, F.lit(0))
+        return F.zip_with(
+            F.slice(tarr, 1, ln),
+            F.slice(tarr, k + 1, ln),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
         )
+
+    pairs = (
+        d.select(
+            F.explode(
+                F.concat(offset_pairs(1), offset_pairs(2), offset_pairs(3))
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter(F.col("w1") < F.col("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= _PMI_MIN_PAIR)
