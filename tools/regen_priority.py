@@ -107,6 +107,10 @@ FORCE_REFRESH: tuple[str, ...] = (
     # for one 80k-token doc); now shifted-slice zips Spark-side and
     # parallel-unnest bound slices oracle-side:
     "llm_pmi_collocations",
+    # rows-only, code-only: MAX_GRAM_DF cap on the fingerprint h-join
+    # (the one remaining uncapped gram-equality self-join in the dedup
+    # family — df² bucket growth at corpus scale):
+    "llm_doc_fingerprint",
 )
 
 # Round-10's window overflow mechanism (kept for the procedure doc): when

@@ -288,7 +288,25 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~6%) feeds THREE branches (per-doc counts and both pair-join
     # sides); materialize the post-filter sample once so the shingle
     # explosion runs once, not per branch.
-    fp = _fingerprints(d).localCheckpoint(
+    from un_datapipeline_spark.operators.dedup_extras import MAX_GRAM_DF
+
+    raw = _fingerprints(d)
+    # df-cap before the self-join (round-12 scale audit — the same
+    # MAX_GRAM_DF contract every gram-equality join in the dedup family
+    # carries): a boilerplate fingerprint present in df documents
+    # contributes df² rows to the h-join bucket, unbounded at corpus
+    # scale.  Dropping h with df > MAX_GRAM_DF on BOTH the pair sides
+    # AND the per-doc counts keeps `shared == n_fp` consistent over the
+    # surviving sample; boilerplate hashes carry no containment signal
+    # (a doc whose every fingerprint is boilerplate leaves the candidate
+    # set — the documented MAX_GRAM_DF trade, dedup_extras.py:59).
+    hot = (
+        raw.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_GRAM_DF)
+        .select("h")
+    )
+    fp = raw.join(F.broadcast(hot), "h", "left_anti").localCheckpoint(
         storageLevel=StorageLevel.DISK_ONLY
     )
     counts = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
