@@ -522,6 +522,13 @@ MAGNITUDE_OPS = [
     # round-12 .5-ulp stripes (0.0049999999999999994 / -0.125):
     "udf_map_arrow",            # pyarrow pc.round half_to_even default
     "udf_grouped_map",          # shared cents_np half-away kernel
+    # round-12 user-grain extension: the magneg pair now SHARES one
+    # user_id (99980000), so per-user lanes see the unlucky Σcents too
+    # — the full-registry sweep on the extended corpus was CLEAN (no
+    # user-grain oracle converts a wide negative Σ without the VARCHAR
+    # round-trip); this rep pins the per-user cumulative-cents window
+    # crossing the pair:
+    "win_running_sum",
 ]
 
 
