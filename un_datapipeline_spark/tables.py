@@ -232,8 +232,15 @@ def ngram_zip_sql(arr: str, n: str, k: int = 8, var: str = "t") -> str:
 
     The LATERAL ``array_to_string(arr[i:i+k-1])`` form copies an O(len)
     list slice per generated row — quadratic per document, 167 s for ONE
-    520 KB document (round-10 bigdoc probe).  Zipping k bound slices
-    builds every gram in one linear pass with identical output.  ``arr``
+    520 KB document (round-10 bigdoc probe).  Round-12 refinement: even
+    ELEMENT access can go quadratic when the LATERAL correlates on a
+    PRECOMPUTED length COLUMN of the list-bearing row (decorrelation
+    fails and the plan carries a copy of the list per generated row —
+    162 s vs 0.0 s for the identical query computing ``len(list)``
+    INSIDE the lateral; probed on the bigdoc corpus, see
+    llm_pmi_collocations).  Zipping k bound slices — or parallel unnest
+    of bound shifted slices — builds every gram in one linear pass with
+    identical output and no planner cliff.  ``arr``
     is the token-array column, ``n`` its length column; renders a
     ``list_transform(list_zip(...), ...)`` whose elements are the
     space-joined k-grams.  Callers guard with ``WHERE n >= k``.
