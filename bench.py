@@ -149,12 +149,24 @@ ORDER BY revenue DESC
 """)
 
 
+# Round-12 limit-through-window pushdown (guide §2.4 "don't compute
+# things you throw away"): the final ORDER BY o_custkey, rn LIMIT 100
+# can only ever surface custkeys at or below the 100th smallest DISTINCT
+# o_custkey — every custkey contributes at least one row (rn=1), so >=100
+# rows from smaller custkeys precede any row of a later custkey.  The
+# threshold pre-filter keeps EVERY row of each surviving custkey, so each
+# window partition is complete and row_number assignment inside it is
+# unchanged (verified row-for-row identical vs the unfiltered text at
+# sf0.1, tools/exp_r12.py).  Plan: full 150k-row single-task sort +
+# WindowGroupLimit -> a TakeOrdered threshold probe + a ~1k-row window.
 topk_per_group_window = _sql("""
+WITH ck AS (SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 100)
 SELECT o_custkey, o_orderkey, o_totalprice, rn
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
   FROM orders
+  WHERE o_custkey <= (SELECT max(o_custkey) FROM ck)
 )
 WHERE rn <= 3
 ORDER BY o_custkey, rn
@@ -162,20 +174,50 @@ LIMIT 100
 """)
 
 
+# Round-12 limit-through-window pushdown, full-group form: the top-100
+# rows under ORDER BY (l_orderkey, l_linenumber) all carry one of the 100
+# smallest l_orderkey values (counting multiplicity), so filtering to
+# l_orderkey <= that threshold keeps EVERY row of every candidate order —
+# each window partition stays complete, the running sum accumulates the
+# identical row sequence, and the final TakeOrdered picks the identical
+# 100 rows.  NOTE (l_orderkey, l_linenumber) is NOT unique in this corpus
+# (118k dup pairs), so an exact-100 pre-limit would pick different tied
+# rows; the orderkey-threshold form is the tie-safe one — verified
+# bitwise-identical to the unfiltered text at widths 1 and 8
+# (tools/exp2_r12.py).  Plan: 600k-row shuffle + full window -> one
+# TakeOrdered threshold probe + a ~400-row window.
 running_sum_window = _sql("""
+WITH t AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice
+  FROM lineitem
+  WHERE l_orderkey <= (
+    SELECT max(l_orderkey)
+    FROM (SELECT l_orderkey FROM lineitem ORDER BY l_orderkey LIMIT 100)
+  )
+)
 SELECT l_orderkey, l_linenumber,
        sum(l_extendedprice) OVER (
          PARTITION BY l_orderkey ORDER BY l_linenumber
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev
-FROM lineitem
+FROM t
 ORDER BY l_orderkey, l_linenumber
 LIMIT 100
 """)
 
 
+# Round-12 two-level rollup (guide §2.3 "aggregate before you shuffle"):
+# GROUP BY ROLLUP expands every input row 3x (one copy per grouping set)
+# BEFORE the partial aggregate — 600k rows become 1.8M aggregate inputs.
+# Aggregating to the (flag, status) grain first (~6 rows) and rolling up
+# THAT is the standard decomposition; sums stay bitwise-identical because
+# l_quantity is integer-valued (max 50, total 1.5e7 << 2^53: every
+# partial in either order is an exact integer-valued double).  Verified
+# row-for-row identical at sf0.1 (tools/exp3_r12.py).  At 100 TB this is
+# also the right shape: the rollup's Expand never sees the fact table.
 rollup_agg = _sql("""
-SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq
-FROM lineitem
+SELECT l_returnflag, l_linestatus, sum(sq) AS sq
+FROM (SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq
+      FROM lineitem GROUP BY l_returnflag, l_linestatus)
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """)
@@ -195,10 +237,20 @@ LIMIT 200
 # from_json and JsonPath get_json_object: measured best-of-5 at sf0.1
 # variant 0.42s / from_json 0.55s / get_json_object 1.12s.  (A regex
 # extraction clocks 0.21s but isn't JSON parsing — not used.)
+# Round-12: the parse runs inside the partial-aggregate stage, i.e. on
+# the SCAN's parallelism — and every testdata parquet file is a single
+# row group, so the 100k parse_json calls ran on ONE task while 31 cores
+# idled.  REPARTITION(8) moves the parse behind a cheap ~4 MB round-robin
+# exchange onto 8 tasks (guide §2.5 "input skew: one huge unsplittable
+# file ... repartition immediately after the read").  avg over ints is an
+# exact long sum + one division, so the result is partition-order-proof
+# (verified identical, tools/exp_r12.py).  At real scale files carry many
+# row groups and the scan parallelizes itself; the hint's cost stays one
+# narrow exchange.
 events_json_extract = _sql("""
 SELECT event_type,
        avg(variant_get(parse_json(props), '$.k', 'int')) AS avg_k
-FROM events
+FROM (SELECT /*+ REPARTITION(8) */ event_type, props FROM events)
 GROUP BY event_type
 ORDER BY event_type
 """)
@@ -261,16 +313,21 @@ LIMIT 100
 # job — at width 1 the sampler is skipped (no bounds needed) and e.g.
 # q1 drops from 2 jobs/5 stages to 1 job (interleaved best-of-5:
 # 9-query subtotal 3.01 s → 2.68 s).  Scan parallelism is unaffected
-# (maxPartitionBytes governs it).  The two 600k-row window queries and
-# the Arrow matmul keep width 8 (measured flat 8/16/32).  This is
+# (maxPartitionBytes governs it).  The Arrow matmul keeps width 8
+# (measured flat 8/16/32).  This is
 # test-scale sizing of the same knob the module already tunes globally;
 # a cluster run keeps the high default and lets AQE coalesce instead.
+# Round-12: the two window queries joined the width-1 group — their
+# limit-through-window rewrites shrink the window input to ~1k/~400 rows
+# (see the query comments), so an 8-wide reduce is pure dispatch overhead
+# there too.  Both rewrites verified width-insensitive bitwise (the
+# window partitions are complete per key at any width).
 REDUCE_WIDTH = {
     "q1_pricing_summary": 1,
     "q3_shipping_priority": 1,
     "q5_regional_revenue": 1,
-    "topk_per_group_window": 8,
-    "running_sum_window": 8,
+    "topk_per_group_window": 1,
+    "running_sum_window": 1,
     "rollup_agg": 1,
     "events_tumbling_1h": 1,
     "events_json_extract": 1,
@@ -427,11 +484,16 @@ def main() -> None:
     # re-optimization costs more than it saves (measured 0.35s vs 0.58s
     # per query).  Cluster/100 TB runs keep the factory default (on).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    # sf0.1 files are ~6 MB — under the default 128 MB split size every
-    # scan is one task on 32 idle cores.  1 MB splits → ~10-way parallel
-    # scans (measured 0.29s -> 0.19s on the lineitem agg).  At real scale
-    # the default (or larger) is correct; this is test-scale sizing.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    # Round-12 re-measurement: every current testdata parquet file is a
+    # SINGLE row group (pyarrow default 1M-row groups), so a parquet scan
+    # can never split below one task per file — the old 1 MB splits just
+    # dispatched ~10 empty tasks per lineitem scan (the one split
+    # containing the row-group start does all the work).  Measured q1
+    # best-of-7: 1m 0.246s / 4m 0.223s / 128m 0.227s (tools/exp_r12.py).
+    # 4m keeps a few splits per file should a future generation ship
+    # multiple row groups, without the empty-task overhead.  At real
+    # scale the default (or larger) is correct; this is test-scale sizing.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
     # Warm passes first (codegen, file listing, broadcasts, JIT), then
     # best-of-7 timed reps — every timed execution runs in a fully
     # warmed JVM.  THREE warm passes, not one (round 7): the warm-curve
