@@ -111,6 +111,24 @@ FORCE_REFRESH: tuple[str, ...] = (
     # (the one remaining uncapped gram-equality self-join in the dedup
     # family — df² bucket growth at corpus scale):
     "llm_doc_fingerprint",
+    # -- ROUND 12 OPTIMIZATION wave (code-only, oracles unchanged; every
+    # edit verified row-identical locally — strict mirror for the hash
+    # ops, pytest invariants for the rows-only ones):
+    "graph_degree_stats",        # _bipartite_edges dedups int pairs
+    #                              before building node strings (same
+    #                              rows, fewer shuffled bytes)
+    "graph_pagerank",            # edges/deg checkpointed once (was 4x/3x
+    #                              re-executed), static pre-partitioned,
+    #                              shuffle_hash iteration join
+    "graph_kcore",               # peel set materialized once per round
+    #                              (degree agg ran 2-3x per round)
+    "graph_triangle_count",      # degree table checkpointed (3 consumers)
+    "graph_local_clustering",    # same degree-table checkpoint
+    "llm_bpe_train",             # per-step stats fused into one pass
+    "llm_dedup_near_minhash",    # single shingling pass feeds signatures
+    #                              AND the Jaccard verifier; signature
+    #                              table checkpointed before band fan-out
+    "llm_neardup_cluster",       # same shared minhash pipeline
 )
 
 # Round-10's window overflow mechanism (kept for the procedure doc): when

@@ -27,16 +27,25 @@ from un_datapipeline_spark.tables import load_table
 
 
 def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct customer↔supplier edges, one row per direction."""
+    """Distinct customer↔supplier edges, one row per direction.
+
+    Round-12 (guide §2.3 "shuffle fewer bytes / narrower types"): the
+    distinct used to run on the CONCATENATED node strings, shuffling two
+    ~8-char strings per surviving lineitem row; deduplicating the raw
+    (custkey, suppkey) int64 pair first shuffles 16 fixed bytes per row
+    and builds the label strings only for the ~5x-smaller distinct set.
+    Same output rows by construction (concat after distinct = distinct
+    of concats; the int pair determines the string pair 1:1)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e = (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
-        .distinct()
     )
     return e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
@@ -88,14 +97,44 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     conservation invariant).  Rows-only: per-node sums are float
     accumulations whose last ulp depends on partition merge order.
     Returns the 20 highest-ranked nodes with their degrees."""
-    edges = _bipartite_edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    static = edges.join(deg, "src").persist()
+    # Round-12 (guide §1.2 "don't compute things you throw away"): the
+    # edge build is a fact-table join (lineitem ⋈ orders + distinct) and
+    # the OLD lineage ran it FOUR times — twice inside the persisted
+    # static relation (edges ⋈ deg(edges)), once for the rank init, once
+    # for the final degree join — and the degree aggregate three times.
+    # One eager checkpoint each makes every consumer read the
+    # materialized rows (with the shuffle_hash iteration hint below:
+    # measured solo at sf0.1, 102 s → 75 s; the remaining cost is the 10
+    # fixed iteration jobs).  At 100 TB the edge build IS the expensive
+    # pass, so running it once is the difference between 1 and 4
+    # fact-table shuffles.
+    edges = _bipartite_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    # Pre-partition the static relation by the per-iteration join key
+    # (guide §2.4 "two operations keyed the same way can share one
+    # exchange"): every iteration joins static on `src`, so persisting it
+    # already hash-partitioned lets the iteration reuse the layout
+    # instead of re-shuffling the (large) edge relation 10 times.  At
+    # test scale the rank side broadcasts and the exchange never appears;
+    # at cluster scale ranks ~ nodes outgrow the broadcast threshold and
+    # this becomes the shape that shuffles only the rank table.
+    static = edges.join(deg, "src").repartition("src").persist()
     try:
         ranks = deg.select("src", F.lit(1.0).alias("rank"))
         for _ in range(10):
+            # SHUFFLE_HASH on the rank side (guide §3.1): the checkpointed
+            # rank table has no size statistics, so the planner falls back
+            # to a sort-merge join that re-SORTS the static edge relation
+            # every iteration; hashing the (|nodes|-sized) rank side
+            # streams the pre-partitioned edges sort-free.  Per-partition
+            # build = nodes/partitions rows — the shape that holds at
+            # cluster scale where ranks outgrow any broadcast.
             contribs = (
-                static.join(ranks, "src")
+                static.join(ranks.hint("shuffle_hash"), "src")
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") / F.col("degree")).alias("mass"))
             )
@@ -294,11 +333,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # crowd execution memory
         .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
+    # Round-12: the degree table feeds three consumers (both orientation
+    # sides and the final stats/credit join); checkpointing it makes the
+    # union+aggregate over the edge list run once instead of three times.
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -529,11 +572,15 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         # crowd execution memory
         .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
+    # Round-12: the degree table feeds three consumers (both orientation
+    # sides and the final stats/credit join); checkpointing it makes the
+    # union+aggregate over the edge list run once instead of three times.
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -656,8 +703,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     while True:
         cur = edges
         for _ in range(30):
+            # Round-12: materialize the peel set ONCE per round.  The old
+            # loop ran the degree aggregate twice per round — once under
+            # the emptiness probe and again when the un-cached `bad`
+            # lineage re-executed inside the anti-join checkpoint (and a
+            # third time for the second anti-join side under it).  The
+            # eager checkpoint pins the aggregate's result so the probe
+            # and both anti-joins read materialized rows.
             deg = degrees(cur)
-            bad = deg.filter(F.col("d") < k).select("node")
+            bad = (
+                deg.filter(F.col("d") < k)
+                .select("node")
+                .localCheckpoint(eager=True)
+            )
             if bad.limit(1).count() == 0:
                 break
             cur = (

@@ -234,6 +234,43 @@ def _shingled(d: DataFrame) -> DataFrame:
     )
 
 
+def shingle_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, sh) — each doc's distinct shingle set, materialized.
+
+    Round-12 (guide §1.2 "don't compute things you throw away"): the
+    near-dedup pipeline used to shingle the corpus TWICE — once exploded
+    into the minhash aggregate and once re-collected for the Jaccard
+    verifier — and the shingling (64 KB-capped char 5-grams per doc) is
+    its most expensive stage.  Materializing the per-doc sets once lets
+    the signatures be derived WITHOUT re-shingling (array_min over a
+    transform — same 16 hash evaluations per shingle, no extra shuffle)
+    and the verifier join the same cached sets.  DISK_ONLY for the same
+    reason as the graph edge lists: shingle sets are corpus-sized."""
+    from pyspark.storagelevel import StorageLevel
+
+    return (
+        _shingled(d)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    )
+
+
+def _signatures_from_sets(sets: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Minhash signatures derived from materialized shingle sets — the
+    identical min-over-xxhash64 per doc, computed per-row instead of via
+    a second corpus shuffle."""
+    return sets.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("sh", lambda x, i=i: F.xxhash64(F.lit(i), x))
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+
+
 def minhash_signatures(d: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """One row per doc: minhash_i = min over shingles of xxhash64(i ∥ s).
 
@@ -254,7 +291,14 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     Bands hash to a single bucket key; the self-join runs per
     (band, bucket) group — never across the whole corpus — which is what
     keeps near-dedup sub-quadratic at scale.
+
+    Round-12: the signature table is checkpointed before fan-out — it is
+    referenced by every band projection AND both self-join sides, so an
+    un-materialized input (the full shingle+minhash lineage) used to
+    re-execute up to 8x through this function.  Signatures are 1 row x
+    16 longs per doc — negligible to pin at any scale.
     """
+    sigs = sigs.localCheckpoint(eager=True)
     n_bands = N_HASHES // BAND_SIZE
     bands = None
     for j in range(n_bands):
@@ -276,7 +320,10 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 
 def verify_candidates_jaccard(
-    d: DataFrame, candidates: DataFrame, threshold: float = JACCARD_THRESHOLD
+    d: DataFrame,
+    candidates: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact char-shingle Jaccard verification of LSH candidate pairs.
 
@@ -285,17 +332,19 @@ def verify_candidates_jaccard(
     gram-equality join, which would blow up on ubiquitous 5-grams like
     `' the '`.  Cost is O(|candidates| × avg_doc_len), distributed, and
     the candidate set is already sub-quadratic from the banding stage.
+    Pass `sets` (from :func:`shingle_sets`) to reuse a materialized set
+    table instead of re-shingling the corpus (round 12).
     """
-    shingle_sets = _shingled(d).groupBy("doc_id").agg(
+    sh = sets if sets is not None else _shingled(d).groupBy("doc_id").agg(
         F.collect_set("shingle").alias("sh")
     )
     return (
         candidates.join(
-            shingle_sets.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")),
+            sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")),
             "a",
         )
         .join(
-            shingle_sets.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")),
+            sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")),
             "b",
         )
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -321,8 +370,10 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical texts always collide in every band and verify at
     jaccard = 1.0) is asserted in the unit suite."""
     d = load_table(spark, sf_dir, "documents")
-    candidates = lsh_candidate_pairs(minhash_signatures(d))
-    return verify_candidates_jaccard(d, candidates).orderBy("a", "b")
+    # one shingling pass feeds both the signatures and the verifier
+    sets = shingle_sets(d)
+    candidates = lsh_candidate_pairs(_signatures_from_sets(sets))
+    return verify_candidates_jaccard(d, candidates, sets=sets).orderBy("a", "b")
 
 
 _ROUGE_ORACLE = """
@@ -424,8 +475,10 @@ def llm_neardup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures); the clone-clustering recall invariant is
     pytest-asserted like the other minhash ops."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    cands = lsh_candidate_pairs(minhash_signatures(d))
-    edges = verify_candidates_jaccard(d, cands).select("a", "b")
+    # one shingling pass feeds both the signatures and the verifier (r12)
+    sets = shingle_sets(d)
+    cands = lsh_candidate_pairs(_signatures_from_sets(sets))
+    edges = verify_candidates_jaccard(d, cands, sets=sets).select("a", "b")
     from un_datapipeline_spark.operators.advanced import connected_components
 
     labels = connected_components(edges)

@@ -581,7 +581,6 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps = []
     try:
         for step in range(1, 6):
-            arr = F.split("toks", " ")
             pairs = state.select(
                 F.explode(
                     F.expr(
@@ -608,18 +607,36 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "toks", f"(?<=^| ){pair}(?= |$)", merged
                 ).alias("toks"),
             ).persist()
-            stats = new_state.select(
-                F.sum(F.size(arr)).alias("n_syms")
-            ).collect()[0]
-            vocab = (
+            # Round-12: the per-step stats were TWO full corpus passes
+            # (Σ size(split) action + distinct-symbol count action); one
+            # exploded lane computes both in a single pass with identical
+            # values — count(*) over the exploded symbols equals
+            # Σ size(split) exactly (split never yields an empty array on
+            # non-null input, so explode drops nothing), and the distinct
+            # count skips empty symbols via the WHEN→NULL lane just as
+            # the old filter did.
+            stats = (
                 new_state.select(F.explode(F.split("toks", " ")).alias("s"))
-                .filter(F.col("s") != "")
-                .distinct()
-                .count()
+                .agg(
+                    F.count(F.lit(1)).alias("n_syms"),
+                    F.count_distinct(
+                        F.when(F.col("s") != "", F.col("s"))
+                    ).alias("vocab"),
+                )
+                .collect()[0]
             )
             state.unpersist()
             state = new_state
-            steps.append((step, pair, merged, int(cnt), int(stats["n_syms"]), int(vocab)))
+            steps.append(
+                (
+                    step,
+                    pair,
+                    merged,
+                    int(cnt),
+                    int(stats["n_syms"]),
+                    int(stats["vocab"]),
+                )
+            )
     finally:
         state.unpersist()
     return spark.createDataFrame(
