@@ -240,17 +240,20 @@ LIMIT 200
 # Round-12: the parse runs inside the partial-aggregate stage, i.e. on
 # the SCAN's parallelism — and every testdata parquet file is a single
 # row group, so the 100k parse_json calls ran on ONE task while 31 cores
-# idled.  REPARTITION(8) moves the parse behind a cheap ~4 MB round-robin
-# exchange onto 8 tasks (guide §2.5 "input skew: one huge unsplittable
-# file ... repartition immediately after the read").  avg over ints is an
-# exact long sum + one division, so the result is partition-order-proof
-# (verified identical, tools/exp_r12.py).  At real scale files carry many
-# row groups and the scan parallelizes itself; the hint's cost stays one
-# narrow exchange.
-events_json_extract = _sql("""
+# idled.  A REPARTITION hint moves the parse behind a cheap ~4 MB
+# round-robin exchange onto shuffle-width tasks (guide §2.5 "input skew:
+# one huge unsplittable file ... repartition immediately after the
+# read").  avg over ints is an exact long sum + one division, so the
+# result is partition-order-proof under ANY width (verified identical,
+# tools/exp_r12.py).  The width is the module's parameterised shuffle
+# knob, not a constant: a cluster run inherits its (high) width, where
+# the hint degenerates to one narrow exchange ahead of a scan that
+# already parallelizes via row groups.
+_EJ_WIDTH = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"))
+events_json_extract = _sql(f"""
 SELECT event_type,
        avg(variant_get(parse_json(props), '$.k', 'int')) AS avg_k
-FROM (SELECT /*+ REPARTITION(8) */ event_type, props FROM events)
+FROM (SELECT /*+ REPARTITION({_EJ_WIDTH}) */ event_type, props FROM events)
 GROUP BY event_type
 ORDER BY event_type
 """)
