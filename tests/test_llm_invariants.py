@@ -55,6 +55,26 @@ def test_minhash_signature_shape(spark, sf_smoke):
     assert len(sigs.columns) == 1 + N_HASHES
 
 
+def test_signatures_from_sets_match_aggregate_path(spark, sf_smoke):
+    """Round-12 optimization pin: the set-derived signature lane
+    (array_min over a transform on materialized shingle sets — the path
+    llm_dedup_near_minhash / llm_neardup_cluster now run) must be
+    value-identical to the original exploded-aggregate lane for every
+    doc and every hash index — same elements, same xxhash64, same min."""
+    from un_datapipeline_spark.operators.llm_text import (
+        _signatures_from_sets,
+        shingle_sets,
+    )
+
+    d = load_table(spark, sf_smoke, "documents")
+    via_agg = {r["doc_id"]: tuple(r)[1:] for r in minhash_signatures(d).collect()}
+    via_sets = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in _signatures_from_sets(shingle_sets(d)).collect()
+    }
+    assert via_agg == via_sets
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_t2):
     """IVF with n_probe=4 of 16 cells must recover a solid fraction of
     the exact nearest neighbors (random 64-d data is a hard case for
