@@ -165,16 +165,7 @@ def main() -> None:
     cos_base = lambda: bench.embeddings_cosine_topk(spark, SF)
     run_ab("cosine width1 (same plan)", cos_base, cos_base, 8, 1)
 
-    from un_datapipeline_spark.operators.llm_vectors import cosine_topk
     from un_datapipeline_spark.tables import load_table
-
-    def cos_aggpath():
-        em = load_table(spark, SF, "embeddings")
-        probes = em.filter(F.col("vec_id") < 100)
-        # reuse the kernel via cosine_topk with a huge k? no — inline the
-        # candidate stage by calling cosine_topk and replacing its window:
-        cand = cosine_topk.__wrapped__ if hasattr(cosine_topk, "__wrapped__") else None
-        raise SystemExit("unused")
 
     # k=1 max_by path: re-run kernel stage by hand
     import numpy as np
