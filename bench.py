@@ -9,6 +9,15 @@ Method mirrors BASELINE.md: one long-lived local[N] session, one warm-up
 execution per query (JIT/codegen/broadcast warm), then best-of-5 timed
 runs of `collect()`.  Query shapes are the BASELINE.md §SQL-1..12 texts.
 
+Round-12 change (optimization round; see OPTIMIZATION_r12.md): four
+queries were rewritten result-identically — limit-through-window
+threshold pushdowns (running_sum_window, topk_per_group_window), a
+two-level rollup (rollup_agg), and a REPARTITION ahead of the JSON
+parse (events_json_extract) — and maxPartitionBytes moved 1m → 4m
+(single-row-group files cannot split; 1 MB only dispatched empty
+tasks).  Every rewrite is verified row-for-row against the original
+text (tools/exp*_r12.py); methodology and output format unchanged.
+
 Round-6 change (drift-immunity): BASELINE.md's published totals were
 captured on a different box state and no longer reproduce — the same 12
 DuckDB texts measured 0.724 s this round vs the published 2.855 s (the
