@@ -290,7 +290,12 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explosion runs once, not per branch.
     from un_datapipeline_spark.operators.dedup_extras import MAX_GRAM_DF
 
-    raw = _fingerprints(d)
+    # Round-12 optimization: the fingerprint stream (shingle explosion +
+    # hash + mod-16 filter — the op's expensive stage) fed both the
+    # df-cap aggregate AND the anti-join left side, so it evaluated
+    # TWICE inside the fp materialization.  Checkpointing the ~6% sample
+    # once halves the heavy stage (solo sf0.1: 23.0 s → 13.7 s).
+    raw = _fingerprints(d).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     # df-cap before the self-join (round-12 scale audit — the same
     # MAX_GRAM_DF contract every gram-equality join in the dedup family
     # carries): a boilerplate fingerprint present in df documents
