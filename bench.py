@@ -18,6 +18,32 @@ parse (events_json_extract) — and maxPartitionBytes moved 1m → 4m
 tasks).  Every rewrite is verified row-for-row against the original
 text (tools/exp*_r12.py); methodology and output format unchanged.
 
+Round-13 change (VERDICT r12 item 1 — restore comparability): the
+DUCKDB_SQL side now runs THE SAME four rewritten shapes (threshold
+subqueries, two-level rollup, subquery ahead of the JSON parse), so
+``ratio_same_run`` again compares equal work on both engines.  The
+four BASELINE.md §SQL contract shapes are STILL measured every run —
+on both engines, unjudged — and reported under ``contract_shapes``,
+so full-table window/rollup execution stays covered (ADVICE r12).
+Equivalence of the mirrored DuckDB texts was verified row-for-row at
+sf0.001/0.01/0.1 for three of the four; running_sum_window's window
+order (l_orderkey, l_linenumber) is NOT unique, and the ORIGINAL
+DuckDB text is not even self-stable (two runs of the identical text
+return different tie-dependent running sums — measured), so for that
+query the verified bar is: identical key sequence, values differing
+only within window-peer tie order, on both texts (tools/exp_r13.py).
+
+Round-13 change (VERDICT r12 item 2 — scale-adaptive posture): the
+local-mode session twiddles (AQE off, REDUCE_WIDTH, 4 MB splits) are
+now SF-GATED on the input directory size: below ~256 MB of input the
+bench keeps the measured-local posture, above it every override is
+dropped (AQE on per the session factory, env/default shuffle width,
+default maxPartitionBytes) so a real-scale run measures the scalable
+configuration.  At sf0.1 (17 MB, single-row-group files: every scan
+is structurally ONE task) core-count scaling is floor-bound by
+construction — the measured floor analysis is committed at
+plans/r13/scaling_floor.md.
+
 Round-6 change (drift-immunity): BASELINE.md's published totals were
 captured on a different box state and no longer reproduce — the same 12
 DuckDB texts measured 0.724 s this round vs the published 2.855 s (the
@@ -258,14 +284,27 @@ LIMIT 200
 # knob, not a constant: a cluster run inherits its (high) width, where
 # the hint degenerates to one narrow exchange ahead of a scan that
 # already parallelizes via row groups.
-_EJ_WIDTH = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"))
-events_json_extract = _sql(f"""
+def _bench_width() -> int:
+    """The ONE resolution of the bench's shuffle-width knob (ADVICE r12):
+    pin the test-scale default into the env exactly once, then read it —
+    main(), the REPARTITION hint below, and the session factory all see
+    the same value, whoever runs first."""
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    return int(os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"])
+
+
+def events_json_extract(spark: SparkSession, d: str) -> DataFrame:
+    # Width resolved at plan-build time (each rep rebuilds the SQL text):
+    # a cluster run inherits its (high) width, where the hint degenerates
+    # to one narrow exchange ahead of a scan that already parallelizes
+    # via row groups.
+    return _sql(f"""
 SELECT event_type,
        avg(variant_get(parse_json(props), '$.k', 'int')) AS avg_k
-FROM (SELECT /*+ REPARTITION({_EJ_WIDTH}) */ event_type, props FROM events)
+FROM (SELECT /*+ REPARTITION({_bench_width()}) */ event_type, props FROM events)
 GROUP BY event_type
 ORDER BY event_type
-""")
+""")(spark, d)
 
 
 doc_text_tokens = _sql("""
@@ -366,8 +405,13 @@ QUERIES = {
 
 
 # ---------------------------------------------------------------------------
-# Same-run DuckDB baseline: the 12 BASELINE.md §SQL-1..12 texts VERBATIM
-# (raw speed shapes, no ROUND wrappers — see BASELINE.md's closing note).
+# Same-run DuckDB baseline.  Round 13: the four queries Spark runs in
+# rewritten form (see the query comments above) are mirrored into the
+# SAME rewritten shapes here, so every judged pair times the same
+# computation on both engines (VERDICT r12 item 1).  The other eight are
+# the BASELINE.md §SQL texts verbatim, as before.  The four ORIGINAL
+# contract shapes stay measured (both engines, unjudged) via
+# CONTRACT_SPARK_SQL / CONTRACT_DUCKDB_SQL below.
 # ---------------------------------------------------------------------------
 
 DUCKDB_SQL = {
@@ -402,31 +446,64 @@ FROM customer c JOIN orders o   ON c.c_custkey=o.o_custkey
                 JOIN region r   ON n.n_regionkey=r.r_regionkey
 WHERE r.r_name='ASIA' GROUP BY n.n_name ORDER BY revenue DESC;
 """,
+    # Rewritten shape (mirrors the Spark text's threshold pushdown;
+    # verified row-identical to the contract shape at all three SFs).
     "topk_per_group_window": """
-SELECT * FROM (
+WITH ck AS (SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 100)
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
-  FROM orders) t
+  FROM orders
+  WHERE o_custkey <= (SELECT max(o_custkey) FROM ck)
+)
 WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100;
 """,
+    # Rewritten shape (mirrors the Spark text's orderkey-threshold
+    # pushdown).  Identical key sequence; running_rev values can differ
+    # within window-peer ties because (l_orderkey, l_linenumber) is not
+    # unique — the CONTRACT text itself is not self-stable on DuckDB
+    # (measured: two runs of the identical original text return
+    # different tie-dependent sums), so tie variance is a property of
+    # the query, not of this rewrite.
     "running_sum_window": """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice
+  FROM lineitem
+  WHERE l_orderkey <= (
+    SELECT max(l_orderkey)
+    FROM (SELECT l_orderkey FROM lineitem ORDER BY l_orderkey LIMIT 100)
+  )
+)
 SELECT l_orderkey, l_linenumber,
-       sum(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+       sum(l_extendedprice) OVER (
+         PARTITION BY l_orderkey ORDER BY l_linenumber
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev
-FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100;
+FROM t
+ORDER BY l_orderkey, l_linenumber LIMIT 100;
 """,
+    # Rewritten shape (mirrors the Spark text's two-level rollup;
+    # verified row-identical to the contract shape at all three SFs).
     "rollup_agg": """
-SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, sum(sq) AS sq
+FROM (SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq
+      FROM lineitem GROUP BY l_returnflag, l_linestatus)
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST;
 """,
     "events_tumbling_1h": """
 SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, sum(value) AS total
 FROM events GROUP BY 1,2 ORDER BY 1,2 LIMIT 200;
 """,
+    # Rewritten shape: the Spark text's REPARTITION hint is a pure
+    # distribution annotation with no DuckDB analogue (DuckDB scans are
+    # already intra-query parallel); the algebraic rewrite — parse
+    # behind a projection subquery — is mirrored (verified row-identical
+    # to the contract shape at all three SFs).
     "events_json_extract": """
 SELECT event_type, avg(CAST(json_extract(props,'$.k') AS INT)) AS avg_k
-FROM events GROUP BY event_type ORDER BY event_type;
+FROM (SELECT event_type, props FROM events)
+GROUP BY event_type ORDER BY event_type;
 """,
     "doc_text_tokens": """
 SELECT lang, count(*) AS docs, avg(n_chars) AS avg_chars,
@@ -451,6 +528,104 @@ FROM events e ASOF LEFT JOIN orders o
 ORDER BY e.event_id LIMIT 100;
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Contract-shape coverage (ADVICE r12, medium): the four BASELINE.md
+# §SQL shapes that the judged queries no longer exercise — full-table
+# window sort, full-table rollup Expand, scan-parallel JSON parse — are
+# still measured EVERY run on BOTH engines and reported unjudged under
+# ``contract_shapes``, so a regression in large-window/rollup execution
+# stays visible to BENCH even though the judged totals use the
+# rewritten shapes.
+# ---------------------------------------------------------------------------
+
+CONTRACT_SPARK_SQL = {
+    "topk_per_group_window": """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+  FROM orders) t
+WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100
+""",
+    "running_sum_window": """
+SELECT l_orderkey, l_linenumber,
+       sum(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+""",
+    "rollup_agg": """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+""",
+    "events_json_extract": """
+SELECT event_type,
+       avg(variant_get(parse_json(props), '$.k', 'int')) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+}
+
+CONTRACT_DUCKDB_SQL = {
+    "topk_per_group_window": """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+  FROM orders) t
+WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100;
+""",
+    "running_sum_window": """
+SELECT l_orderkey, l_linenumber,
+       sum(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100;
+""",
+    "rollup_agg": """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY 1 NULLS FIRST, 2 NULLS FIRST;
+""",
+    "events_json_extract": """
+SELECT event_type, avg(CAST(json_extract(props,'$.k') AS INT)) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type;
+""",
+}
+
+# The contract window shapes feed full-table windows — their measured
+# width at test scale is the pre-r12 value (8), not the rewritten
+# queries' width-1.
+_CONTRACT_WIDTH = {
+    "topk_per_group_window": 8,
+    "running_sum_window": 8,
+    "rollup_agg": 1,
+    "events_json_extract": 1,
+}
+
+
+def contract_shapes_pass(spark: SparkSession, con, d: str, local_posture: bool) -> dict:
+    """Best-of-3 adjacent bursts of the four contract shapes on both
+    engines (warmed by one untimed pass).  Unjudged coverage numbers."""
+    sp: dict[str, float] = {}
+    du: dict[str, float] = {}
+    for name, sql in CONTRACT_SPARK_SQL.items():
+        if local_posture:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(_CONTRACT_WIDTH[name])
+            )
+        _ensure_views(spark, d)
+        spark.sql(sql).collect()  # warm
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.sql(sql).collect()
+            sp[name] = min(sp.get(name, float("inf")), time.perf_counter() - t0)
+        duck_sql = CONTRACT_DUCKDB_SQL[name]
+        duck_rep(con, duck_sql)  # warm
+        for _ in range(3):
+            du[name] = min(du.get(name, float("inf")), duck_rep(con, duck_sql))
+    return {
+        "spark": {k: round(v, 4) for k, v in sp.items()},
+        "duckdb": {k: round(v, 4) for k, v in du.items()},
+    }
 
 
 def duckdb_connection(d: str):
@@ -484,28 +659,59 @@ def _sf_of(d: str) -> float:
         return -1.0
 
 
+def _dir_bytes(d: str) -> int:
+    try:
+        return sum(
+            e.stat().st_size for e in os.scandir(d) if e.is_file()
+        )
+    except OSError:
+        return 0
+
+
+# Below this input size the bench keeps the measured local posture
+# (AQE off, per-query reduce widths, 4 MB splits); at or above it every
+# local twiddle is dropped so the run measures the scalable
+# configuration (session-factory AQE, env/default width, default
+# splits).  Env-overridable for explicit control.
+_LOCAL_POSTURE_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _use_local_posture(d: str) -> bool:
+    forced = os.environ.get("SPARK_GRAFT_BENCH_POSTURE", "").lower()
+    if forced == "local":
+        return True
+    if forced == "cluster":
+        return False
+    return _dir_bytes(d) < _LOCAL_POSTURE_MAX_BYTES
+
+
 def main() -> None:
-    # Test-scale shuffle sizing (measured: 8 partitions → 5.0s total vs
-    # 12.1s at 32 on the 17 MB sf0.1 set; 4 vs 8 is within noise —
-    # interleaved best-of-7 measured ±2%; still env-overridable).  On a
-    # real cluster leave the default high and let AQE coalesce.
-    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    local_posture = _use_local_posture(SF_DIR)
+    if local_posture:
+        # Test-scale shuffle sizing (measured: 8 partitions → 5.0s total
+        # vs 12.1s at 32 on the 17 MB sf0.1 set; 4 vs 8 is within noise —
+        # interleaved best-of-7 measured ±2%; still env-overridable).  On
+        # a real cluster leave the default high and let AQE coalesce.
+        _bench_width()
     spark = get_spark(app_name="un-datapipeline-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # Sub-second queries on MB-scale data: AQE's shuffle-stage
-    # re-optimization costs more than it saves (measured 0.35s vs 0.58s
-    # per query).  Cluster/100 TB runs keep the factory default (on).
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    # Round-12 re-measurement: every current testdata parquet file is a
-    # SINGLE row group (pyarrow default 1M-row groups), so a parquet scan
-    # can never split below one task per file — the old 1 MB splits just
-    # dispatched ~10 empty tasks per lineitem scan (the one split
-    # containing the row-group start does all the work).  Measured q1
-    # best-of-7: 1m 0.246s / 4m 0.223s / 128m 0.227s (tools/exp_r12.py).
-    # 4m keeps a few splits per file should a future generation ship
-    # multiple row groups, without the empty-task overhead.  At real
-    # scale the default (or larger) is correct; this is test-scale sizing.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    if local_posture:
+        # Sub-second queries on MB-scale data: AQE's shuffle-stage
+        # re-optimization costs more than it saves (measured 0.35s vs
+        # 0.58s per query).  Cluster/100 TB runs keep the factory
+        # default (on) — the SF gate above.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # Round-12 re-measurement: every current testdata parquet file is
+        # a SINGLE row group (pyarrow default 1M-row groups), so a
+        # parquet scan can never split below one task per file — the old
+        # 1 MB splits just dispatched ~10 empty tasks per lineitem scan
+        # (the one split containing the row-group start does all the
+        # work).  Measured q1 best-of-7: 1m 0.246s / 4m 0.223s / 128m
+        # 0.227s (tools/exp_r12.py).  4m keeps a few splits per file
+        # should a future generation ship multiple row groups, without
+        # the empty-task overhead.  At real scale the default (or
+        # larger) is correct; the SF gate keeps it test-scale-only.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
     # Warm passes first (codegen, file listing, broadcasts, JIT), then
     # best-of-7 timed reps — every timed execution runs in a fully
     # warmed JVM.  THREE warm passes, not one (round 7): the warm-curve
@@ -521,7 +727,10 @@ def main() -> None:
     # reduce only — not a query.
     for _ in range(3):
         for name, fn in QUERIES.items():
-            spark.conf.set("spark.sql.shuffle.partitions", str(REDUCE_WIDTH[name]))
+            if local_posture:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(REDUCE_WIDTH[name])
+                )
             fn(spark, SF_DIR).collect()
     # Timing structure (round 7): per-query ADJACENT BURSTS on both
     # engines — for each query, 7 timed Spark reps back-to-back, then 7
@@ -559,9 +768,10 @@ def main() -> None:
             # Plan-time knob: set before the plan is built (outside the
             # timer — DuckDB's per-view settings are likewise catalog
             # state, not per-execute work).
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(REDUCE_WIDTH[name])
-            )
+            if local_posture:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(REDUCE_WIDTH[name])
+                )
             for _ in range(7):
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).collect()
@@ -571,6 +781,9 @@ def main() -> None:
                 duck[name] = min(
                     duck.get(name, float("inf")), duck_rep(con, duck_sql)
                 )
+    # Unjudged contract-shape coverage (runs AFTER the judged blocks so
+    # it cannot perturb them; shares the warm session + connection).
+    contract = contract_shapes_pass(spark, con, SF_DIR, local_posture)
     con.close()
     times = {name: round(t, 4) for name, t in times.items()}
     duck = {name: round(t, 4) for name, t in duck.items()}
@@ -585,6 +798,7 @@ def main() -> None:
         "duckdb_total": duck_total,
         "duckdb_queries": duck,
         "ratio_same_run": round(spark_total / duck_total, 3) if duck_total else None,
+        "contract_shapes": contract,
     }
     print(json.dumps(out))
 
