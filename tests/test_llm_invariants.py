@@ -576,3 +576,24 @@ def test_connected_components_paths_agree(spark, sf_smoke, monkeypatch):
     big = {r.node: r.label for r in connected_components(edges).collect()}
     assert small == big
     assert small, "sf0.001 dup graph must be non-empty"
+
+
+def test_minhash_ml_pairs_partitioning_invariant(spark, sf_smoke):
+    """Round-13 pin for the parallelize_scan rewrite of minhash_ml_pairs
+    (the 0f0e1d6 doctrine: a rows-only optimization needs a value-
+    identity pin against the old lane, not just invariants).  The old
+    lane ran the whole pipeline on the scan's single partition; the new
+    lane spreads the corpus first.  MLlib's MinHash functions are
+    seeded per-row constants and the reported distance is the EXACT
+    Jaccard on feature vectors, so the pair set must be bitwise
+    invariant to input partitioning: forcing the old single-partition
+    layout must reproduce the distributed output exactly."""
+    from un_datapipeline_spark.operators.mllib_lsh import minhash_ml_pairs
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    new_lane = sorted(map(tuple, minhash_ml_pairs(d).collect()))
+    old_lane = sorted(
+        map(tuple, minhash_ml_pairs(d.coalesce(1)).collect())
+    )
+    assert new_lane == old_lane
+    assert new_lane, "smoke corpus must produce at least one candidate pair"

@@ -116,3 +116,28 @@ def test_salted_join_spreads_hot_key(spark, tmp_path):
     # xxhash64 over row ids is near-uniform; 2x the fair share is a
     # loose bound that still fails decisively if salting ever breaks
     assert max(sizes.values()) <= 2 * hot_n / n_salts, sizes
+
+
+def test_parallelize_scan_spreads_deficient_scans_only(spark):
+    """parallelize_scan (round 13): a single-partition relation is spread
+    to the scheduler's default parallelism; an already-wide relation is
+    returned UNCHANGED (the no-op branch that keeps query shapes
+    scale-correct); row multiset is preserved either way."""
+    from un_datapipeline_spark.scale import parallelize_scan
+
+    target = spark.sparkContext.defaultParallelism
+
+    # single-row-group parquet scan = 1 partition (the deficient case)
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    assert li.rdd.getNumPartitions() == 1
+    spread = parallelize_scan(li)
+    assert spread.rdd.getNumPartitions() == target
+    a = sorted(map(tuple, li.collect()))
+    b = sorted(map(tuple, spread.collect()))
+    assert a == b
+
+    # already at/above target = identity (no exchange added)
+    wide = li.repartition(target)
+    assert parallelize_scan(wide) is wide

@@ -51,84 +51,36 @@ REFRESH_COUNT = 5
 # first, pure refactors last.  (Forced entries are never truncated —
 # see main() — so ordering is about review priority, not survival.)
 FORCE_REFRESH: tuple[str, ...] = (
-    # -- ROUND 12: empty at round start — CORRECTNESS_r11 re-stamped all 45
-    # r11 forced names green (verified programmatically at the r12 round
-    # boundary: every FORCE_REFRESH name present in the r11 window, zero
-    # non-green verdicts).  Round-12 edits append below as they land,
-    # risk-first (oracle/kernel semantic changes before pure refactors).
-    # ADVICE r11 wave (all four are oracle/kernel semantic edits):
-    "llm_dedup_fuzzy_edit",      # NULL blocking keys filtered pre-window
-    #                              (window lumped NULL-lang docs into one
-    #                              block the oracle's equality join drops)
-    "win_rolling_corr",          # exact-DECIMAL moments + VARCHAR
-    #                              round-trip oracle (the *1.0 HUGEINT
-    #                              promotion trap, both lanes rewritten)
-    "udf_grouped_map",           # shared cents_np kernel + oracle
-    #                              greatest(0.0) variance clamp mirror
-    "stream_custom_stateful",    # shared cents_np kernel (true half-away
-    #                              rounding at the .5-ulp boundary)
-    # caught by the re-swept --magnitude corpus with its new .5-ulp
-    # stripes (the two divergences the stripes exist to surface):
-    "ts_cusum_changepoint",      # ill-defined ROUND(,6) at ulp>1e-6
-    #                              dropped from both lanes
-    "udf_map_arrow",             # pc.round default HALF_TO_EVEN !=
-    #                              both engines' half-away on -12.5
-    # caught by the magneg (unlucky-negative-pair) stripe — DuckDB
-    # mis-rounds negative HUGEINT/DECIMAL→DOUBLE conversions needing
-    # rounding, INCLUDING the Σ/100.0 output shape (r11 doctrine said
-    # division was safe; that was positives-only).  All five converted
-    # to VARCHAR round-trips; ill-defined output ROUNDs dropped:
-    "win_sliding_range",
-    "ts_multires_rollup",
-    "ts_ohlc_bars",
-    "ts_resample_ffill",
-    "agg_ab_ttest",
-    # harness-robustness edit (code-only, oracle unchanged): bucketed
-    # tables renamed per-process so concurrent harness runs cannot
-    # collide in the shared spark-warehouse (the r12 sweep flake):
-    "sink_bucketed_write",
-    "ts_similarity_corr",        # same hourly-avg CTE as the fired
-    #                              ts_resample_ffill — input lane
-    #                              converted to the VARCHAR round-trip
-    # post-seal straggler fix (code-only, oracle unchanged): the bigdoc
-    # per-op timing catalog caught the outer-expression-in-HOF-lambda
-    # trap (split re-evaluated per element, O(len²)/doc) — bigrams now
-    # come from the linear ngram_array build; semantics unchanged but
-    # the bigram expression is new code, so the old stamp is void:
-    "llm_repetition_flags",
-    # same trap-class audit, code-only, oracles unchanged: the measured
-    # explode-then-slice quadratic (16 s on the bigdoc catalog) and the
-    # latent per-WORD index-lambda variant:
-    "llm_doc_chunking",
-    "llm_bpe_pair_counts",
-    # BOTH lanes rewritten (highest risk of this wave — oracle text
-    # changed): pair build was a position-band self-join on doc_id
-    # (quadratic per doc on both engines — >10 min Spark / 460 s DuckDB
-    # for one 80k-token doc); now shifted-slice zips Spark-side and
-    # parallel-unnest bound slices oracle-side:
-    "llm_pmi_collocations",
-    # rows-only, code-only: MAX_GRAM_DF cap on the fingerprint h-join
-    # (the one remaining uncapped gram-equality self-join in the dedup
-    # family — df² bucket growth at corpus scale):
-    "llm_doc_fingerprint",
-    # -- ROUND 12 OPTIMIZATION wave (code-only, oracles unchanged; every
-    # edit verified row-identical locally — strict mirror for the hash
-    # ops, pytest invariants for the rows-only ones):
-    "graph_degree_stats",        # _bipartite_edges dedups int pairs
-    #                              before building node strings (same
-    #                              rows, fewer shuffled bytes)
-    "graph_pagerank",            # edges/deg checkpointed once (was 4x/3x
-    #                              re-executed), static pre-partitioned,
-    #                              shuffle_hash iteration join
-    "graph_kcore",               # peel set materialized once per round
-    #                              (degree agg ran 2-3x per round)
-    "graph_triangle_count",      # degree table checkpointed (3 consumers)
-    "graph_local_clustering",    # same degree-table checkpoint
-    "llm_bpe_train",             # per-step stats fused into one pass
-    "llm_dedup_near_minhash",    # single shingling pass feeds signatures
-    #                              AND the Jaccard verifier; signature
-    #                              table checkpointed before band fan-out
-    "llm_neardup_cluster",       # same shared minhash pipeline
+    # -- ROUND 13: pruned at round start — CORRECTNESS_r12 re-stamped
+    # ALL 26 r12 forced names green (verified programmatically at the
+    # r13 round boundary: every name present, zero non-green verdicts).
+    # Round-13 OPTIMIZATION edits below, risk-first.  All are code-only
+    # (oracles unchanged) and verified row-identical locally — strict
+    # driver-canonicalizer mirror at sf0.01 AND sf0.1 for the hash ops
+    # (tools/mirror_ops_r13.py), pytest invariants + the partitioning-
+    # invariance pin for the rows-only ones.
+    #
+    # Structural edits first (new materialization/persist sites):
+    "llm_line_dedup_reconstruct",  # deduped corpus spread + DISK_ONLY
+    #                                materialized once (fed 5 consumers)
+    "graph_label_propagation",   # pinned iteration width; bidir
+    #                              pre-partitioned by join key v + persist
+    "graph_modularity",          # same shared _lpa_state
+    "graph_bfs_layers",          # pinned width; bidir pre-partitioned by
+    #                              u + persist; edge build checkpointed
+    "graph_pagerank",            # pinned iteration width (75.9→16.4 s
+    #                              solo); edges checkpoint → DISK_ONLY
+    "graph_kcore",               # pinned width around the peel loop
+    # parallelize_scan sites (round-robin spread of a 1-task scan's
+    # per-row compute; no-op when the scan parallelizes — pure plan
+    # change, per-row values untouched):
+    "llm_canonical_select",      # _dup_edges gram lane
+    "llm_dedup_cluster",         # same shared _dup_edges site
+    "llm_contamination_check",   # 8-gram + md5 lane
+    "llm_dedup_minhash_ml",      # shingle/LSH pipeline partitioning
+    "fn_xml_roundtrip",          # per-row double parse spread
+    "fn_math",                   # 15 math exprs spread + column prune
+    "fn_cast_types",             # cast battery spread
 )
 
 # Round-10's window overflow mechanism (kept for the procedure doc): when

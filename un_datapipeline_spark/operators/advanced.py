@@ -476,11 +476,20 @@ def _dup_edges(d: DataFrame) -> DataFrame:
     clustering needs the full edge set.  The gram SIGNATURES are
     prefix-capped (bounded-prefix contract, tables.capped_text) — the
     exact-md5 edge lane stays whole-document."""
+    from un_datapipeline_spark.scale import parallelize_scan
     from un_datapipeline_spark.tables import capped_text
 
     toks = F.split(capped_text(), " ")
     grams_arr = trigram_array(toks)  # linear k-gram build (see ngram_array)
-    grams = d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram"))
+    # Round-13 (guide §2.5): the gram build+explode is the expensive
+    # per-row stage and sits directly above a structurally ONE-task scan
+    # (single-row-group test file) — and it is re-evaluated by three
+    # consumers (sizes + both self-join sides).  parallelize_scan
+    # spreads every evaluation; no-op when the scan parallelizes.
+    d_grams = parallelize_scan(d.select("doc_id", "text"))
+    grams = d_grams.select(
+        "doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram")
+    )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         grams.alias("x")

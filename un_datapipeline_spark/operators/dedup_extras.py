@@ -874,6 +874,18 @@ def llm_line_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts' lines into one garbled document and the corpus digest
     diverges.  Deterministic per-key winner on both sides."""
     d = winner_document(load_table(spark, sf_dir, "documents"))
+    # Round-13 (guide §1.2/§2.5): the deduped corpus feeds FIVE consumers
+    # (boiler, kept, removed, per_src_lines, rebuilt's spine), each
+    # re-running the winner window + line chunking — and the window's
+    # shuffle coalesces to one partition at test scale, so every chunk
+    # evaluation was serial.  Spread once, materialize once (DISK_ONLY —
+    # winner output is ≤ corpus-sized, the r12 materialization rule);
+    # every consumer then reads distributed, pinned rows.  Solo noop
+    # 3.52 → 2.73 s; at scale this is 1 winner pass instead of ≥2
+    # (broadcast-build jobs cannot reuse the main job's exchange).
+    d = d.repartition(spark.sparkContext.defaultParallelism).localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
     # prefix-capped (bounded-prefix contract): the line DF index and the
     # rebuilt/digested text consider the first SIG_PREFIX_CHARS — one
     # 520 KB outlier otherwise stalls the per-doc explode+reassemble

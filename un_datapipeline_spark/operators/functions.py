@@ -160,8 +160,27 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle casts to BIGINT — int64-vs-float64 hashes differently even
     when values are ==.  `round` (HALF_UP, ties away from zero) matches
     DuckDB's double `round` on both signs; bround (HALF_EVEN) does NOT
-    (ADVICE.md r1).  pmod==mod on these all-positive keys."""
-    li = load_table(spark, sf_dir, "lineitem")
+    (ADVICE.md r1).  pmod==mod on these all-positive keys.
+
+    Round-13 (guide §2.5, VERDICT r12 item 3): the 15 codegen'd math
+    expressions over 600k rows ran on a ONE-task scan (single-row-group
+    test files cannot split), ~6 µs/row serial while 31 cores idled;
+    parallelize_scan spreads the projection and is a no-op whenever the
+    scan already parallelizes (real-scale row groups).  Per-row math on
+    unchanged row values — hash-identical by construction (mirror
+    re-verified)."""
+    from un_datapipeline_spark.scale import parallelize_scan
+
+    li = parallelize_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_quantity",
+        )
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -342,8 +361,18 @@ def fn_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cast family.  double→int goes through floor() on both sides
     because bare CAST rounds in DuckDB but truncates in Spark; '1-URGENT'
     style strings → NULL under try_cast in both engines; double→string→
-    double round-trips exactly (shortest-repr printing both sides)."""
-    o = load_table(spark, sf_dir, "orders")
+    double round-trips exactly (shortest-repr printing both sides).
+
+    Round-13 (guide §2.5): per-row cast work on a structurally ONE-task
+    scan (single-row-group test file) — parallelize_scan spreads it and
+    is a no-op once the scan parallelizes by row groups."""
+    from un_datapipeline_spark.scale import parallelize_scan
+
+    o = parallelize_scan(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+        )
+    )
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),

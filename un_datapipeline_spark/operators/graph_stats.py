@@ -108,12 +108,40 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed iteration jobs).  At 100 TB the edge build IS the expensive
     # pass, so running it once is the difference between 1 and 4
     # fact-table shuffles.
-    edges = _bipartite_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # DISK_ONLY for the corpus-sized edge relation (ADVICE r12: the
+    # sibling ops' convention — keeps the checkpoint off the execution
+    # heap).  The edge BUILD runs at session width (it is fact-table-
+    # sized at scale); only the static layout + iterations get the
+    # pinned iteration width below.
+    edges = _bipartite_edges(spark, sf_dir).localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("degree"))
         .localCheckpoint(eager=True)
     )
+    # Round-13 (guide §2.2, VERDICT r12 item 4): the static layout and
+    # the 10 iterations run under a pinned small shuffle width
+    # (session.pinned_shuffle_width, env-parameterized): under the
+    # driver's plain session every per-iteration stage previously
+    # dispatched 200 near-empty reduce tasks, and the task dispatch —
+    # not compute — dominated each ~6-7 s iteration at test scale.
+    # Rank/degree state is node-sized, so 8 partitions carry it here; a
+    # cluster sizes SPARK_GRAFT_ITER_PARTITIONS to the state table.
+    # Rows-only op: width only changes float merge order, which the
+    # rows-only contract already covers.  The static relation MUST be
+    # laid out at the same width (its repartition("src") is inside the
+    # pin) or every iteration would re-exchange it.
+    from un_datapipeline_spark.session import pinned_shuffle_width
+
+    with pinned_shuffle_width(spark):
+        return _pagerank_iterations(spark, edges, deg)
+
+
+def _pagerank_iterations(
+    spark: SparkSession, edges: DataFrame, deg: DataFrame
+) -> DataFrame:
     # Pre-partition the static relation by the per-iteration join key
     # (guide §2.4 "two operations keyed the same way can share one
     # exchange"): every iteration joins static on `src`, so persisting it
@@ -700,6 +728,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "node long, core_deg long, k int")
     k = k_rows[0]["d"]
 
+    # Round-13 (guide §2.2, VERDICT r12 item 4 family): the peel loop —
+    # a degree aggregate + two anti-joins per round, each re-checkpointed
+    # — runs under the pinned iteration width (the pagerank /
+    # connected_components precedent; the driver's plain session gave
+    # every round 200 near-empty reduce tasks).  All state is exact
+    # integers, so width cannot change the unique k-core fixed point.
+    from un_datapipeline_spark.session import pinned_shuffle_width
+
+    with pinned_shuffle_width(spark):
+        return _kcore_peel(spark, edges, degrees, k)
+
+
+def _kcore_peel(spark, edges, degrees, k):
     while True:
         cur = edges
         for _ in range(30):
@@ -793,32 +834,53 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")
+        # materialize the co-purchase edge build once: the bidir union
+        # has TWO branches over this (expensive) plan (the _lpa_state /
+        # connected_components lesson)
+        .localCheckpoint(eager=True)
     )
-    bidir = e.unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    deg = bidir.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    src = deg.orderBy(F.desc("d"), "node").limit(1).select("node")
+    # Round-13 (guide §2.2/§2.4, VERDICT r12 items 4+6): frontier loop
+    # under the pinned iteration width (each level previously dispatched
+    # 200 near-empty tasks under the driver's plain session), adjacency
+    # PRE-PARTITIONED by the per-level join key `u` and persisted — each
+    # level then shuffles only the (frontier-sized) node set, the
+    # pagerank repartition("src") shape.  BFS distances are exact sets:
+    # width cannot change values, the op stays hash-matched.
+    from un_datapipeline_spark.session import pinned_shuffle_width
 
-    visited = src.select("node", F.lit(0).alias("dist")).localCheckpoint(eager=True)
-    frontier = visited.select("node")
-    for level in range(1, 5):
-        nxt = (
-            frontier.join(bidir, frontier.node == bidir.u)
-            .select(F.col("v").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
+    with pinned_shuffle_width(spark):
+        bidir = (
+            e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition("u")
+            .persist()
         )
-        visited = visited.unionAll(
-            nxt.select("node", F.lit(level).alias("dist"))
-        ).localCheckpoint(eager=True)
-        frontier = nxt
-    return visited.groupBy("dist").agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.min("node").alias("min_node"),
-        F.max("node").alias("max_node"),
-    )
+        deg = bidir.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        src = deg.orderBy(F.desc("d"), "node").limit(1).select("node")
+
+        visited = src.select("node", F.lit(0).alias("dist")).localCheckpoint(
+            eager=True
+        )
+        frontier = visited.select("node")
+        for level in range(1, 5):
+            nxt = (
+                frontier.join(bidir, frontier.node == bidir.u)
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            visited = visited.unionAll(
+                nxt.select("node", F.lit(level).alias("dist"))
+            ).localCheckpoint(eager=True)
+            frontier = nxt
+        out = visited.groupBy("dist").agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        return _freeze_and_release(out, bidir)
 
 
 # ---------------------------------------------------------------------------
@@ -890,7 +952,22 @@ def _lpa_state(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(undirected edges u<v, bidirectional edges, converged labels) of
     the synchronous 3-round LPA — shared by graph_label_propagation and
-    graph_modularity so the partition both report is the same object."""
+    graph_modularity so the partition both report is the same object.
+
+    Round-13 (guide §2.2/§2.4, VERDICT r12 items 4+6): the label loop
+    runs under the pinned iteration width (the pagerank /
+    connected_components precedent — under the driver's plain session
+    each round's three stages dispatched 200 near-empty tasks), and the
+    bidir edge relation is PRE-PARTITIONED by the per-round join key
+    `v` and persisted, so each round shuffles only the (node-sized)
+    label table while the edge relation's layout is built once — the
+    pagerank `repartition("src")` shape.  The returned `bidir` is
+    persisted; callers unpersist it after freezing their output
+    (_release_lpa_state).  All loop state is exact integers (counts,
+    min-labels), so width cannot change values — the ops stay
+    hash-matched."""
+    from un_datapipeline_spark.session import pinned_shuffle_width
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -906,35 +983,48 @@ def _lpa_state(
         .select("u", "v")
         .localCheckpoint(eager=True)
     )
-    bidir = e.unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-
-    from pyspark.sql import Window
-
-    labels = (
-        bidir.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-    w = Window.partitionBy("node")
-    for _ in range(_LPA_ITERATIONS):
-        cnt = (
-            bidir.join(
-                labels.select(F.col("node").alias("v"), "lbl"), "v"
-            )
-            .groupBy(F.col("u").alias("node"), F.col("lbl"))
-            .agg(F.count(F.lit(1)).alias("c"))
+    with pinned_shuffle_width(spark):
+        bidir = (
+            e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition("v")
+            .persist()
         )
+
+        from pyspark.sql import Window
+
         labels = (
-            cnt.withColumn("mc", F.max("c").over(w))
-            .filter(F.col("c") == F.col("mc"))
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            bidir.select(F.col("u").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
             .localCheckpoint(eager=True)
         )
+        w = Window.partitionBy("node")
+        for _ in range(_LPA_ITERATIONS):
+            cnt = (
+                bidir.join(
+                    labels.select(F.col("node").alias("v"), "lbl"), "v"
+                )
+                .groupBy(F.col("u").alias("node"), F.col("lbl"))
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            labels = (
+                cnt.withColumn("mc", F.max("c").over(w))
+                .filter(F.col("c") == F.col("mc"))
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
     return e, bidir, labels
+
+
+def _freeze_and_release(out: DataFrame, bidir: DataFrame) -> DataFrame:
+    """Materialize a (small) result, then unpersist the shared bidir
+    relation — the pagerank freeze-before-unpersist pattern: a lazy
+    plan would re-execute the label lineage against the now-uncached
+    relation when the caller finally acts on it."""
+    out = out.localCheckpoint(eager=True)
+    bidir.unpersist()
+    return out
 
 
 @register("graph_label_propagation", oracle=_LPA_ORACLE, tier="T3")
@@ -959,8 +1049,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round keeps the plan flat (the iterative-algorithm pattern
     shared with graph_pagerank / graph_bfs_layers); rounds are fixed at
     3, independent of graph size."""
-    _e, _bidir, labels = _lpa_state(spark, sf_dir)
-    return (
+    _e, bidir, labels = _lpa_state(spark, sf_dir)
+    out = (
         labels.groupBy("lbl")
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),
@@ -973,6 +1063,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nodes"), "community")
         .limit(20)
     )
+    return _freeze_and_release(out, bidir)
 
 
 # ---------------------------------------------------------------------------
@@ -1033,6 +1124,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dg = bidir.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
+    # (result frozen + bidir released at the end — _freeze_and_release)
     lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lbl_u"))
     lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lbl_v"))
     ec = (
@@ -1056,7 +1148,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_num = F.sum(
         4 * F.col("m") * F.col("e_in") - F.col("d_sum") * F.col("d_sum")
     ).cast("long")
-    return (
+    out = (
         per.crossJoin(mm)  # 1-row broadcast spine (house share-of-total)
         .groupBy("m")
         .agg(
@@ -1082,3 +1174,4 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+    return _freeze_and_release(out, bidir)

@@ -85,8 +85,15 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct() is GLOBAL (not just in-array): a duplicate surrogate
     # key delivers two rows whose gram sets overlap — the per-doc gram
     # SET must union them exactly as the oracle's SELECT DISTINCT does
+    # Round-13 (guide §2.5): the 8-gram build + md5 per exploded row is
+    # the op's expensive stage and sits directly above a structurally
+    # ONE-task scan (single-row-group test file); parallelize_scan
+    # spreads it and is a no-op when the scan parallelizes.
+    from un_datapipeline_spark.scale import parallelize_scan
+
     grams = (
-        d.select("doc_id", F.explode(F.array_distinct(gram_arr)).alias("gt"))
+        parallelize_scan(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(F.array_distinct(gram_arr)).alias("gt"))
         .select("doc_id", F.md5("gt").alias("g"))
         .distinct()
     )

@@ -19,6 +19,36 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+def parallelize_scan(df: DataFrame) -> DataFrame:
+    """Round-13 (guide §2.5 "input skew: one huge unsplittable file …
+    repartition immediately after the read"): spread a compute-heavy
+    projection across the cluster when the SCAN cannot supply the
+    parallelism itself.
+
+    A parquet scan task must start at a row-group boundary, so a table
+    shipped as one single-row-group file is structurally a ONE-task scan
+    — every downstream narrow operator (math expressions, XML/JSON
+    parsing, string kernels) then runs on one core while the rest idle.
+    This helper inserts a round-robin repartition to the scheduler's
+    default parallelism, but ONLY when the scan is actually deficient:
+    at real scale a 100 TB table already reads as thousands of row-group
+    splits and the helper is a no-op (no exchange added), so query
+    shapes stay scale-correct.  Round-robin repartition is
+    deterministic-safe (sortBeforeRepartition, SPARK-23207) and row
+    values are untouched — hash-verified consumers stay bit-identical
+    because the driver's canonicalizer is order-insensitive and every
+    downstream expression here is per-row.
+
+    Use it on operators whose cost is per-row compute directly above a
+    scan; do NOT use it ahead of aggregations/joins (those already
+    re-distribute via their own exchange, and the extra shuffle would
+    move the full payload twice — guide §2.3)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
