@@ -81,6 +81,16 @@ FORCE_REFRESH: tuple[str, ...] = (
     "fn_xml_roundtrip",          # per-row double parse spread
     "fn_math",                   # 15 math exprs spread + column prune
     "fn_cast_types",             # cast battery spread
+    # checkpoint-durability gate (VERDICT r12 item 7): localCheckpoint
+    # call sites switched to session.ckpt — identical local behavior
+    # (pinned by test_graft_checkpoint_durability_gate), but the call
+    # syntax is new code so the old stamps are void:
+    "graph_triangle_count",
+    "graph_local_clustering",
+    "llm_dedup_near_minhash",
+    "llm_neardup_cluster",
+    "llm_doc_fingerprint",
+    "llm_ann_brp_lsh",
 )
 
 # Round-10's window overflow mechanism (kept for the procedure doc): when

@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
+from un_datapipeline_spark.session import ckpt
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import (
     SIG_PREFIX_CHARS,
@@ -883,8 +884,8 @@ def llm_line_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every consumer then reads distributed, pinned rows.  Solo noop
     # 3.52 → 2.73 s; at scale this is 1 winner pass instead of ≥2
     # (broadcast-build jobs cannot reuse the main job's exchange).
-    d = d.repartition(spark.sparkContext.defaultParallelism).localCheckpoint(
-        storageLevel=StorageLevel.DISK_ONLY
+    d = d.repartition(spark.sparkContext.defaultParallelism).transform(
+        ckpt(storage_level=StorageLevel.DISK_ONLY)
     )
     # prefix-capped (bounded-prefix contract): the line DF index and the
     # rebuilt/digested text consider the first SIG_PREFIX_CHARS — one

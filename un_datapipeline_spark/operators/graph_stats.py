@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
+from un_datapipeline_spark.session import ckpt
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
 
@@ -113,13 +114,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heap).  The edge BUILD runs at session width (it is fact-table-
     # sized at scale); only the static layout + iterations get the
     # pinned iteration width below.
-    edges = _bipartite_edges(spark, sf_dir).localCheckpoint(
-        storageLevel=StorageLevel.DISK_ONLY
-    )
+    edges = _bipartite_edges(spark, sf_dir).transform(ckpt(storage_level=StorageLevel.DISK_ONLY))
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt())
     )
     # Round-13 (guide §2.2, VERDICT r12 item 4): the static layout and
     # the 10 iterations run under a pinned small shuffle width
@@ -169,7 +168,7 @@ def _pagerank_iterations(
             ranks = contribs.select(
                 F.col("dst").alias("src"),
                 (0.15 + 0.85 * F.col("mass")).alias("rank"),
-            ).localCheckpoint(eager=False)
+            ).transform(ckpt(eager=False))
         out = (
             ranks.join(deg, "src")
             .select(
@@ -185,7 +184,7 @@ def _pagerank_iterations(
         # now-uncached relation when the caller finally acts on it.
         # localCheckpoint materializes the partitions cluster-side (no
         # driver round-trip, unlike createDataFrame(collect())).
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(ckpt())
     finally:
         static.unpersist()
     return out
@@ -359,7 +358,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and OOMs a default-memory driver at 10x data (probed at
         # sf0.1); disk blocks cost one local read and never evict or
         # crowd execution memory
-        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        .transform(ckpt(storage_level=StorageLevel.DISK_ONLY))
     )
     # Round-12: the degree table feeds three consumers (both orientation
     # sides and the final stats/credit join); checkpointing it makes the
@@ -369,7 +368,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        .transform(ckpt(storage_level=StorageLevel.DISK_ONLY))
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -387,14 +386,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
         )
-        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        .transform(ckpt(storage_level=StorageLevel.DISK_ONLY))
     )
     w1 = o.select(F.col("src").alias("s"), F.col("dst").alias("v"),
                   F.col("dst_d").alias("vd"))
     w2 = o.select(F.col("src").alias("s"), F.col("dst").alias("w"),
                   F.col("dst_d").alias("wd"))
+    # Round-13 (guide §3.1): both the wedge expansion and the closure
+    # probe were sort-merge joins — the closure SMJ SORTS the O(m^1.5)
+    # wedge stream.  SHUFFLE_HASH builds the hash table on the
+    # edge-sized oriented relation and streams wedges sort-free; per-
+    # partition build = |edges|/partitions rows, the safe side at any
+    # scale.  Exact integer counts — join strategy cannot change values.
     wedge = w1.join(
-        w2,
+        w2.hint("shuffle_hash"),
         (w1.s == w2.s)
         & (
             (F.col("vd") < F.col("wd"))
@@ -402,7 +407,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("v", "w")
     closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedge.join(closing, ["v", "w"]).agg(
+    tri = wedge.join(closing.hint("shuffle_hash"), ["v", "w"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
     stats = deg.agg(
@@ -598,7 +603,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and OOMs a default-memory driver at 10x data (probed at
         # sf0.1); disk blocks cost one local read and never evict or
         # crowd execution memory
-        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        .transform(ckpt(storage_level=StorageLevel.DISK_ONLY))
     )
     # Round-12: the degree table feeds three consumers (both orientation
     # sides and the final stats/credit join); checkpointing it makes the
@@ -608,7 +613,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        .transform(ckpt(storage_level=StorageLevel.DISK_ONLY))
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -623,14 +628,18 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
         )
-        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        .transform(ckpt(storage_level=StorageLevel.DISK_ONLY))
     )
     w1 = o.select(F.col("src").alias("s"), F.col("dst").alias("v"),
                   F.col("dst_d").alias("vd"))
     w2 = o.select(F.col("src").alias("s2"), F.col("dst").alias("w"),
                   F.col("dst_d").alias("wd"))
+    # Round-13 (guide §3.1): same SHUFFLE_HASH treatment as
+    # graph_triangle_count — the closure SMJ otherwise sorts the
+    # O(m^1.5) wedge stream; the build side is the edge-sized oriented
+    # relation.  Exact integer counts, strategy cannot change values.
     wedge = w1.join(
-        w2,
+        w2.hint("shuffle_hash"),
         (w1.s == w2.s2)
         & (
             (F.col("vd") < F.col("wd"))
@@ -638,7 +647,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("s", "v", "w")
     closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedge.join(closing, ["v", "w"]).select("s", "v", "w")
+    tri = wedge.join(closing.hint("shuffle_hash"), ["v", "w"]).select("s", "v", "w")
     credit = (
         tri.select(F.explode(F.array("s", "v", "w")).alias("node"))
         .groupBy("node")
@@ -698,7 +707,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")
-        .localCheckpoint(eager=True)
+        .transform(ckpt())
     )
 
     def degrees(e: DataFrame) -> DataFrame:
@@ -755,14 +764,14 @@ def _kcore_peel(spark, edges, degrees, k):
             bad = (
                 deg.filter(F.col("d") < k)
                 .select("node")
-                .localCheckpoint(eager=True)
+                .transform(ckpt())
             )
             if bad.limit(1).count() == 0:
                 break
             cur = (
                 cur.join(bad, cur.u == bad.node, "left_anti")
                 .join(bad, cur.v == bad.node, "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(ckpt())
             )
         if k <= 1 or cur.limit(1).count() > 0:
             break
@@ -837,7 +846,7 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the co-purchase edge build once: the bidir union
         # has TWO branches over this (expensive) plan (the _lpa_state /
         # connected_components lesson)
-        .localCheckpoint(eager=True)
+        .transform(ckpt())
     )
     # Round-13 (guide §2.2/§2.4, VERDICT r12 items 4+6): frontier loop
     # under the pinned iteration width (each level previously dispatched
@@ -859,9 +868,7 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         src = deg.orderBy(F.desc("d"), "node").limit(1).select("node")
 
-        visited = src.select("node", F.lit(0).alias("dist")).localCheckpoint(
-            eager=True
-        )
+        visited = src.select("node", F.lit(0).alias("dist")).transform(ckpt())
         frontier = visited.select("node")
         for level in range(1, 5):
             nxt = (
@@ -869,11 +876,11 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.col("v").alias("node"))
                 .distinct()
                 .join(visited.select("node"), "node", "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(ckpt())
             )
             visited = visited.unionAll(
                 nxt.select("node", F.lit(level).alias("dist"))
-            ).localCheckpoint(eager=True)
+            ).transform(ckpt())
             frontier = nxt
         out = visited.groupBy("dist").agg(
             F.count(F.lit(1)).alias("n_nodes"),
@@ -981,7 +988,7 @@ def _lpa_state(
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")
-        .localCheckpoint(eager=True)
+        .transform(ckpt())
     )
     with pinned_shuffle_width(spark):
         bidir = (
@@ -996,7 +1003,7 @@ def _lpa_state(
             bidir.select(F.col("u").alias("node"))
             .distinct()
             .select("node", F.col("node").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .transform(ckpt())
         )
         w = Window.partitionBy("node")
         for _ in range(_LPA_ITERATIONS):
@@ -1012,7 +1019,7 @@ def _lpa_state(
                 .filter(F.col("c") == F.col("mc"))
                 .groupBy("node")
                 .agg(F.min("lbl").alias("lbl"))
-                .localCheckpoint(eager=True)
+                .transform(ckpt())
             )
     return e, bidir, labels
 
@@ -1022,7 +1029,7 @@ def _freeze_and_release(out: DataFrame, bidir: DataFrame) -> DataFrame:
     relation — the pagerank freeze-before-unpersist pattern: a lazy
     plan would re-execute the label lineage against the now-uncached
     relation when the caller finally acts on it."""
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(ckpt())
     bidir.unpersist()
     return out
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from un_datapipeline_spark.session import ckpt
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
 
@@ -252,7 +253,7 @@ def shingle_sets(d: DataFrame) -> DataFrame:
         _shingled(d)
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh"))
-        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        .transform(ckpt(storage_level=StorageLevel.DISK_ONLY))
     )
 
 
@@ -318,7 +319,7 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     re-execute up to 8x through this function.  Signatures are 1 row x
     16 longs per doc — negligible to pin at any scale.
     """
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = sigs.transform(ckpt())
     n_bands = N_HASHES // BAND_SIZE
     bands = None
     for j in range(n_bands):

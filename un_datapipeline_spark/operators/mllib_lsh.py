@@ -28,6 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from un_datapipeline_spark.session import ckpt
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
 
@@ -106,7 +107,7 @@ def minhash_ml_pairs(docs: DataFrame, max_jaccard_dist: float = 0.5) -> DataFram
     # also reuses the materialization instead of re-scanning the corpus.
     from pyspark.storagelevel import StorageLevel
 
-    shingled = shingled.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    shingled = shingled.transform(ckpt(storage_level=StorageLevel.DISK_ONLY))
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
@@ -187,8 +188,8 @@ def brp_topk(
     # model; the join's two passes also reuse the materialization.
     from pyspark.storagelevel import StorageLevel
 
-    c = vecs(corpus).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
-    p = vecs(probes).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    c = vecs(corpus).transform(ckpt(storage_level=StorageLevel.DISK_ONLY))
+    p = vecs(probes).transform(ckpt(storage_level=StorageLevel.DISK_ONLY))
     if c.isEmpty():
         # Day-one empty table, or every vector voided by the validity
         # contract: MLlib's fit() throws on a 0-row frame, but an empty

@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.storagelevel import StorageLevel
 
+from un_datapipeline_spark.session import ckpt
 from un_datapipeline_spark.registry import register
 from un_datapipeline_spark.tables import load_table
 
@@ -295,7 +296,7 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df-cap aggregate AND the anti-join left side, so it evaluated
     # TWICE inside the fp materialization.  Checkpointing the ~6% sample
     # once halves the heavy stage (solo sf0.1: 23.0 s → 13.7 s).
-    raw = _fingerprints(d).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    raw = _fingerprints(d).transform(ckpt(storage_level=StorageLevel.DISK_ONLY))
     # df-cap before the self-join (round-12 scale audit — the same
     # MAX_GRAM_DF contract every gram-equality join in the dedup family
     # carries): a boilerplate fingerprint present in df documents
@@ -311,9 +312,7 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > MAX_GRAM_DF)
         .select("h")
     )
-    fp = raw.join(F.broadcast(hot), "h", "left_anti").localCheckpoint(
-        storageLevel=StorageLevel.DISK_ONLY
-    )
+    fp = raw.join(F.broadcast(hot), "h", "left_anti").transform(ckpt(storage_level=StorageLevel.DISK_ONLY))
     counts = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     # containment: pairs sharing fingerprints, scored by overlap count
     pairs = (

@@ -86,6 +86,44 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def graft_checkpoint(df, eager: bool = True, storage_level=None):
+    """Materialize an intermediate: localCheckpoint by default,
+    RELIABLE checkpoint when ``SPARK_GRAFT_CHECKPOINT_DIR`` is set.
+
+    Round-13 (VERDICT r12 item 3/7): ``localCheckpoint`` blocks live on
+    executors — at cluster scale an executor loss makes the truncated
+    lineage NON-RECOMPUTABLE and kills the job (guide §5's caveat).
+    For the iterative ops this is the standard latency trade and the
+    right local default; a cluster run that cannot accept it sets
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` to a durable path (HDFS/object
+    store) and every load-bearing materialization in the iterative /
+    corpus pipelines switches to ``Dataset.checkpoint`` against it —
+    same semantics, executor-loss-safe, one more write+read per
+    materialization.  No behavior change while the env is unset
+    (SCALING.md "Checkpoint durability posture")."""
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=eager)
+    if storage_level is not None:
+        return df.localCheckpoint(eager=eager, storageLevel=storage_level)
+    return df.localCheckpoint(eager=eager)
+
+
+def ckpt(eager: bool = True, storage_level=None):
+    """Chainable form of :func:`graft_checkpoint` for
+    ``df.transform(ckpt(...))`` — drop-in for ``.localCheckpoint(...)``
+    call sites so the durability gate applies without restructuring the
+    expression chains."""
+
+    def apply(df):
+        return graft_checkpoint(df, eager=eager, storage_level=storage_level)
+
+    return apply
+
+
 class pinned_shuffle_width:
     """Scope a small shuffle width around an ITERATIVE operator's loop
     (round 13, guide §2.2 "fewer, larger reduce partitions").
